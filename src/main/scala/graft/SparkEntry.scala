@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{AggFunc, AggRequest, DocsTable, SeqEngine, SearchRequest}
+import graft.tables.TestTables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 through
+  * the engine; `oracleSql` holds the equivalent ANSI SQL the driver runs
+  * in DuckDB over the same parquet. Column names and row order are
+  * aligned on both sides. Float-valued aggregates are expressed as
+  * exact integers (per-row round to cents, integer sum) so the compare
+  * is bit-stable across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Time window constants (events spans Jan 2024, TESTDATA.md).
+  private val T0  = 1704067200000L // 2024-01-01T00:00:00Z
+  private val T02 = 1704153600000L // 2024-01-02T00:00:00Z
+  private val T15 = 1705276800000L // 2024-01-15T00:00:00Z
+  private val T31 = 1706745599999L // 2024-01-31T23:59:59.999Z
+
+  private def ev(s: SparkSession, dir: String): SeqEngine =
+    new SeqEngine(TestTables.eventsDocs(s, dir))
+  private def docs(s: SparkSession, dir: String): SeqEngine =
+    new SeqEngine(TestTables.documentsDocs(s, dir))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ev(spark, "/root/testdata/sf0.001")
+      .search(SearchRequest("event_type:error and value:[10, *]", T0, T31, size = 100))
+      .select("mid", "rid", "event_type", "value")
+
+  // DuckDB-side mid expression.
+  private val M = "epoch_ms(ts)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F1 keyword equality + O1 time-ordered top-k ----
+    "seq_search_keyword" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:error", T02, T15, size = 100))
+        .select("mid", "rid", "event_type", "value")),
+
+    // ---- F8 boolean algebra (and/or/not) ----
+    "seq_search_bool" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest(
+        "(event_type:click or event_type:view) and not user_id:7", T02, T15, size = 200))
+        .select("mid", "rid", "event_type", "user_id")),
+
+    // ---- F5 in() + F3 wildcard ----
+    "seq_search_in_wildcard" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:in(err*, sign*)", T02, T15, size = 150))
+        .select("mid", "rid", "event_type")),
+
+    // ---- F4 numeric range on a typed column ----
+    "seq_search_range_numeric" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("value:[100, 200)", T02, T15, size = 300))
+        .select("mid", "rid", "value")),
+
+    // ---- F4 lexicographic range on a string column ----
+    "seq_search_range_text" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:[click, purchase]", T02, T15, size = 300))
+        .select("mid", "rid", "event_type")),
+
+    // ---- F6 _exists_ + numeric range over a string (dotted JSON) field ----
+    "seq_search_exists_json" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("_exists_:props.k and props.k:[50, *]", T02, T15, size = 300))
+        .select("mid", "rid", "props_k")),
+
+    // ---- F7 match-all + O2 offset pagination ----
+    "seq_search_page_offset" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("*", T02, T15, size = 50, offset = 100))
+        .select("mid", "rid", "event_type")),
+
+    // ---- O1 ascending order variant ----
+    "seq_search_asc" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:signup", T02, T15, size = 80, asc = true))
+        .select("mid", "rid", "event_type")),
+
+    // ---- P1 fields pipe ----
+    "seq_fields_pipe" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest(
+        "event_type:purchase | fields event_type, value", T02, T15, size = 500))),
+
+    // ---- O6 with_total ----
+    "seq_total" -> ((s, dir) =>
+      ev(s, dir).total("value:[0, 100)", T0, T31)),
+
+    // ---- H1 date histogram ----
+    "seq_histogram_1h" -> ((s, dir) =>
+      ev(s, dir).histogram("event_type:error", T0, T31, 3600000L)),
+
+    // ---- A1 count group_by ----
+    "seq_agg_count_by_type" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Count, groupBy = Some("event_type")))),
+
+    // ---- A2 unique ----
+    "seq_agg_unique" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Unique, groupBy = Some("event_type")))),
+
+    // ---- A3 min with A6 bucket ordering ----
+    "seq_agg_min_by_type" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Min, field = "value", groupBy = Some("event_type")))),
+
+    // ---- A3 sum/avg, float-stable via exact cents ----
+    "seq_agg_sum_avg_cents" -> ((s, dir) =>
+      ev(s, dir).matches("*", T0, T31)
+        .groupBy(col("event_type").as("name"))
+        .agg(
+          sum(col("value_cents")).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_value", col("sum_cents") / lit(100.0) / col("cnt"))
+        .orderBy(col("name").asc)),
+
+    // ---- A4 discrete quantiles ----
+    "seq_agg_quantile" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
+          groupBy = Some("event_type")))),
+
+    // ---- A5 time-series bins ----
+    "seq_agg_timeseries_day" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Count, groupBy = Some("event_type"), intervalMs = 86400000L))),
+
+    // ---- S5 fetch by ids (point lookup, request order preserved) ----
+    "seq_fetch_ids" -> ((s, dir) => {
+      val t = TestTables.eventsDocs(s, dir)
+      val rids = Seq(5L, 105L, 205L, 305L, 405L)
+      val ids = t.df.where(col("rid").isin(rids: _*)).select("mid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+      new SeqEngine(t).fetch(ids).select("mid", "rid", "event_type", "value")
+    }),
+
+    // ---- O5 replica dedup: doubled input, query-time dedup by id ----
+    "seq_dedup_replica" -> ((s, dir) => {
+      val t = TestTables.eventsDocs(s, dir)
+      val doubled = t.copy(df = t.df.union(t.df), dedupReplicas = true)
+      new SeqEngine(doubled)
+        .search(SearchRequest("event_type:purchase", T02, T15, size = 120))
+        .select("mid", "rid", "event_type")
+    }),
+
+    // ---- F2 text multi-token AND (phrase = bag of words) ----
+    "seq_text_phrase" -> ((s, dir) =>
+      docs(s, dir).search(SearchRequest("text:'key order'", 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id", "lang")),
+
+    // ---- F3 wildcard over text tokens ----
+    "seq_text_wildcard" -> ((s, dir) =>
+      docs(s, dir).search(SearchRequest("text:quer*", 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id")),
+
+    // ---- path-type prefix semantics ----
+    "seq_path_prefix" -> ((s, dir) =>
+      docs(s, dir).search(SearchRequest("src_path:/src1", 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id", "src_path")),
+
+    // ---- TPC-H Q1-style scan+agg (float-stable) ----
+    "tpch_q1" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_base_cents"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")).as("sum_disc_e4"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)")).as("sum_charge_e6"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- TPC-H Q3-style join + top-k (broadcast dimension) ----
+    "tpch_q3_topk" -> ((s, dir) => {
+      val cust = TestTables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = TestTables.orders(s, dir)
+        .where(col("o_orderdate") < to_timestamp(lit("1997-06-30 00:00:00")))
+      val li = TestTables.lineitem(s, dir)
+        .where(col("l_shipdate") > to_timestamp(lit("1997-06-30 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5-style multi-join revenue rollup ----
+    "tpch_revenue_by_nation" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+      val sup = TestTables.supplier(s, dir)
+      val nat = TestTables.nation(s, dir)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_e4").desc, col("n_name").asc)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "seq_search_keyword" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'error'
+          ORDER BY mid DESC, rid DESC LIMIT 100""",
+
+    "seq_search_bool" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type, user_id FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+            AND (event_type = 'click' OR event_type = 'view') AND NOT user_id = 7
+          ORDER BY mid DESC, rid DESC LIMIT 200""",
+
+    "seq_search_in_wildcard" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+            AND (event_type LIKE 'err%' OR event_type LIKE 'sign%')
+          ORDER BY mid DESC, rid DESC LIMIT 150""",
+
+    "seq_search_range_numeric" ->
+      s"""SELECT $M AS mid, event_id AS rid, value FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND value >= 100 AND value < 200
+          ORDER BY mid DESC, rid DESC LIMIT 300""",
+
+    "seq_search_range_text" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+            AND event_type >= 'click' AND event_type <= 'purchase'
+          ORDER BY mid DESC, rid DESC LIMIT 300""",
+
+    "seq_search_exists_json" ->
+      s"""SELECT $M AS mid, event_id AS rid,
+                 nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS props_k
+          FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+            AND nullif(regexp_extract(props, '"k": (\\d+)', 1), '') IS NOT NULL
+            AND TRY_CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS DOUBLE) >= 50
+          ORDER BY mid DESC, rid DESC LIMIT 300""",
+
+    "seq_search_page_offset" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+          ORDER BY mid DESC, rid DESC LIMIT 50 OFFSET 100""",
+
+    "seq_search_asc" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'signup'
+          ORDER BY mid ASC, rid ASC LIMIT 80""",
+
+    "seq_fields_pipe" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'purchase'
+          ORDER BY mid DESC, rid DESC LIMIT 500""",
+
+    "seq_total" ->
+      s"""SELECT count(*) AS total FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND value >= 0 AND value < 100""",
+
+    "seq_histogram_1h" ->
+      s"""SELECT $M - $M % 3600000 AS bucket_ms, count(*) AS cnt FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'error'
+          GROUP BY 1 ORDER BY 1""",
+
+    "seq_agg_count_by_type" ->
+      s"""SELECT coalesce(event_type, '_not_exists') AS name, count(*) AS value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1 ORDER BY value DESC, name ASC""",
+
+    "seq_agg_unique" ->
+      s"""SELECT DISTINCT event_type AS name FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND event_type IS NOT NULL
+          ORDER BY name ASC""",
+
+    "seq_agg_min_by_type" ->
+      s"""SELECT coalesce(event_type, '_not_exists') AS name, min(value) AS value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1 ORDER BY value ASC, name ASC""",
+
+    "seq_agg_sum_avg_cents" ->
+      s"""SELECT event_type AS name,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                 count(*) AS cnt,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1 ORDER BY name ASC""",
+
+    "seq_agg_quantile" ->
+      s"""WITH m AS (
+            SELECT coalesce(event_type, '_not_exists') AS name, value FROM events
+            WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL
+          ), r AS (
+            SELECT name, value,
+                   row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
+                   count(*) OVER (PARTITION BY name) AS n
+            FROM m
+          )
+          SELECT name, q, value FROM r
+          JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
+          ORDER BY name ASC, q ASC""",
+
+    "seq_agg_timeseries_day" ->
+      s"""SELECT $M - $M % 86400000 AS bucket_ms,
+                 coalesce(event_type, '_not_exists') AS name, count(*) AS value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1, 2 ORDER BY bucket_ms ASC, value DESC, name ASC""",
+
+    "seq_fetch_ids" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
+          WHERE event_id IN (5, 105, 205, 305, 405) ORDER BY rid ASC""",
+
+    "seq_dedup_replica" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'purchase'
+          ORDER BY mid DESC, rid DESC LIMIT 120""",
+
+    "seq_text_phrase" ->
+      s"""SELECT doc_id AS mid, doc_id AS rid, doc_id, lang FROM documents
+          WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9_*\\p{L}\\p{N}]+'), 'key')
+            AND list_contains(string_split_regex(lower(text), '[^a-z0-9_*\\p{L}\\p{N}]+'), 'order')
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
+
+    "seq_text_wildcard" ->
+      s"""SELECT doc_id AS mid, doc_id AS rid, doc_id FROM documents
+          WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9_*\\p{L}\\p{N}]+'),
+                                t -> t LIKE 'quer%')) > 0
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
+
+    "seq_path_prefix" ->
+      s"""SELECT doc_id AS mid, doc_id AS rid, doc_id,
+                 '/' || source || '/' || lang AS src_path
+          FROM documents
+          WHERE '/' || source || '/' || lang = '/src1'
+             OR ('/' || source || '/' || lang) LIKE '/src1/%'
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+
+    "tpch_q3_topk" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""",
+
+    "tpch_revenue_by_nation" ->
+      """SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name ASC""",
+  )
 }

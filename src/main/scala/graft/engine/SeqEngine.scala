@@ -1,0 +1,243 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.SeqQlError
+import graft.seqql.{FieldsPipe, Pipe, SeqQlCompiler}
+
+/** Search request mirroring the reference proto
+  * (api/seqproxyapi/v1/seq_proxy_api.proto:103-173): seq-ql query,
+  * mandatory [from, to] time bounds on MID (inclusive), top-k with
+  * offset pagination, order DESC by default.
+  */
+final case class SearchRequest(
+    query: String,
+    fromMs: Long,
+    toMs: Long,
+    size: Int,
+    offset: Int = 0,
+    asc: Boolean = false)
+
+sealed trait AggFunc
+object AggFunc {
+  /** docs per group value (frac/processor/aggregator.go:160-233) */
+  case object Count extends AggFunc
+  /** distinct group values (aggregator.go:236-283) */
+  case object Unique extends AggFunc
+  case object Sum extends AggFunc
+  case object Min extends AggFunc
+  case object Max extends AggFunc
+  case object Avg extends AggFunc
+  /** discrete quantiles of the field (seq/qpr.go:345-364) */
+  final case class Quantile(qs: Seq[Double]) extends AggFunc
+}
+
+/** One aggregation request (proto seq_proxy_api.proto:175-183):
+  * `field` is the value source (parsed as double — non-numeric tokens
+  * fail the query in strict mode, aggregator.go:150-157), `groupBy`
+  * buckets by that field's value, `intervalMs` adds time-series
+  * sub-buckets keyed by MID − MID % interval (aggregator.go:424-438).
+  */
+final case class AggRequest(
+    func: AggFunc,
+    field: String = "",
+    groupBy: Option[String] = None,
+    intervalMs: Long = 0)
+
+/** The engine: seq-db's read path re-expressed as one declarative
+  * DataFrame program per request (SURVEY.md §3.1 "Spark shape").
+  * Fan-out over fractions/shards, per-fraction partial results and the
+  * coordinator QPR merge (seq/qpr.go:417-462) all collapse into
+  * Catalyst's partitioned scan + shuffle + partial/final aggregation.
+  */
+final class SeqEngine(val table: DocsTable) extends Serializable {
+
+  private val compiler = new SeqQlCompiler(table)
+  private def mid = col("mid")
+  private def rid = col("rid")
+
+  def compileFilter(query: String): Column = compiler.compile(query).filter
+
+  /** Time-pruned, filtered, replica-deduplicated doc set. The [from,to]
+    * MID range is inclusive on both ends (frac/processor/search.go:211-232).
+    */
+  def matches(query: String, fromMs: Long, toMs: Long): DataFrame = {
+    val compiled = compiler.compile(query)
+    val base = table.df
+      .where(mid.between(lit(fromMs), lit(toMs)) && compiled.filter)
+    if (table.dedupReplicas) base.dropDuplicates("mid", "rid") else base
+  }
+
+  /** Top-k search with offset pagination: store-side limit=size+offset,
+    * proxy slices the offset after the merge
+    * (storeapi/grpc_search.go:95, proxy/search/ingestor.go:121,195-208).
+    * In Spark: TakeOrderedAndProject does the global top-(size+offset),
+    * then `offset` drops the page prefix.
+    */
+  def search(req: SearchRequest): DataFrame = {
+    val compiled = compiler.compile(req.query)
+    val base = table.df
+      .where(mid.between(lit(req.fromMs), lit(req.toMs)) && compiled.filter)
+    val deduped = if (table.dedupReplicas) base.dropDuplicates("mid", "rid") else base
+    val ordered =
+      if (req.asc) deduped.orderBy(mid.asc, rid.asc)
+      else deduped.orderBy(mid.desc, rid.desc)
+    val page = ordered.offset(req.offset).limit(req.size)
+    applyPipes(page, compiled.pipes)
+  }
+
+  /** Full streaming export of all matches in time order (S6,
+    * proxyapi/grpc_export.go). Consume with toLocalIterator. */
+  def export(query: String, fromMs: Long, toMs: Long, asc: Boolean = false): DataFrame = {
+    val compiled = compiler.compile(query)
+    val m = matches(query, fromMs, toMs)
+    val ordered = if (asc) m.orderBy(mid.asc, rid.asc) else m.orderBy(mid.desc, rid.desc)
+    applyPipes(ordered, compiled.pipes)
+  }
+
+  /** `with_total`: count of all matches post-dedup (O6). */
+  def total(query: String, fromMs: Long, toMs: Long): DataFrame =
+    matches(query, fromMs, toMs).agg(count(lit(1)).as("total"))
+
+  /** Date histogram (H1): bucket = MID − MID % interval, per-bucket doc
+    * count (frac/processor/search.go:169-179).
+    */
+  def histogram(query: String, fromMs: Long, toMs: Long, intervalMs: Long): DataFrame = {
+    require(intervalMs > 0, "histogram interval must be positive")
+    matches(query, fromMs, toMs)
+      .groupBy((mid - mid % lit(intervalMs)).as("bucket_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket_ms").asc)
+  }
+
+  /** Aggregation (§2.4). Result columns:
+    *   - `bucket_ms` when intervalMs > 0,
+    *   - `name` (group value as string, `_not_exists` for missing) when
+    *     grouped,
+    *   - `value` (count / stat), or (`q`,`value`) rows for quantiles.
+    * Bucket ordering follows the reference (seq/qpr.go:217-254):
+    * MIN → (value asc, name asc); QUANTILE → (name asc, value desc);
+    * others → (value desc, name asc); all after bucket_ms asc.
+    */
+  def aggregate(query: String, fromMs: Long, toMs: Long, agg: AggRequest): DataFrame = {
+    val m = matches(query, fromMs, toMs)
+    val hasBucket = agg.intervalMs > 0
+    val bucketCol = (mid - mid % lit(agg.intervalMs)).as("bucket_ms")
+
+    def nameCol(field: String): Column =
+      coalesce(table.fieldCol(field).cast(StringType), lit("_not_exists")).as("name")
+
+    def valueCol(field: String): Column = {
+      table.fieldType(field) match {
+        case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) =>
+          table.fieldCol(field).cast(DoubleType)
+        case _ => table.fieldCol(field).try_cast(DoubleType)
+      }
+    }
+
+    def groupCols(extra: Column*): Seq[Column] =
+      (if (hasBucket) Seq(bucketCol) else Nil) ++ extra
+
+    def sortCols(valueFirstAsc: Boolean, valueDesc: Boolean): Seq[Column] = {
+      val bucket = if (hasBucket) Seq(col("bucket_ms").asc) else Nil
+      val rest =
+        if (valueFirstAsc) Seq(col("value").asc, col("name").asc)
+        else if (valueDesc) Seq(col("value").desc, col("name").asc)
+        else Seq(col("name").asc)
+      bucket ++ rest
+    }
+
+    agg.func match {
+      case AggFunc.Count =>
+        val g = agg.groupBy.getOrElse(
+          throw new SeqQlError("COUNT aggregation requires group_by"))
+        m.groupBy(groupCols(nameCol(g)): _*)
+          .agg(count(lit(1)).as("value"))
+          .orderBy(sortCols(valueFirstAsc = false, valueDesc = true): _*)
+
+      case AggFunc.Unique =>
+        val g = agg.groupBy.getOrElse(
+          throw new SeqQlError("UNIQUE aggregation requires group_by"))
+        m.where(table.fieldCol(g).isNotNull)
+          .select(groupCols(table.fieldCol(g).cast(StringType).as("name")): _*)
+          .distinct()
+          .orderBy((if (hasBucket) Seq(col("bucket_ms").asc) else Nil) :+ col("name").asc: _*)
+
+      case f @ (AggFunc.Sum | AggFunc.Min | AggFunc.Max | AggFunc.Avg) =>
+        val v = valueCol(agg.field)
+        val fn: Column => Column = f match {
+          case AggFunc.Sum => sum
+          case AggFunc.Min => min
+          case AggFunc.Max => max
+          case _           => avg
+        }
+        val grouped = agg.groupBy match {
+          case Some(g) => m.groupBy(groupCols(nameCol(g)): _*)
+          case None    => m.groupBy(groupCols(): _*)
+        }
+        val out = grouped.agg(fn(v).as("value"))
+        val sorted =
+          if (agg.groupBy.isEmpty)
+            if (hasBucket) out.orderBy(col("bucket_ms").asc) else out
+          else out.orderBy(sortCols(valueFirstAsc = f == AggFunc.Min, valueDesc = f != AggFunc.Min): _*)
+        sorted
+
+      case AggFunc.Quantile(qs) =>
+        // Discrete quantile at rank round(q*(n-1)) over the sorted
+        // per-bucket values — the reference's sampling-free definition
+        // (seq/qpr.go:345-364). Exact here; the reservoir-sampling
+        // variant for huge buckets lives in graft.functions.ReservoirQuantile.
+        val v = valueCol(agg.field)
+        val keys = groupCols(agg.groupBy.map(nameCol).toSeq: _*)
+        val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
+          (if (agg.groupBy.isDefined) Seq("name") else Nil)
+        val withV = m.select(keys :+ v.as("__v"): _*).where(col("__v").isNotNull)
+        import org.apache.spark.sql.expressions.Window
+        val w = if (keyNames.isEmpty) Window.partitionBy() else Window.partitionBy(keyNames.map(col): _*)
+        val ranked = withV
+          .withColumn("__rn", row_number().over(w.orderBy(col("__v").asc)) - 1)
+          .withColumn("__n", count(lit(1)).over(w))
+        val spark = table.df.sparkSession
+        val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+        ranked.join(qDf,
+            col("__rn") === round(col("q") * (col("__n") - 1)).cast(LongType))
+          .select(keyNames.map(col) ++ Seq(col("q"), col("__v").as("value")): _*)
+          .orderBy((keyNames.map(c => col(c).asc) :+ col("q").asc): _*)
+    }
+  }
+
+  /** Point lookup by (MID, RID) ids, preserving request order (S5,
+    * storeapi/grpc_fetch.go). Ids broadcast-joined against the docs
+    * table; MID equality gives partition/row-group pruning for free.
+    */
+  def fetch(ids: Seq[(Long, Long)]): DataFrame = {
+    val spark = table.df.sparkSession
+    import spark.implicits._
+    val idsDf = ids.zipWithIndex
+      .map { case ((m, r), i) => (m, r, i) }
+      .toDF("mid", "rid", "__fetch_ord")
+    table.df
+      .join(broadcast(idsDf), Seq("mid", "rid"), "inner")
+      .orderBy(col("__fetch_ord").asc)
+      .drop("__fetch_ord")
+  }
+
+  /** Fields projection pipe (P1): pure output projection; requested
+    * fields need not be indexed (storeapi/grpc_fetch.go:168-249). */
+  private def applyPipes(df: DataFrame, pipes: Seq[Pipe]): DataFrame =
+    pipes.foldLeft(df) {
+      case (d, FieldsPipe(fields, except)) =>
+        val cols = fields.map(table.sparkColName)
+        if (except) {
+          val tokenCols = cols.map(_ + "__tokens")
+          d.drop((cols ++ tokenCols): _*)
+        } else {
+          val keep = Seq("mid", "rid") ++ cols.filter(d.columns.contains)
+          val missing = cols.filterNot(d.columns.contains)
+          d.select(keep.map(c => col(s"`$c`")) ++
+            missing.map(c => lit(null).cast(StringType).as(c)): _*)
+        }
+    }
+}

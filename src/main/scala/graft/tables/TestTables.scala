@@ -1,0 +1,91 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.DocsTable
+import graft.model.{IndexType, SeqMapping}
+import graft.functions.Tokenizers
+
+/** Adapters exposing the driver-generated testdata
+  * (/root/testdata/sf0.001 etc, see TESTDATA.md) as seq-db style docs tables.
+  * `events` plays the role of the log stream (ts → MID, event_id → RID);
+  * `documents`/`embeddings` back the training-data operators.
+  */
+object TestTables {
+
+  /** The events table carries pandas nanosecond timestamps; Spark reads
+    * them only as Long nanos behind this legacy flag. We keep `ts` as
+    * nanos and derive `mid` (epoch millis) with exact integer division
+    * (double division would lose precision above 2^53).
+    */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events → docs: mid/rid per the reference ID model (seq/seq.go:12-19).
+    * `props_k` materializes the JSON field `props.k` as a keyword column
+    * (reference object-mapping dotted address, SURVEY.md §1.2);
+    * `value_cents` is an exact integer mirror of `value` for
+    * float-stable aggregation.
+    */
+  def eventsDocs(spark: SparkSession, sfDir: String): DocsTable = {
+    val df = raw(spark, sfDir, "events")
+      .withColumn("mid", expr("ts div 1000000"))
+      .withColumn("rid", col("event_id"))
+      .withColumn("props_k",
+        when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+      .withColumn("value_cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val mapping = SeqMapping.of(
+      "event_id"   -> IndexType.Keyword,
+      "user_id"    -> IndexType.Keyword,
+      "event_type" -> IndexType.Keyword,
+      "value"      -> IndexType.Keyword,
+      "value_cents"-> IndexType.Keyword,
+      "props"      -> IndexType.Keyword,
+      "props_k"    -> IndexType.Keyword,
+      "props.k"    -> IndexType.Keyword,
+      "mid"        -> IndexType.Keyword,
+    ).copy(caseSensitive = true)
+    DocsTable(df, mapping, columnOverrides = Map("props.k" -> "props_k"))
+  }
+
+  /** documents → docs: no natural event time, so mid = doc_id (stable,
+    * unique); `text` is text-indexed with precomputed tokens; `src_path`
+    * synthesizes a path-indexed field `/source/lang`.
+    */
+  def documentsDocs(spark: SparkSession, sfDir: String): DocsTable = {
+    val df = raw(spark, sfDir, "documents")
+      .withColumn("mid", col("doc_id"))
+      .withColumn("rid", col("doc_id"))
+      .withColumn("text__tokens", Tokenizers.textTokens(col("text"), caseSensitive = false))
+      .withColumn("src_path", concat(lit("/"), col("source"), lit("/"), col("lang")))
+    val mapping = SeqMapping.of(
+      "doc_id"  -> IndexType.Keyword,
+      "text"    -> IndexType.Text,
+      "lang"    -> IndexType.Keyword,
+      "source"  -> IndexType.Keyword,
+      "n_chars" -> IndexType.Keyword,
+      "src_path"-> IndexType.Path,
+    ).copy(caseSensitive = true)
+    DocsTable(df, mapping)
+  }
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    raw(spark, sfDir, "embeddings")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "documents")
+}
