@@ -202,7 +202,75 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue_e4").desc, col("n_name").asc)
     }),
+
+    // ==== training-data pipeline operators (dataprep package) ====
+
+    // ---- exact dedup: hash-groupBy ----
+    "dp_dedup_exact" -> ((s, dir) =>
+      dataprep.Dedup.exactGroups(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- n-gram Jaccard near-dup pairs with length blocking ----
+    "dp_dedup_ngram" -> ((s, dir) =>
+      dataprep.Dedup.ngramJaccardPairs(TestTables.documents(s, dir),
+        "doc_id", "text", "n_chars", maxLenDiff = 100, thresholdNum = 3, thresholdDen = 10)),
+
+    // ---- MinHash + LSH near-dup pairs (exact-verified candidates) ----
+    "dp_dedup_minhash_lsh" -> ((s, dir) =>
+      dataprep.Dedup.minhashLshPairs(TestTables.documents(s, dir),
+        "doc_id", "text", numHashes = 128, bands = 64, thresholdNum = 1, thresholdDen = 2)),
+
+    // ---- SimHash near-dup pairs (banded; rows-only check) ----
+    "dp_dedup_simhash" -> ((s, dir) =>
+      dataprep.Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // ---- embedding cosine near-dup pairs ----
+    "dp_embed_neardup" -> ((s, dir) =>
+      dataprep.Dedup.embeddingNearDupPairs(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4)),
+
+    // ---- ANN: brute-force dot-product top-k ----
+    "dp_ann_topk" -> ((s, dir) =>
+      dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- ANN: random-hyperplane LSH-bucketed variant (rows-only) ----
+    "dp_ann_lsh" -> ((s, dir) =>
+      dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- language ID ----
+    "dp_lang_id" -> ((s, dir) =>
+      dataprep.TextAnalysis.langId(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- quality scoring ----
+    "dp_quality" -> ((s, dir) =>
+      dataprep.TextAnalysis.qualityScore(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- token counting ----
+    "dp_token_counts" -> ((s, dir) =>
+      dataprep.TextAnalysis.tokenCounts(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- document fingerprint ----
+    "dp_fingerprint" -> ((s, dir) =>
+      dataprep.TextAnalysis.fingerprint(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
+    "dp_multimodal_stub" -> ((s, dir) =>
+      dataprep.Multimodal.extractFeatures(
+        dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
+        "doc_id", "payload")),
   )
+
+  // Shared DuckDB fragments mirroring TextPrep (same regex / shingle
+  // construction — keep in sync with Tokenizers.SepRegex).
+  private val DTOKS =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9_*\p{L}\p{N}]+'), x -> x <> '')"""
+  private val DSHINGLES =
+    """list_distinct(list_filter(list_transform(range(1, greatest(len(toks), 2)),
+       i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]), x -> x IS NOT NULL))"""
+  private val DSH_CTE =
+    s"""WITH t AS (SELECT doc_id, n_chars, $DTOKS AS toks FROM documents),
+        s AS (SELECT doc_id, n_chars, $DSHINGLES AS sh FROM t)"""
 
   def oracleSql: Map[String, String] = Map(
     "seq_search_keyword" ->
@@ -372,5 +440,110 @@ object SparkEntry {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue_e4 DESC, n_name ASC""",
+
+    "dp_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM documents GROUP BY 1 ORDER BY content_hash ASC""",
+
+    "dp_dedup_ngram" ->
+      s"""$DSH_CTE
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_cnt
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+            AND len(list_intersect(a.sh, b.sh)) * 10 >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))
+          ORDER BY id_a, id_b""",
+
+    "dp_dedup_minhash_lsh" ->
+      s"""$DSH_CTE
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_cnt
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))
+          ORDER BY id_a, id_b""",
+
+    "dp_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS dot_e6
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY id_a, id_b""",
+
+    "dp_ann_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+         ), scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         ), r AS (
+           SELECT query_id, neighbor_id, d,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    "dp_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS BIGINT) AS s_en,
+              CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','nicht','ein'))) AS BIGINT) AS s_de,
+              CAST(len(list_filter(toks, x -> x IN ('que','los','las','una','por','el'))) AS BIGINT) AS s_es,
+              CAST(len(list_filter(toks, x -> x IN ('le','les','des','une','est','dans'))) AS BIGINT) AS s_fr,
+              CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
+            FROM t)
+          SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+                 CASE WHEN s_zh > 0 THEN 'zh'
+                      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM c ORDER BY doc_id ASC""",
+
+    "dp_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS text_len,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS n_punct,
+              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+              CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','der','die','und','das','nicht','ein','que','los','las','una','por','el','le','les','des','une','est','dans'))) AS BIGINT) AS n_stop
+            FROM t)
+          SELECT doc_id, text_len, n_tokens, n_distinct, n_punct, n_digit, n_stop,
+                 CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                   + CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * CAST(0.3 AS DOUBLE)
+                   + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   AS quality_score
+          FROM c ORDER BY doc_id ASC""",
+
+    "dp_token_counts" ->
+      s"""SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens,
+              CAST(len(list_distinct($DTOKS)) AS BIGINT) AS uniq_tokens
+          FROM documents ORDER BY doc_id ASC""",
+
+    "dp_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id ASC""",
+
+    "dp_multimodal_stub" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               substr(hex(encode(text)), 1, 16) AS head_hex,
+               CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
+               CAST(3 AS BIGINT) AS fake_channels
+        FROM documents ORDER BY id ASC""",
   )
 }

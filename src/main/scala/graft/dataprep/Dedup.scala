@@ -1,0 +1,173 @@
+package graft.dataprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * blocked n-gram Jaccard, MinHash+LSH, SimHash. All are pure
+  * DataFrame programs — no driver-side loops — so they scale with the
+  * cluster: blocking/banding keys become shuffle keys and the
+  * candidate verification is a co-partitioned join.
+  *
+  * Jaccard thresholds are evaluated as integer cross-multiplications
+  * (`inter * den >= num * union`) so there is no floating point in the
+  * decision — results are bit-stable across engines.
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash. Output: one row per distinct
+    * content, with the representative (min id) and the group size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+      .orderBy(col("content_hash").asc)
+
+  /** Near-duplicate pairs by n-gram (word-bigram) Jaccard with
+    * length-based blocking: only pairs whose `lenCol` differs by at
+    * most `maxLenDiff` are candidates (a necessary condition for high
+    * Jaccard between near-identical texts). Blocking is implemented as
+    * an equi-join on length buckets (each left row probes its own and
+    * both adjacent buckets), so Spark shuffles on the bucket key
+    * instead of building an O(n^2) cross product.
+    *
+    * Threshold: jaccard >= thresholdNum/thresholdDen.
+    * Output: id_a < id_b, inter_cnt, union_cnt.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, lenCol: String,
+      maxLenDiff: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val bucket = (col(lenCol) / maxLenDiff).cast("long")
+    val s = df.select(
+      col(idCol).as("id"),
+      col(lenCol).as("len"),
+      bucket.as("bkt"),
+      TextPrep.bigramShingles(TextPrep.tokens(col(textCol))).as("sh"))
+    val probes = s.withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
+    val right = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"), col("bkt"))
+    probes
+      .join(right, col("probe") === col("bkt") && col("id_a") < col("id_b"))
+      .where(abs(col("len_a") - col("len_b")) <= maxLenDiff)
+      .withColumn("inter_cnt", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_cnt", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature column: `numHashes` permutations
+    * h_i(x) = (a_i * x + b_i) mod P over xxhash64'd shingles, P =
+    * 2^31 - 1 (Mersenne prime). Coefficients derive deterministically
+    * from the permutation index, so signatures are reproducible.
+    * Shingle hashes are computed once and reused by every permutation
+    * (all inside whole-stage codegen — no UDFs).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val P = 2147483647L
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    val perms = sequence(lit(1), lit(numHashes))
+    transform(perms, i => {
+      val a = pmod(i * lit(0x9E3779B97F4A7C15L % P), lit(P)) + lit(1)
+      val b = pmod(i * lit(0xC2B2AE3D27D4EB4FL % P), lit(P))
+      array_min(transform(hashes, x => pmod(a * x + b, lit(P))))
+    })
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified exactly.
+    *
+    * Pipeline: shingle → signature → `bands` LSH buckets per doc →
+    * shuffle on (band, band-signature) → per-bucket candidate pairs →
+    * exact Jaccard verification on the shingle sets. With r =
+    * numHashes/bands rows per band, recall at similarity s is
+    * 1 - (1 - s^r)^bands; the defaults (128 hashes, 64 bands, r=2)
+    * give ~1 - 1e-8 at s = 0.5, so the LSH path reproduces the
+    * brute-force result while scaling as O(n · candidates) instead of
+    * O(n^2). Output: id_a < id_b, inter_cnt, union_cnt for pairs with
+    * jaccard >= thresholdNum/thresholdDen.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val s = df.select(
+      col(idCol).as("id"),
+      TextPrep.bigramShingles(TextPrep.tokens(col(textCol))).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // one (bandIdx, bandKey) per band: bandKey = the r signature values
+    val banded = s.select(
+      col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
+        struct(bIdx.as("band"),
+          concat_ws("_", (0 until r).map(j => try_element_at(col("sig"), bIdx * r + j + 1)): _*)
+            .as("key")))).as("bk"))
+    val left = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
+    val right = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
+    val candidates = left.join(right, left("bk") === right("bk") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("inter_cnt", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_cnt", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash over word tokens: per bit position, sum +1/-1
+    * across token hashes and keep the sign. Pure column expressions
+    * (two nested higher-order functions), no UDF.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      ) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-duplicate pairs with banded candidate generation:
+    * split the 64-bit hash into 4 16-bit bands; any pair within
+    * `maxHamming` bits must share at least one band when maxHamming < 4
+    * (pigeonhole), so candidates = pairs sharing a band, then exact
+    * hamming via bit_count(xor). Output: id_a < id_b, hamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val s = df.select(col(idCol).as("id"),
+        simhash64(TextPrep.tokens(col(textCol))).as("sim"))
+    val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", concat_ws("_", col("band"),
+        call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL))))
+    val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
+    val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
+    left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) pairs with
+    * dot(a, b) >= threshold. The smaller side is broadcast (embeddings
+    * are compact), so this runs as a broadcast nested-loop join with
+    * no shuffle; at very large n switch to [[Similarity.lshBuckets]]
+    * pre-bucketing. Output: id_a, id_b, dot_e6 (dot scaled to integer
+    * micro-units for float-stable comparison).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
+      .where(col("dot") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.dataprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float|Double]).
+  * Brute-force cosine/dot top-k as the exact baseline; deterministic
+  * random-hyperplane LSH bucketing as the scale path (probe only
+  * matching buckets instead of the full corpus).
+  */
+object Similarity {
+
+  /** Ordered-fold dot product — same accumulation order as DuckDB's
+    * list_dot_product, so results compare bit-exactly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by dot product for the given query ids: broadcast the
+    * queries, score the whole corpus once, rank per query. One shuffle
+    * (the per-query window sort); the scoring itself is map-side.
+    * Output: query_id, neighbor_id, rank (1-based), dot_e6.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from xxhash64(p, j), mapped to [-0.5, 0.5). Expressed as
+    * columns so the whole signature stays inside codegen.
+    */
+  private def planeComponent(p: Column, j: Column): Column =
+    (pmod(xxhash64(p, j), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
+    * onto deterministic hyperplanes. Vectors in the same bucket are
+    * near-collinear with high probability. */
+  def lshBuckets(vec: Column, nBits: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x * planeComponent(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(nBits - 1)), (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate top-k: LSH-bucket the corpus, probe only buckets
+    * within `probeHamming` bits of the query's bucket (explode of
+    * nearby buckets — multi-probe LSH), exact-rank the candidates.
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by design —
+    * this is the 100 TB path where scoring the full corpus per query
+    * is not an option.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nBits: Int = 12, probeHamming: Int = 1): DataFrame = {
+    val bucketed = df.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      lshBuckets(col(vecCol).cast("array<double>"), nBits).as("bucket"))
+    // query probes its own bucket plus all buckets within hamming 1
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q"),
+        lshBuckets(col(vecCol).cast("array<double>"), nBits).as("qb"))
+      .withColumn("probe",
+        if (probeHamming >= 1)
+          explode(concat(array(col("qb")),
+            transform(sequence(lit(0), lit(nBits - 1)),
+              i => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
+        else col("qb"))
+    val cands = bucketed.join(broadcast(queries),
+        col("bucket") === col("probe") && col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.dataprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. Every expression
+  * is chosen to have an exact ANSI-SQL mirror (no transcendental
+  * functions, integer counts where possible) so results oracle-compare
+  * bit for bit.
+  */
+object TextAnalysis {
+
+  private val enStop = Seq("the", "and", "of", "to", "is", "a")
+  private val deStop = Seq("der", "die", "und", "das", "nicht", "ein")
+  private val esStop = Seq("que", "los", "las", "una", "por", "el")
+  private val frStop = Seq("le", "les", "des", "une", "est", "dans")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** CJK character count (zh detector). DuckDB mirror:
+    * len(regexp_extract_all(text, '[一-鿿]')) */
+  private def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
+
+  /** n-gram/stopword-heuristic language ID over {en,de,es,fr,zh}:
+    * CJK presence wins, otherwise argmax of per-language stopword hit
+    * counts with a fixed tie order (en > de > es > fr). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextPrep.tokens(col(textCol))
+    val out = df
+      .withColumn("s_en", stopCount(toks, enStop))
+      .withColumn("s_de", stopCount(toks, deStop))
+      .withColumn("s_es", stopCount(toks, esStop))
+      .withColumn("s_fr", stopCount(toks, frStop))
+      .withColumn("s_zh", cjkCount(col(textCol)))
+      .withColumn("pred_lang",
+        when(col("s_zh") > 0, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+    out.select(col(idCol), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        col("s_zh"), col("pred_lang"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Quality signals: token count, distinct-token ratio, mean token
+    * length, punctuation & digit counts, stopword ratio, and a
+    * composite score using only +,*,/ on exact integers (bit-stable).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextPrep.tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("[\\.,;:!\\?]"), lit(0))).cast("long"))
+      .withColumn("n_digit", size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0))).cast("long"))
+      .withColumn("n_stop", stopCount(toks, enStop ++ deStop ++ esStop ++ frStop))
+      .withColumn("text_len", length(col(textCol)).cast("long"))
+      .withColumn("quality_score",
+        col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * lit(0.5)
+          + col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * lit(0.3)
+          + when(col("n_tokens").between(20, 1000), lit(0.2)).otherwise(lit(0.0)))
+      .select(col(idCol), col("text_len"), col("n_tokens"), col("n_distinct"),
+        col("n_punct"), col("n_digit"), col("n_stop"), col("quality_score"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Token counting: whitespace split vs a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-space symbol) vs distinct
+    * word tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.withColumn("ws_tokens",
+        size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("uniq_tokens",
+        size(array_distinct(TextPrep.tokens(col(textCol)))).cast("long"))
+      .select(col(idCol), col("ws_tokens"), col("re_tokens"), col("uniq_tokens"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Document fingerprint: md5 over the normalized text (lower-cased,
+    * non-alphanumeric runs collapsed to single spaces, trimmed) — the
+    * standard "same modulo whitespace/punctuation" dedup key.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))).as("fp"))
+      .orderBy(col(idCol).asc)
+}
