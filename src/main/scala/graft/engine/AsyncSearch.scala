@@ -1,0 +1,85 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors, Future => JFuture}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Async search (X1, SURVEY.md §2.10): fire a search in the background,
+  * persist the result so it survives restarts, poll/fetch/cancel by id.
+  * The reference persists per-fraction QPRs (fracmanager/async_searcher
+  * .go:52-260); here the finished result lands as parquet under
+  * `resultsDir/<searchId>` with a status marker file — partial-progress
+  * checkpointing is delegated to Spark's own stage retry machinery.
+  */
+final class AsyncSearchManager(spark: SparkSession, resultsDir: String, parallelism: Int = 4) {
+
+  sealed trait Status
+  case object Running extends Status
+  case object Done extends Status
+  case object Canceled extends Status
+  final case class Failed(err: String) extends Status
+
+  private val pool = Executors.newFixedThreadPool(parallelism)
+  private val jobs = new ConcurrentHashMap[String, JFuture[_]]()
+
+  private def statusPath(id: String) = Paths.get(s"$resultsDir/$id.status")
+  private def dataPath(id: String) = s"$resultsDir/$id"
+
+  /** Submit; returns immediately. `query` runs on a separate thread in
+    * its own Spark job group so cancel() can kill its stages. */
+  def start(id: String, query: => DataFrame): Unit = {
+    Files.createDirectories(Paths.get(resultsDir))
+    Files.writeString(statusPath(id), "RUNNING")
+    val task = pool.submit(new Runnable {
+      override def run(): Unit = {
+        spark.sparkContext.setJobGroup(s"async-$id", s"async search $id", interruptOnCancel = true)
+        try {
+          query.write.mode("overwrite").parquet(dataPath(id))
+          Files.writeString(statusPath(id), "DONE")
+        } catch {
+          case e: Throwable =>
+            if (Files.readString(statusPath(id)) != "CANCELED")
+              Files.writeString(statusPath(id), s"FAILED:${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    jobs.put(id, task)
+  }
+
+  def status(id: String): Status = {
+    if (!Files.exists(statusPath(id))) return Failed("unknown search id")
+    Files.readString(statusPath(id)) match {
+      case "RUNNING"                 => Running
+      case "DONE"                    => Done
+      case "CANCELED"                => Canceled
+      case s if s.startsWith("FAILED") => Failed(s.stripPrefix("FAILED:"))
+      case other                     => Failed(s"corrupt status: $other")
+    }
+  }
+
+  /** Fetch the persisted result (only when Done). Survives manager
+    * restarts — any new manager over the same resultsDir can serve it. */
+  def fetch(id: String): Option[DataFrame] =
+    if (status(id) == Done) Some(spark.read.parquet(dataPath(id))) else None
+
+  def cancel(id: String): Boolean = {
+    val f = jobs.get(id)
+    if (f == null || f.isDone) false
+    else {
+      Files.writeString(statusPath(id), "CANCELED")
+      spark.sparkContext.cancelJobGroup(s"async-$id")
+      f.cancel(true)
+      true
+    }
+  }
+
+  /** Wait (test helper) until the job leaves Running, up to timeoutMs. */
+  def await(id: String, timeoutMs: Long): Status = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (status(id) == Running && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    status(id)
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}

@@ -1,0 +1,172 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.DocsTable
+import graft.functions.Tokenizers
+import graft.model.{IndexType, SeqMapping}
+
+/** Batch ingest: JSON-lines documents → the columnar docs table.
+  *
+  * Re-expresses the reference's `/_bulk` write path (SURVEY.md §3.2)
+  * declaratively: per-document time extraction with drift clamping
+  * (proxy/bulk/processor.go:72-126), ID generation (seq/seq.go), and
+  * mapping-driven field projection/tokenization (proxy/bulk/indexer.go)
+  * all become column expressions over `from_json`, so ingest is a
+  * single codegen'd projection — no per-row driver logic.
+  */
+object BulkIngest {
+
+  /** Time fields probed in order (consts/consts.go:74). */
+  val TimeFields: Seq[String] = Seq("timestamp", "time", "ts")
+
+  /** Accepted formats: ES-style, RFC3339(Nano) (consts/consts.go:75). */
+  private def parseTime(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX][X]")),
+    try_to_timestamp(c))
+
+  private def try_to_timestamp(c: Column, fmt: Column): Column =
+    call_function("try_to_timestamp", c, fmt)
+  private def try_to_timestamp(c: Column): Column =
+    call_function("try_to_timestamp", c)
+
+  /** Strip ES bulk action lines (`{"index":{...}}` etc.) from an
+    * NDJSON stream, keeping only document lines. The reference pairs
+    * action+doc lines (proxyapi/http_bulk.go); action objects have a
+    * single `index`/`create`/`delete` key and no other content.
+    */
+  def stripActionLines(lines: DataFrame, col0: String): Column =
+    !col(col0).rlike("""^\s*\{\s*"(index|create|update|delete)"\s*:""")
+
+  /** Spark schema for a mapping (for from_json): dotted/nested mapping
+    * names become struct trees; `nested` fields become arrays of
+    * structs; `tags` become arrays of {key,value} pairs (SURVEY.md §1.2).
+    */
+  def schemaFor(mapping: SeqMapping): StructType = {
+    // build a tree from dotted names
+    sealed trait Node
+    final case class Leaf(t: IndexType) extends Node
+    final case class Branch(children: scala.collection.mutable.LinkedHashMap[String, Node],
+        var selfType: Option[IndexType]) extends Node
+
+    val root = Branch(scala.collection.mutable.LinkedHashMap.empty, None)
+    for ((name, spec) <- mapping.fields.toSeq.sortBy(_._1)) {
+      val parts = name.split("\\.")
+      var cur = root
+      for ((p, i) <- parts.zipWithIndex) {
+        if (i == parts.length - 1) {
+          cur.children.get(p) match {
+            case Some(b: Branch) => b.selfType = Some(spec.mainType)
+            case _               => cur.children(p) = Leaf(spec.mainType)
+          }
+        } else {
+          cur.children.get(p) match {
+            case Some(b: Branch) => cur = b
+            case other =>
+              val b = Branch(scala.collection.mutable.LinkedHashMap.empty,
+                other.collect { case Leaf(t) => t })
+              cur.children(p) = b
+              cur = b
+          }
+        }
+      }
+    }
+
+    def toDataType(n: Node): DataType = n match {
+      case Leaf(IndexType.Tags) =>
+        ArrayType(StructType(Seq(
+          StructField("key", StringType), StructField("value", StringType))))
+      case Leaf(_) => StringType
+      case b: Branch =>
+        val st = StructType(b.children.toSeq.map { case (k, v) => StructField(k, toDataType(v)) })
+        b.selfType match {
+          case Some(IndexType.Nested) => ArrayType(st)
+          case _                      => st
+        }
+    }
+    toDataType(root).asInstanceOf[StructType]
+  }
+
+  /** Project raw JSON lines into the docs table:
+    * `mid`, `rid`, `_raw`, plus one column per mapped top-level field
+    * (keyword/path → String; text → String + `__tokens`; object/nested
+    * subtrees as structs/arrays addressed by dotted paths).
+    *
+    * Drift rules (proxy/bulk/processor.go:88-99): docs older than
+    * `allowedDriftMs` or further than `futureDriftMs` in the future are
+    * re-stamped with `requestTimeMs` — late data is never dropped (T2).
+    *
+    * RID derives from xxhash64 of the raw doc (deterministic stand-in
+    * for the reference's random RID — reproducible ingest is worth more
+    * than entropy here; collisions only merge exact duplicate docs,
+    * which replica dedup O5 treats as duplicates anyway).
+    */
+  def project(
+      lines: DataFrame,
+      mapping: SeqMapping,
+      requestTimeMs: Long,
+      allowedDriftMs: Long = 24L * 3600 * 1000,
+      futureDriftMs: Long = 5L * 60 * 1000,
+      rawCol: String = "value"): DataFrame = {
+
+    val schema = schemaFor(mapping)
+    val timeSchema = StructType(TimeFields.map(f => StructField(f, StringType)))
+
+    val withDoc = lines
+      .where(stripActionLines(lines, rawCol))
+      .withColumn("_raw", col(rawCol))
+      .withColumn("__doc", from_json(col("_raw"), schema))
+      .withColumn("__times", from_json(col("_raw"), timeSchema))
+
+    val docTime: Column = parseTime(coalesce(
+      TimeFields.map(f => col("__times").getField(f)): _*))
+    val docMs = unix_millis(docTime)
+    val clamped = when(docMs.isNull, lit(requestTimeMs))
+      .when(docMs < lit(requestTimeMs - allowedDriftMs), lit(requestTimeMs))
+      .when(docMs > lit(requestTimeMs + futureDriftMs), lit(requestTimeMs))
+      .otherwise(docMs)
+
+    val topLevel: Seq[Column] = schema.fields.toSeq.map { f =>
+      val src = col("__doc").getField(f.name)
+      val folded = f.dataType match {
+        case StringType if !mapping.caseSensitive &&
+            mapping.fields.get(f.name).exists(s => s.mainType != IndexType.Text) =>
+          lower(src)
+        case _ => src
+      }
+      folded.as(f.name)
+    }
+    val tokenCols: Seq[Column] = mapping.fields.values.toSeq
+      .filter(s => s.mainType == IndexType.Text && !s.name.contains("."))
+      .sortBy(_.name)
+      .map(s => Tokenizers.textTokens(col("__doc").getField(s.name), mapping.caseSensitive)
+        .as(s.name + "__tokens"))
+
+    withDoc
+      .withColumn("mid", clamped)
+      .withColumn("rid", pmod(xxhash64(col("_raw")), lit(Long.MaxValue)))
+      .select(Seq(col("mid"), col("rid"), col("_raw")) ++ topLevel ++ tokenCols: _*)
+  }
+
+  /** Full batch ingest returning a queryable DocsTable. */
+  def ingest(lines: DataFrame, mapping: SeqMapping, requestTimeMs: Long): DocsTable =
+    DocsTable(project(lines, mapping, requestTimeMs), mapping)
+
+  /** Write the docs table in the at-scale layout: day-partitioned by
+    * event time (fraction pruning ≈ partition pruning, SURVEY.md §1.3),
+    * sorted by (mid, rid) within partitions so Parquet min/max row-group
+    * stats prune time ranges inside a day.
+    */
+  def writePartitioned(docs: DataFrame, path: String): Unit =
+    docs
+      .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("mid"), col("rid"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(path)
+}

@@ -105,7 +105,11 @@ object SeqMapping {
       val starts = ls.zipWithIndex.collect { case (l, i) if l.isItem && l.indent == itemIndent => i }
       starts.zipAll(starts.drop(1), -1, ls.length).flatMap { case (s, e) =>
         val item = ls.slice(s, e)
-        val attrs = item.filter(l => l.value.nonEmpty).map(l => l.key -> l.value).toMap
+        // own attributes = the item-start line plus continuation lines at
+        // the item's own indentation — deeper lines belong to sub-lists
+        val contIndent = item.drop(1).filterNot(_.isItem).map(_.indent).minOption
+        val own = item.head +: item.drop(1).filter(l => !l.isItem && contIndent.contains(l.indent))
+        val attrs = own.filter(l => l.value.nonEmpty).map(l => l.key -> l.value).toMap
         val name = attrs.getOrElse("name", "")
         if (name.isEmpty) Map.empty[String, FieldSpec]
         else {

@@ -1,0 +1,120 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.{IndexType, SeqMapping}
+import graft.tables.TestTables
+
+class EngineSpec extends SparkSpec {
+  private lazy val eng = new SeqEngine(TestTables.eventsDocs(spark, sfDir))
+  private val T0 = 1704067200000L
+  private val T31 = 1706745599999L
+
+  test("search returns time-desc ordered page with correct bound") {
+    val rows = eng.search(SearchRequest("event_type:error", T0, T31, size = 10))
+      .select("mid").collect().map(_.getLong(0))
+    assert(rows.length == 10)
+    assert(rows.sameElements(rows.sorted(Ordering[Long].reverse)))
+  }
+
+  test("offset pagination is a strict continuation") {
+    val all = eng.search(SearchRequest("*", T0, T31, size = 30))
+      .select("rid").collect().map(_.getLong(0))
+    val page2 = eng.search(SearchRequest("*", T0, T31, size = 10, offset = 20))
+      .select("rid").collect().map(_.getLong(0))
+    assert(page2.sameElements(all.slice(20, 30)))
+  }
+
+  test("time range prunes: empty window matches nothing") {
+    assert(eng.search(SearchRequest("*", 0L, 1L, size = 10)).count() == 0)
+  }
+
+  test("range duality: numeric range on string column matches parsed tokens only") {
+    val t = TestTables.eventsDocs(spark, sfDir)
+    // props_k is a string column of digits; numeric range must compare as numbers
+    val hits = eng.matches("props.k:[9, 10]", T0, T31)
+      .select("props_k").distinct().collect().map(_.getString(0)).toSet
+    assert(hits == Set("9", "10")) // lexicographic would include 90-99
+  }
+
+  test("lexicographic range on string column when bounds non-numeric") {
+    val hits = eng.matches("event_type:[purchase, signup]", T0, T31)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(hits == Set("purchase", "signup"))
+  }
+
+  test("wildcard compiles to like with escaping") {
+    val c = eng.compileFilter("event_type:s*p")
+    val hits = eng.matches("event_type:s*p", T0, T31)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(hits == Set("signup"))
+  }
+
+  test("quantile agg q=0 and q=1 equal min and max") {
+    val q = eng.aggregate("*", T0, T31,
+      AggRequest(AggFunc.Quantile(Seq(0.0, 1.0)), field = "value", groupBy = Some("event_type")))
+      .collect()
+    val mn = eng.aggregate("*", T0, T31,
+      AggRequest(AggFunc.Min, field = "value", groupBy = Some("event_type")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mx = eng.aggregate("*", T0, T31,
+      AggRequest(AggFunc.Max, field = "value", groupBy = Some("event_type")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q.foreach { r =>
+      val (name, qq, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      if (qq == 0.0) assert(v == mn(name), s"q=0 for $name")
+      else assert(v == mx(name), s"q=1 for $name")
+    }
+  }
+
+  test("histogram buckets sum to total matches") {
+    val total = eng.matches("event_type:click", T0, T31).count()
+    val hist = eng.histogram("event_type:click", T0, T31, 3600000L)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(hist == total)
+  }
+
+  test("replica dedup restores exact original rows") {
+    val t = TestTables.eventsDocs(spark, sfDir)
+    val doubled = t.copy(df = t.df.union(t.df), dedupReplicas = true)
+    val e2 = new SeqEngine(doubled)
+    assert(e2.total("*", T0, T31).collect()(0).getLong(0) ==
+      eng.total("*", T0, T31).collect()(0).getLong(0))
+  }
+
+  test("fetch preserves request order incl. missing ids tolerated") {
+    val t = TestTables.eventsDocs(spark, sfDir)
+    val ids = t.df.where(col("rid").isin(7L, 3L, 11L)).select("mid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordered = ids.sortBy(-_._2).toSeq :+ ((999999999L, 999999999L)) // missing id
+    val got = new SeqEngine(t).fetch(ordered).select("rid").collect().map(_.getLong(0))
+    assert(got.toSeq == ordered.dropRight(1).map(_._2)) // order kept, missing skipped
+  }
+
+  test("fields pipe drops and keeps") {
+    val kept = eng.search(SearchRequest("* | fields event_type", T0, T31, size = 5)).columns.toSet
+    assert(kept == Set("mid", "rid", "event_type"))
+    val except = eng.search(SearchRequest("* | fields except props, props_k", T0, T31, size = 5)).columns.toSet
+    assert(!except.contains("props") && !except.contains("props_k") && except.contains("event_type"))
+  }
+
+  test("nonexistent column in mapping yields no matches rather than error") {
+    val m = SeqMapping.of("ghost" -> IndexType.Keyword)
+    val t = TestTables.eventsDocs(spark, sfDir)
+    val e2 = new SeqEngine(t.copy(mapping = m.copy(caseSensitive = true)))
+    assert(e2.matches("ghost:x", T0, T31).count() == 0)
+  }
+
+  test("async search: start, await, fetch, restart-survivability") {
+    val dir = java.nio.file.Files.createTempDirectory("async").toString
+    val mgr = new AsyncSearchManager(spark, dir)
+    mgr.start("s1", eng.search(SearchRequest("event_type:error", T0, T31, size = 50)))
+    assert(mgr.await("s1", 60000) == mgr.Done)
+    assert(mgr.fetch("s1").get.count() == 50)
+    // a fresh manager over the same dir can still serve the result
+    val mgr2 = new AsyncSearchManager(spark, dir)
+    assert(mgr2.status("s1") == mgr2.Done)
+    assert(mgr2.fetch("s1").get.count() == 50)
+    mgr.shutdown(); mgr2.shutdown()
+  }
+}

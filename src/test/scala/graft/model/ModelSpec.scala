@@ -1,0 +1,119 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SeqIdSpec extends AnyFunSuite {
+  test("ordering by (mid, rid)") {
+    val ids = Seq(SeqId(2, 1), SeqId(1, 9), SeqId(2, 0), SeqId(1, 1))
+    assert(ids.sorted == Seq(SeqId(1, 1), SeqId(1, 9), SeqId(2, 0), SeqId(2, 1)))
+  }
+
+  test("little-endian hex round trip (seq/seq.go:37-53 format)") {
+    val id = SeqId(0x0102030405060708L, 0x1112131415161718L)
+    assert(id.toString == "0807060504030201-1817161514131211")
+    assert(SeqId.parse(id.toString) == id)
+    val zero = SeqId(0, 0)
+    assert(SeqId.parse(zero.toString) == zero)
+  }
+}
+
+class MappingYamlSpec extends AnyFunSuite {
+  test("parses the reference mapping-list shape") {
+    val yaml =
+      """mapping-list:
+        |  - name: clientip
+        |    type: keyword
+        |  - name: request
+        |    type: text
+        |  - name: request_uri
+        |    type: path
+        |  - name: message
+        |    types:
+        |      - type: text
+        |      - title: keyword
+        |        type: keyword
+        |  - type: object
+        |    name: someobj
+        |    mapping-list:
+        |      - type: keyword
+        |        name: nested
+        |""".stripMargin
+    val m = SeqMapping.parseYaml(yaml)
+    assert(m.typeOf("clientip") == IndexType.Keyword)
+    assert(m.typeOf("request") == IndexType.Text)
+    assert(m.typeOf("request_uri") == IndexType.Path)
+    assert(m.typeOf("message") == IndexType.Text)
+    assert(m.typeOf("message.keyword") == IndexType.Keyword)
+    assert(m.typeOf("someobj.nested") == IndexType.Keyword)
+    assert(!m.isIndexed("unmapped"))
+    assert(!m.caseSensitive) // reference default: case folding on
+  }
+
+  test("index-all mode treats any field as keyword") {
+    assert(SeqMapping.indexAll.typeOf("anything") == IndexType.Keyword)
+  }
+
+  test("unindexed field rejection (F11)") {
+    val m = SeqMapping.of("a" -> IndexType.Keyword)
+    assertThrows[SeqQlError](m.typeOf("b"))
+  }
+}
+
+class TokenizerSpec extends AnyFunSuite {
+  import graft.functions.Tokenizers
+
+  test("text tokens: runs of letters/digits/underscore, case folded") {
+    assert(Tokenizers.tokenize("Hello, wörld_42! x*y", caseSensitive = false) ==
+      Seq("hello", "wörld_42", "x*y"))
+    assert(Tokenizers.tokenize("Hello World", caseSensitive = true) ==
+      Seq("Hello", "World"))
+  }
+
+  test("token length cap at 72 (consts/consts.go:25)") {
+    val long = "a" * 100
+    assert(Tokenizers.tokenize(long, caseSensitive = false) == Seq("a" * 72))
+  }
+
+  test("path prefixes (tokenizer/path_tokenizer.go:33-71)") {
+    assert(Tokenizers.pathPrefixes("/my/path/deep") ==
+      Seq("/my", "/my/path", "/my/path/deep"))
+    assert(Tokenizers.pathPrefixes("rel/x") == Seq("rel", "rel/x"))
+  }
+}
+
+class ReservoirSpec extends AnyFunSuite {
+  import graft.functions.SeqAggregates
+
+  test("discrete quantile index = round(q*(n-1)) (seq/qpr.go:345-364)") {
+    val sorted = Array(1.0, 2.0, 3.0, 4.0)
+    assert(SeqAggregates.quantileOf(sorted, 0.0) == 1.0)
+    assert(SeqAggregates.quantileOf(sorted, 1.0) == 4.0)
+    assert(SeqAggregates.quantileOf(sorted, 0.5) == 3.0) // round(1.5)=2
+    assert(SeqAggregates.quantileOf(sorted, 0.25) == 2.0) // round(0.75)=1
+  }
+
+  test("small input: exact stats, full sample retained") {
+    val agg = SeqAggregates.samplesAgg(Seq(0.5))
+    var b = agg.zero
+    for (v <- Seq(5.0, 1.0, 3.0)) b = agg.reduce(b, Some(v))
+    b = agg.reduce(b, None) // missing field
+    val r = agg.finish(b)
+    assert(r.min == 1.0 && r.max == 5.0 && r.sum == 9.0 && r.total == 3 && r.notExists == 1)
+    assert(r.avg == 3.0)
+    assert(r.quantiles.toSeq == Seq(3.0))
+  }
+
+  test("reservoir caps at 8096 and merge stays bounded") {
+    val agg = SeqAggregates.samplesAgg(Seq(0.5, 0.99))
+    var a = agg.zero
+    var b = agg.zero
+    for (v <- 1 to 10000) a = agg.reduce(a, Some(v.toDouble))
+    for (v <- 10001 to 20000) b = agg.reduce(b, Some(v.toDouble))
+    val m = agg.merge(a, b)
+    assert(m.samples.length <= SeqAggregates.ReservoirCap)
+    val r = agg.finish(m)
+    assert(r.total == 20000 && r.min == 1.0 && r.max == 20000.0)
+    // sampling accuracy: median within 5% of true median
+    assert(math.abs(r.quantiles(0) - 10000.0) / 10000.0 < 0.05)
+  }
+}
