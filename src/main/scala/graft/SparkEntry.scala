@@ -212,12 +212,12 @@ object SparkEntry {
     // ---- n-gram Jaccard near-dup pairs with length blocking ----
     "dp_dedup_ngram" -> ((s, dir) =>
       dataprep.Dedup.ngramJaccardPairs(TestTables.documents(s, dir),
-        "doc_id", "text", "n_chars", maxLenDiff = 100, thresholdNum = 3, thresholdDen = 10)),
+        "doc_id", "text", "n_chars", maxLenDiff = 25, thresholdNum = 3, thresholdDen = 10)),
 
     // ---- MinHash + LSH near-dup pairs (exact-verified candidates) ----
     "dp_dedup_minhash_lsh" -> ((s, dir) =>
       dataprep.Dedup.minhashLshPairs(TestTables.documents(s, dir),
-        "doc_id", "text", numHashes = 128, bands = 64, thresholdNum = 1, thresholdDen = 2)),
+        "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)),
 
     // ---- SimHash near-dup pairs (banded; rows-only check) ----
     "dp_dedup_simhash" -> ((s, dir) =>
@@ -451,7 +451,7 @@ object SparkEntry {
                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
                  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_cnt
           FROM s a, s b
-          WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+          WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 25
             AND len(list_intersect(a.sh, b.sh)) * 10 >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))
           ORDER BY id_a, id_b""",
 

@@ -34,6 +34,18 @@ object Dedup {
     * Threshold: jaccard >= thresholdNum/thresholdDen.
     * Output: id_a < id_b, inter_cnt, union_cnt.
     */
+  /** Sorted xxhash64 mirror of a distinct-shingle set: set operations
+    * on longs via two-pointer merges instead of per-pair string-array
+    * hash sets. Counts equal the string-set counts barring a 64-bit
+    * hash collision inside one document's shingles (~1e-15 at 1e4
+    * shingles — negligible even for the exact-compare gate).
+    */
+  private def hashedSet(sh: Column): Column =
+    array_sort(array_distinct(transform(sh, s => xxhash64(s))))
+
+  private def interCount(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.sortedIntersectCount(a, b)
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, lenCol: String,
       maxLenDiff: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
@@ -42,15 +54,21 @@ object Dedup {
       col(idCol).as("id"),
       col(lenCol).as("len"),
       bucket.as("bkt"),
-      TextPrep.bigramShingles(TextPrep.tokens(col(textCol))).as("sh"))
+      hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
+      .persist()
     val probes = s.withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
     val right = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"), col("bkt"))
     probes
-      .join(right, col("probe") === col("bkt") && col("id_a") < col("id_b"))
+      // the bucketed side is one row per doc (hash arrays only) — small
+      // enough to broadcast at any bucket granularity; avoids shuffling
+      // the exploded probe side
+      .join(broadcast(right), col("probe") === col("bkt") && col("id_a") < col("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxLenDiff)
-      .withColumn("inter_cnt", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("union_cnt", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter_cnt", interCount(col("sh_a"), col("sh_b")))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| — no second array operation
+      .withColumn("union_cnt",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter_cnt"))
       .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
       .orderBy("id_a", "id_b")
@@ -63,16 +81,9 @@ object Dedup {
     * Shingle hashes are computed once and reused by every permutation
     * (all inside whole-stage codegen — no UDFs).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val P = 2147483647L
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
-    val perms = sequence(lit(1), lit(numHashes))
-    transform(perms, i => {
-      val a = pmod(i * lit(0x9E3779B97F4A7C15L % P), lit(P)) + lit(1)
-      val b = pmod(i * lit(0xC2B2AE3D27D4EB4FL % P), lit(P))
-      array_min(transform(hashes, x => pmod(a * x + b, lit(P))))
-    })
-  }
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.VectorExpressions.minhashSignature(
+      transform(shingles, s => xxhash64(s)), numHashes)
 
   /** MinHash + LSH near-duplicate pairs, verified exactly.
     *
@@ -92,25 +103,29 @@ object Dedup {
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val s = df.select(
+    // signatures are expensive (numHashes passes over the shingle
+    // hashes) and the self-join would otherwise compute them twice —
+    // persist the banded form once.
+    val banded = df.select(
       col(idCol).as("id"),
-      TextPrep.bigramShingles(TextPrep.tokens(col(textCol))).as("sh"))
+      hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one (bandIdx, bandKey) per band: bandKey = the r signature values
-    val banded = s.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
-        struct(bIdx.as("band"),
-          concat_ws("_", (0 until r).map(j => try_element_at(col("sig"), bIdx * r + j + 1)): _*)
-            .as("key")))).as("bk"))
+      .select(
+        col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
+          struct(bIdx.as("band"),
+            concat_ws("_", (0 until r).map(j => try_element_at(col("sig"), bIdx * r + j + 1)): _*)
+              .as("key")))).as("bk"))
+      .persist()
     val left = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
     val right = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
     val candidates = left.join(right, left("bk") === right("bk") && col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
       .dropDuplicates("id_a", "id_b")
     candidates
-      .withColumn("inter_cnt", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("union_cnt", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter_cnt", interCount(col("sh_a"), col("sh_b")))
+      .withColumn("union_cnt",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter_cnt"))
       .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
       .orderBy("id_a", "id_b")
@@ -143,9 +158,10 @@ object Dedup {
     val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", concat_ws("_", col("band"),
         call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL))))
+      .persist() // simhash64 is 64 aggregate passes — don't compute it twice
     val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
     val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
-    left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
+    left.join(broadcast(right), Seq("key")).where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)

@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ordered-fold dot product — same accumulation order as DuckDB's
-    * list_dot_product, so results compare bit-exactly. */
+  /** Dot product via a native codegen expression (tight primitive loop,
+    * no intermediate array per pair — graft.functions.DotProductExpr).
+    * Accumulates left-to-right, bit-identical to an ordered fold /
+    * DuckDB's list_dot_product. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
+
+  /** HOF reference formulation of [[dot]] (kept for cross-checking the
+    * native expression in tests). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =

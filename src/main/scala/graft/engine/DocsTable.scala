@@ -24,7 +24,36 @@ final case class DocsTable(
     df: DataFrame,
     mapping: SeqMapping,
     columnOverrides: Map[String, String] = Map.empty,
-    dedupReplicas: Boolean = false) {
+    dedupReplicas: Boolean = false,
+    /** Optional raw-storage time predicate: given [fromMs, toMs]
+      * (inclusive), produce a filter over *physical* columns that can
+      * reach the Parquet scan. When `mid` is derived (e.g. from a
+      * nanosecond `ts`), filtering on `mid` alone defeats row-group
+      * pruning; supplying the equivalent predicate on the source column
+      * restores it. The engine ANDs this with the `mid` filter, so it
+      * only needs to be an over-approximation (superset of matches).
+      */
+    timePredicate: Option[(Long, Long) => Column] = None) {
+
+  /** Pushdown-friendly time-range filter: the logical `mid` bound plus
+    * the physical over-approximation (Parquet min/max + partition
+    * pruning), plus a `date` partition-prune bound when the table is
+    * day-partitioned (SURVEY.md §1.3: fraction time pruning).
+    */
+  def timeFilter(fromMs: Long, toMs: Long): Column = {
+    val base = col("mid").between(lit(fromMs), lit(toMs))
+    val physical = timePredicate.map(f => f(fromMs, toMs))
+    val partition =
+      if (df.columns.contains("date")) {
+        // clamp to years 1970..9999 so extreme bounds (Long.MaxValue
+        // "all time") still render as valid dates
+        val maxMs = 253402214400000L // 9999-12-31
+        val fromDay = java.time.Instant.ofEpochMilli(fromMs.max(0L).min(maxMs)).toString.take(10)
+        val toDay = java.time.Instant.ofEpochMilli(toMs.max(0L).min(maxMs)).toString.take(10)
+        Some(col("date").between(lit(fromDay), lit(toDay)))
+      } else None
+    (Seq(base) ++ physical ++ partition).reduce(_ && _)
+  }
 
   def sparkColName(field: String): String =
     columnOverrides.getOrElse(field, field)

@@ -20,6 +20,18 @@ final case class SearchRequest(
     offset: Int = 0,
     asc: Boolean = false)
 
+/** ComplexSearch response: hits page + optional total / aggregations /
+  * histogram, all derived from one cached match set. Call
+  * `unpersist()` when done. */
+final case class ComplexSearchResult(
+    hits: DataFrame,
+    total: Option[Long],
+    aggs: Seq[DataFrame],
+    histogram: Option[DataFrame],
+    private val shared: DataFrame) {
+  def unpersist(): Unit = shared.unpersist()
+}
+
 sealed trait AggFunc
 object AggFunc {
   /** docs per group value (frac/processor/aggregator.go:160-233) */
@@ -66,7 +78,7 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def matches(query: String, fromMs: Long, toMs: Long): DataFrame = {
     val compiled = compiler.compile(query)
     val base = table.df
-      .where(mid.between(lit(fromMs), lit(toMs)) && compiled.filter)
+      .where(table.timeFilter(fromMs, toMs) && compiled.filter)
     if (table.dedupReplicas) base.dropDuplicates("mid", "rid") else base
   }
 
@@ -79,7 +91,7 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def search(req: SearchRequest): DataFrame = {
     val compiled = compiler.compile(req.query)
     val base = table.df
-      .where(mid.between(lit(req.fromMs), lit(req.toMs)) && compiled.filter)
+      .where(table.timeFilter(req.fromMs, req.toMs) && compiled.filter)
     val deduped = if (table.dedupReplicas) base.dropDuplicates("mid", "rid") else base
     val ordered =
       if (req.asc) deduped.orderBy(mid.asc, rid.asc)
@@ -121,8 +133,12 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     * MIN → (value asc, name asc); QUANTILE → (name asc, value desc);
     * others → (value desc, name asc); all after bucket_ms asc.
     */
-  def aggregate(query: String, fromMs: Long, toMs: Long, agg: AggRequest): DataFrame = {
-    val m = matches(query, fromMs, toMs)
+  def aggregate(query: String, fromMs: Long, toMs: Long, agg: AggRequest): DataFrame =
+    aggregateOver(matches(query, fromMs, toMs), agg)
+
+  /** Aggregation over an already-filtered match set (shared by
+    * [[aggregate]] and [[complexSearch]]). */
+  def aggregateOver(m: DataFrame, agg: AggRequest): DataFrame = {
     val hasBucket = agg.intervalMs > 0
     val bucketCol = (mid - mid % lit(agg.intervalMs)).as("bucket_ms")
 
@@ -206,6 +222,86 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
           .select(keyNames.map(col) ++ Seq(col("q"), col("__v").as("value")): _*)
           .orderBy((keyNames.map(c => col(c).asc) :+ col("q").asc): _*)
     }
+  }
+
+  /** Histogram with a promql-style interval string (`"1h"`, `"30s"`,
+    * proto seq_proxy_api.proto:185-188). */
+  def histogram(query: String, fromMs: Long, toMs: Long, interval: String): DataFrame =
+    histogram(query, fromMs, toMs, graft.model.Intervals.parseMs(interval))
+
+  /** A3 strict semantics: the reference fails the whole query when any
+    * token of the aggregated field doesn't parse as a number
+    * (frac/processor/aggregator.go:150-157). Spark's cast yields null
+    * instead, so this runs an explicit precheck action.
+    */
+  def requireNumericField(query: String, fromMs: Long, toMs: Long, field: String): Unit = {
+    table.fieldType(field) match {
+      case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) => ()
+      case _ =>
+        val bad = matches(query, fromMs, toMs)
+          .where(table.fieldCol(field).isNotNull &&
+            table.fieldCol(field).try_cast(DoubleType).isNull)
+          .limit(1).count()
+        if (bad > 0)
+          throw new SeqQlError(s"aggregation field '$field' has non-numeric values")
+    }
+  }
+
+  /** A7 cardinality cap: reject group-bys above `maxGroupTokens`
+    * distinct values (--agg-max-group-tokens, ErrTooManyUniqValues,
+    * frac/processor/eval_tree.go:78-85). Uses approx_count_distinct as
+    * a cheap one-pass guard (2% error margin is fine for a limit check).
+    */
+  def requireGroupCardinality(query: String, fromMs: Long, toMs: Long,
+      groupBy: String, maxGroupTokens: Long): Unit = {
+    val est = matches(query, fromMs, toMs)
+      .agg(approx_count_distinct(table.fieldCol(groupBy)).as("c"))
+      .collect()(0).getLong(0)
+    if (est > maxGroupTokens)
+      throw new SeqQlError(
+        s"too many unique values in group_by '$groupBy' (~$est > $maxGroupTokens)")
+  }
+
+  /** A8 legacy filtered aggregation (parser/query_parser.go:178-205):
+    * the aggregated "field" is itself a seq-ql filter; per group, count
+    * docs matching it — sum(when(cond, 1)) keeps zero-groups visible.
+    */
+  def aggregateFiltered(query: String, fromMs: Long, toMs: Long,
+      groupBy: String, filterQuery: String): DataFrame = {
+    val cond = compileFilter(filterQuery)
+    matches(query, fromMs, toMs)
+      .groupBy(coalesce(table.fieldCol(groupBy).cast(StringType), lit("_not_exists")).as("name"))
+      .agg(sum(when(cond, lit(1L)).otherwise(lit(0L))).as("value"))
+      .orderBy(col("value").desc, col("name").asc)
+  }
+
+  /** ComplexSearch (§3.1): one request returning hits + total + any
+    * number of aggregations + histogram, like the reference's single
+    * gRPC call evaluating everything in one doc-id scan. The shared
+    * match set is cached for the duration of the call group so each
+    * output is computed without re-scanning; call `unpersist()` on the
+    * returned handle when done.
+    */
+  def complexSearch(
+      req: SearchRequest,
+      aggs: Seq[AggRequest] = Nil,
+      histIntervalMs: Long = 0,
+      withTotal: Boolean = false): ComplexSearchResult = {
+    val m = matches(req.query, req.fromMs, req.toMs)
+    val shouldCache = aggs.nonEmpty || histIntervalMs > 0 || withTotal
+    val shared = if (shouldCache) m.cache() else m
+    val ordered =
+      if (req.asc) shared.orderBy(mid.asc, rid.asc) else shared.orderBy(mid.desc, rid.desc)
+    val compiled = compiler.compile(req.query)
+    val hits = applyPipes(ordered.offset(req.offset).limit(req.size), compiled.pipes)
+    val total = if (withTotal) Some(shared.count()) else None
+    val aggResults = aggs.map(a => aggregateOver(shared, a))
+    val hist =
+      if (histIntervalMs > 0)
+        Some(shared.groupBy((mid - mid % lit(histIntervalMs)).as("bucket_ms"))
+          .agg(count(lit(1)).as("cnt")).orderBy(col("bucket_ms").asc))
+      else None
+    ComplexSearchResult(hits, total, aggResults, hist, shared)
   }
 
   /** Point lookup by (MID, RID) ids, preserving request order (S5,

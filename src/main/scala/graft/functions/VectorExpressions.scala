@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the hot vector/set paths. The
+  * higher-order-function formulations (`aggregate(zip_with(...))`)
+  * allocate an intermediate array per row pair — at millions of pairs
+  * that's the dominant cost. These generate a tight primitive loop
+  * inside whole-stage codegen instead (builder-prompt preference (b):
+  * custom Expression over UDF).
+  */
+
+/** dot(a, b) over array<double>, accumulating left-to-right — the same
+  * order as an ordered fold / DuckDB's list_dot_product, so results are
+  * bit-identical to the HOF formulation it replaces.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of common elements between two arrays of distinct sorted
+  * longs — a two-pointer merge instead of array_intersect's per-row
+  * hash-set build. Inputs MUST be sorted ascending and duplicate-free
+  * (use array_sort(array_distinct(...)) upstream, or hashes of a
+  * distinct set sorted once per row).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0L
+    val n = x.numElements()
+    val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature in one pass: given an array of shingle hashes,
+  * produce `numHashes` minima of h_i(x) = (a_i * (x mod P) + b_i) mod P,
+  * P = 2^31 − 1. Coefficients derive deterministically from i. Replaces
+  * a nested higher-order-function formulation that allocated an
+  * intermediate array per permutation per row.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val P = 2147483647L
+  private val C1 = 0x9E3779B97F4A7C15L % P
+  private val C2 = 0xC2B2AE3D27D4EB4FL % P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = Array.fill(numHashes)(P)
+    var k = 0
+    while (k < n) {
+      val x = xs.getLong(k)
+      val xm = ((x % P) + P) % P
+      var i = 0
+      while (i < numHashes) {
+        val a = ((i + 1) * C1) % P + 1
+        val b = ((i + 1) * C2) % P
+        val v = (a * xm + b) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val xm = ctx.freshName("xm")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, ${P}L);
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $xm = (($x.getLong($k) % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $a = (($i + 1) * ${C1}L) % ${P}L + 1L;
+         |    long $b = (($i + 1) * ${C2}L) % ${P}L;
+         |    long $v = ($a * $xm + $b) % ${P}L;
+         |    if ($v < $out[$i]) $out[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashes), numHashes))
+}

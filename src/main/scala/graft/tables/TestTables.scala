@@ -53,7 +53,12 @@ object TestTables {
       "props.k"    -> IndexType.Keyword,
       "mid"        -> IndexType.Keyword,
     ).copy(caseSensitive = true)
-    DocsTable(df, mapping, columnOverrides = Map("props.k" -> "props_k"))
+    DocsTable(df, mapping, columnOverrides = Map("props.k" -> "props_k"),
+      // mid is derived (ts div 1e6) — give the scan a pushable bound on
+      // the physical ns column so Parquet row-group stats prune time.
+      timePredicate = Some((fromMs, toMs) =>
+        col("ts") >= lit(fromMs * 1000000L) &&
+        col("ts") <= lit(toMs * 1000000L + 999999L)))
   }
 
   /** documents → docs: no natural event time, so mid = doc_id (stable,
