@@ -203,6 +203,19 @@ object SparkEntry {
         .orderBy(col("revenue_e4").desc, col("n_name").asc)
     }),
 
+    // ---- A8 filtered aggregation (agg field is itself a filter) ----
+    "seq_agg_filtered" -> ((s, dir) =>
+      ev(s, dir).aggregateFiltered("*", T0, T31, "event_type", "value:[400, *]")),
+
+    // ---- H1 with promql-style interval string ----
+    "seq_histogram_6h" -> ((s, dir) =>
+      ev(s, dir).histogram("event_type:view", T0, T31, "6h")),
+
+    // ---- S6 export: full ordered result stream (no top-k) ----
+    "seq_export" -> ((s, dir) =>
+      ev(s, dir).export("user_id:[140, *]", T0, T31, asc = true)
+        .select("mid", "rid", "user_id")),
+
     // ==== training-data pipeline operators (dataprep package) ====
 
     // ---- exact dedup: hash-groupBy ----
@@ -440,6 +453,22 @@ object SparkEntry {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue_e4 DESC, n_name ASC""",
+
+    "seq_agg_filtered" ->
+      s"""SELECT coalesce(event_type, '_not_exists') AS name,
+                 CAST(count(*) FILTER (WHERE value >= 400) AS BIGINT) AS value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1 ORDER BY value DESC, name ASC""",
+
+    "seq_histogram_6h" ->
+      s"""SELECT $M - $M % 21600000 AS bucket_ms, count(*) AS cnt FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'view'
+          GROUP BY 1 ORDER BY 1""",
+
+    "seq_export" ->
+      s"""SELECT $M AS mid, event_id AS rid, user_id FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND user_id >= 140
+          ORDER BY mid ASC, rid ASC""",
 
     "dp_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt

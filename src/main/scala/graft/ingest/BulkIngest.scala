@@ -46,7 +46,22 @@ object BulkIngest {
     * names become struct trees; `nested` fields become arrays of
     * structs; `tags` become arrays of {key,value} pairs (SURVEY.md §1.2).
     */
+  /** Multi-type dotted names (`message.keyword` alongside `message`
+    * text, docs/en/03-index-types.md:130-160) are extra indexes over
+    * the SAME json field, not struct children: map alias → base field.
+    */
+  def aliasFields(mapping: SeqMapping): Map[String, String] =
+    mapping.fields.keys.filter(_.contains(".")).flatMap { name =>
+      val prefixes = name.split("\\.").inits.drop(1).map(_.mkString(".")).filter(_.nonEmpty)
+      prefixes.find { p =>
+        mapping.fields.get(p).exists(s =>
+          s.mainType != IndexType.Object && s.mainType != IndexType.Nested &&
+          s.mainType != IndexType.Tags)
+      }.map(name -> _)
+    }.toMap
+
   def schemaFor(mapping: SeqMapping): StructType = {
+    val aliases = aliasFields(mapping).keySet
     // build a tree from dotted names
     sealed trait Node
     final case class Leaf(t: IndexType) extends Node
@@ -54,7 +69,7 @@ object BulkIngest {
         var selfType: Option[IndexType]) extends Node
 
     val root = Branch(scala.collection.mutable.LinkedHashMap.empty, None)
-    for ((name, spec) <- mapping.fields.toSeq.sortBy(_._1)) {
+    for ((name, spec) <- mapping.fields.toSeq.sortBy(_._1) if !aliases.contains(name)) {
       val parts = name.split("\\.")
       var cur = root
       for ((p, i) <- parts.zipWithIndex) {
@@ -152,9 +167,11 @@ object BulkIngest {
       .select(Seq(col("mid"), col("rid"), col("_raw")) ++ topLevel ++ tokenCols: _*)
   }
 
-  /** Full batch ingest returning a queryable DocsTable. */
+  /** Full batch ingest returning a queryable DocsTable (multi-type
+    * alias fields resolve to their base column). */
   def ingest(lines: DataFrame, mapping: SeqMapping, requestTimeMs: Long): DocsTable =
-    DocsTable(project(lines, mapping, requestTimeMs), mapping)
+    DocsTable(project(lines, mapping, requestTimeMs), mapping,
+      columnOverrides = aliasFields(mapping))
 
   /** Write the docs table in the at-scale layout: day-partitioned by
     * event time (fraction pruning ≈ partition pruning, SURVEY.md §1.3),

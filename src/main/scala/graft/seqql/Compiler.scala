@@ -31,13 +31,95 @@ final class SeqQlCompiler(table: DocsTable) {
 
   def compileAst(ast: SeqAst): Column = ast match {
     case MatchAll            => lit(true)
-    case And(l, r)           => compileAst(l) && compileAst(r)
+    case a: And              => compileConjunction(flattenAnd(a))
     case Or(l, r)            => compileAst(l) || compileAst(r)
     case Not(c)              => !compileAst(c)
     case ExistsFilter(field) => existsFilter(field)
-    case FullText(field, v)  => fullText(field, v)
-    case InFilter(field, vs) => vs.map(fullText(field, _)).reduce(_ || _)
-    case r: RangeFilter      => range(r)
+    case FullText(field, v)  => compileLeaf(FullText(field, v))
+    case InFilter(field, vs) => compileLeaf(InFilter(field, vs))
+    case r: RangeFilter      => compileLeaf(r)
+  }
+
+  private def flattenAnd(ast: SeqAst): Seq[SeqAst] = ast match {
+    case And(l, r) => flattenAnd(l) ++ flattenAnd(r)
+    case other     => Seq(other)
+  }
+
+  /** Nested-field pseudo-doc semantics: in the reference, each element
+    * of a `nested` array is indexed as a separate pseudo-document
+    * sharing the parent ID (proxy/bulk/indexer.go:97-105), so an AND of
+    * filters on the same nested parent must match within ONE element
+    * (tests/integration_tests/single_test.go:165-225). Here: conjuncts
+    * targeting the same nested parent merge into a single `exists`
+    * whose lambda ANDs the per-element predicates.
+    */
+  private def compileConjunction(conjuncts: Seq[SeqAst]): Column = {
+    def nestedParentOf(ast: SeqAst): Option[String] = {
+      val field = ast match {
+        case FullText(f, _)     => Some(f)
+        case InFilter(f, _)     => Some(f)
+        case RangeFilter(f, _, _, _, _) => Some(f)
+        case ExistsFilter(f)    => Some(f)
+        case _                  => None
+      }
+      field.flatMap { f =>
+        f.split("\\.").inits.drop(1)
+          .map(_.mkString("."))
+          .find(p => p.nonEmpty && table.mapping.isIndexed(p) &&
+            table.mapping.typeOf(p) == IndexType.Nested)
+      }
+    }
+    val (nested, plain) = conjuncts.partition(c => nestedParentOf(c).isDefined)
+    def compilePlain(ast: SeqAst): Column = ast match {
+      case FullText(f, v)  => fullText(f, v)
+      case InFilter(f, vs) => vs.map(fullText(f, _)).reduce(_ || _)
+      case r: RangeFilter  => range(r)
+      case ExistsFilter(f) => existsFilter(f)
+      case other           => compileAst(other) // Or/Not/MatchAll sub-trees
+    }
+    val plainCol = plain.map(compilePlain).reduceOption(_ && _)
+    val nestedCols = nested.groupBy(c => nestedParentOf(c).get).toSeq.sortBy(_._1)
+      .map { case (parent, filters) =>
+        exists(table.fieldCol(parent), e =>
+          filters.map(f => compileElementFilter(parent, f, e)).reduce(_ && _))
+      }
+    (plainCol.toSeq ++ nestedCols).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Leaf outside an AND: a nested-field filter still needs element
+    * scoping (a group of one). */
+  private def compileLeaf(ast: SeqAst): Column = compileConjunction(Seq(ast))
+
+  /** Compile one filter against a nested element lambda variable. */
+  private def compileElementFilter(parent: String, ast: SeqAst, e: Column): Column = {
+    def childCol(field: String): Column = {
+      table.requireIndexed(field)
+      field.stripPrefix(parent + ".").split("\\.").foldLeft(e)(_.getField(_))
+    }
+    ast match {
+      case ExistsFilter(f) => childCol(f).isNotNull
+      case FullText(f, v) =>
+        val value = fold(v)
+        if (value.hasWildcard) foldCol(childCol(f).cast(StringType)).like(value.toLike)
+        else foldCol(childCol(f).cast(StringType)) === lit(value.exact)
+      case InFilter(f, vs) =>
+        vs.map(v => compileElementFilter(parent, FullText(f, v), e)).reduce(_ || _)
+      case RangeFilter(f, lo, loInc, hi, hiInc) =>
+        val loD = lo.map(parseDouble)
+        val hiD = hi.map(parseDouble)
+        val numeric = loD.forall(_.isDefined) && hiD.forall(_.isDefined)
+        val c =
+          if (numeric) childCol(f).try_cast(DoubleType)
+          else foldCol(childCol(f).cast(StringType))
+        val mk = (s: String) =>
+          if (numeric) lit(parseDouble(s).get)
+          else lit(if (caseSensitive) s else s.toLowerCase)
+        val conds =
+          lo.map(v => if (loInc) c >= mk(v) else c > mk(v)).toSeq ++
+          hi.map(v => if (hiInc) c <= mk(v) else c < mk(v))
+        conds.reduceOption(_ && _).map(_ && c.isNotNull).getOrElse(c.isNotNull)
+      case other => compileAst(other) // non-field nodes can't appear here
+    }
   }
 
   /** `_exists_:field` — emitted per indexed field at ingest in the

@@ -1,0 +1,64 @@
+package graft.seqql
+
+import graft.SparkSpec
+import graft.engine.SeqEngine
+import graft.ingest.BulkIngest
+import graft.model.{FieldSpec, IndexType, SeqMapping}
+
+/** Nested pseudo-doc semantics (proxy/bulk/indexer.go:97-105,
+  * tests/integration_tests/single_test.go:165-225): an AND of filters
+  * on the same nested parent must match within ONE array element.
+  * Multi-type duality: `message` (text) + `message.keyword` (keyword)
+  * are two indexes over one field (docs/en/03-index-types.md:130-160).
+  */
+class NestedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapping = SeqMapping(Map(
+    "svc"        -> FieldSpec("svc", Seq(IndexType.Keyword)),
+    "spans"      -> FieldSpec("spans", Seq(IndexType.Nested)),
+    "spans.op"   -> FieldSpec("spans.op", Seq(IndexType.Keyword)),
+    "spans.ms"   -> FieldSpec("spans.ms", Seq(IndexType.Keyword)),
+    "message"         -> FieldSpec("message", Seq(IndexType.Text)),
+    "message.keyword" -> FieldSpec("message.keyword", Seq(IndexType.Keyword)),
+  ), caseSensitive = false)
+
+  private lazy val docs = BulkIngest.ingest(Seq(
+    """{"svc":"api","spans":[{"op":"read","ms":"5"},{"op":"write","ms":"90"}],"message":"Slow Write Path"}""",
+    """{"svc":"api","spans":[{"op":"read","ms":"80"},{"op":"write","ms":"3"}],"message":"fast path"}""",
+    """{"svc":"db","spans":[{"op":"compact","ms":"500"}],"message":"Slow Write Path"}""",
+  ).toDF("value"), mapping, 1710072000000L)
+
+  private lazy val eng = new SeqEngine(docs)
+  private def count(q: String): Long = eng.matches(q, 0, Long.MaxValue).count()
+
+  test("single nested filter matches any element") {
+    assert(count("spans.op:write") == 2)
+    assert(count("spans.op:compact") == 1)
+  }
+
+  test("AND on same nested parent requires one element to satisfy both") {
+    // doc1 has (write,90); doc2 has write with ms=3 and read with ms=80 —
+    // element-scoped AND must match only doc1
+    assert(count("spans.op:write and spans.ms:[50, *]") == 1)
+    // flat-column semantics would also match doc2 (write + an 80 elsewhere)
+    assert(count("spans.op:read and spans.ms:[50, *]") == 1)
+  }
+
+  test("nested AND combines with plain filters") {
+    assert(count("svc:api and spans.op:write and spans.ms:[50, *]") == 1)
+    assert(count("svc:db and spans.op:write and spans.ms:[50, *]") == 0)
+  }
+
+  test("nested filters under OR stay element-scoped per branch") {
+    assert(count("spans.op:compact or (spans.op:write and spans.ms:[50, *])") == 2)
+  }
+
+  test("multi-type field: text tokens vs whole-value keyword") {
+    assert(count("message:slow") == 2)            // token match, folded
+    assert(count("message:'write slow'") == 2)     // bag-of-words AND
+    assert(count("message.keyword:'slow write path'") == 2) // whole value, folded
+    assert(count("message.keyword:slow") == 0)     // keyword = whole token only
+    assert(count("message.keyword:'slow write*'") == 2) // keyword wildcard
+  }
+}
