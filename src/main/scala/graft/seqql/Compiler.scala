@@ -126,6 +126,13 @@ final class SeqQlCompiler(table: DocsTable) {
     * reference (proxy/bulk/indexer.go:128-131); columnar equivalent is
     * NULL-ness. */
   private def existsFilter(field: String): Column = {
+    if (field == "_all_") return lit(true)
+    tagsParentOf(field) match {
+      case Some(parent) =>
+        val key = field.stripPrefix(parent + ".")
+        return exists(table.fieldCol(parent), e => e.getField("key") === lit(key))
+      case None => ()
+    }
     table.requireIndexed(field)
     if (!table.hasColumn(field)) lit(false)
     else table.mapping.typeOf(field) match {
@@ -146,6 +153,14 @@ final class SeqQlCompiler(table: DocsTable) {
 
   /** field:value term — semantics by index type (SURVEY.md §2.2). */
   private def fullText(field: String, rawValue: Pattern): Column = {
+    // builtin `_all_` token is present on every doc (seq/tokenizer.go:10)
+    if (field == "_all_") return lit(true)
+    // `tags` children: parent is an array of {key,value} pairs; the
+    // dotted child name selects pairs by key (proxy/bulk/indexer.go:136-143)
+    tagsParentOf(field) match {
+      case Some(parent) => return tagsMatch(parent, field, fold(rawValue))
+      case None         => ()
+    }
     table.requireIndexed(field)
     if (!table.hasColumn(field)) return lit(false)
     val value = fold(rawValue)
@@ -157,6 +172,23 @@ final class SeqQlCompiler(table: DocsTable) {
       case IndexType.Exists => existsFilter(field)
       case _                => keywordMatch(field, value, colDt)
     }
+  }
+
+  private def tagsParentOf(field: String): Option[String] =
+    field.split("\\.").inits.drop(1).map(_.mkString("."))
+      .find(p => p.nonEmpty && table.mapping.isIndexed(p) &&
+        table.mapping.typeOf(p) == IndexType.Tags)
+
+  /** `parent.key:value` over a tags array: some pair has that key and a
+    * matching value. */
+  private def tagsMatch(parent: String, field: String, value: Pattern): Column = {
+    val key = field.stripPrefix(parent + ".")
+    val arr = table.fieldCol(parent)
+    exists(arr, e => {
+      val v = foldCol(e.getField("value").cast(StringType))
+      e.getField("key") === lit(key) &&
+        (if (value.hasWildcard) v.like(value.toLike) else v === lit(value.exact))
+    })
   }
 
   /** keyword: whole value is one token; `*` wildcards glob over it
