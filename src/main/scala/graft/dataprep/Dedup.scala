@@ -33,7 +33,24 @@ object Dedup {
     *
     * Threshold: jaccard >= thresholdNum/thresholdDen.
     * Output: id_a < id_b, inter_cnt, union_cnt.
+    *
+    * Cost note: verification moves both docs' hash sets through the
+    * candidate join, so wall-clock is proportional to candidate count ×
+    * set size. The synthetic testdata's tiny vocabulary makes length
+    * buckets unusually dense (~1.2M candidates for 5k docs at sf0.1);
+    * real corpora block far sparser. For very dense data prefer
+    * [[minhashLshPairs]], whose banding collapses candidates by
+    * similarity rather than length.
     */
+  /** Small inputs arrive as one parquet split; candidate verification
+    * would then run on a single task. Spread to the session's shuffle
+    * parallelism before the pair-generation join.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n)
+  }
+
   /** Sorted xxhash64 mirror of a distinct-shingle set: set operations
     * on longs via two-pointer merges instead of per-pair string-array
     * hash sets. Counts equal the string-set counts barring a 64-bit
@@ -56,7 +73,8 @@ object Dedup {
       bucket.as("bkt"),
       hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
       .persist()
-    val probes = s.withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    val probes = spread(s)
+      .withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
     val right = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"), col("bkt"))
     probes
@@ -106,9 +124,10 @@ object Dedup {
     // signatures are expensive (numHashes passes over the shingle
     // hashes) and the self-join would otherwise compute them twice —
     // persist the banded form once.
-    val banded = df.select(
-      col(idCol).as("id"),
-      hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
+    val banded = spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"), col("sh"),
@@ -132,19 +151,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1
-    * across token hashes and keep the sign. Pure column expressions
-    * (two nested higher-order functions), no UDF.
+    * across token hashes and keep the sign — one native codegen pass
+    * (graft.functions.SimHash64Expr).
     */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-      ) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(toks: Column): Column =
+    graft.functions.VectorExpressions.simhash64(
+      transform(array_distinct(toks), t => xxhash64(t)))
 
   /** SimHash near-duplicate pairs with banded candidate generation:
     * split the 64-bit hash into 4 16-bit bands; any pair within
@@ -153,7 +165,8 @@ object Dedup {
     * hamming via bit_count(xor). Output: id_a < id_b, hamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val s = df.select(col(idCol).as("id"),
+    val s = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
         simhash64(TextPrep.tokens(col(textCol))).as("sim"))
     val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", concat_ws("_", col("band"),

@@ -143,8 +143,8 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val P = 2147483647L
-  private val C1 = 0x9E3779B97F4A7C15L % P
-  private val C2 = 0xC2B2AE3D27D4EB4FL % P
+  private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
+  private val C2 = ((0xC2B2AE3D27D4EB4FL % P) + P) % P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -200,6 +200,67 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash from an array of element hashes in one pass: per bit
+  * position sum +1/−1 over elements, keep the sign bit. Replaces a
+  * 64-aggregate-traversal HOF formulation.
+  */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val counters = new Array[Int](64)
+    var k = 0
+    while (k < n) {
+      val h = xs.getLong(k)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+        i += 1
+      }
+      k += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val counters = ctx.freshName("counters")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $counters = new int[64];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $x.getLong($k);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $counters[$i]++; else $counters[$i]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counters[$i] > 0) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -209,4 +270,7 @@ object VectorExpressions {
 
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashes), numHashes))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
 }

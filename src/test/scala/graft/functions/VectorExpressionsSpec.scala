@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dataprep.Similarity
+import graft.engine.{AggRequest, AggFunc, SearchRequest, SeqEngine}
+import graft.tables.TestTables
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product is bit-identical to the ordered fold") {
+    val emb = TestTables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.where(col("vec_id") === 0).select(col("v").as("q"))
+    val both = emb.crossJoin(q)
+      .select(
+        Similarity.dot(col("q"), col("v")).as("native"),
+        Similarity.dotFold(col("q"), col("v")).as("fold"))
+      .where(col("native") =!= col("fold"))
+    assert(both.count() == 0)
+  }
+
+  test("sorted intersect count equals array_intersect size") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L)),
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash signature: deterministic, bounded, sensitive to content") {
+    val df = Seq(Seq(10L, 20L, 30L), Seq(10L, 20L, 30L), Seq(99L)).toDF("h")
+    val sigs = df.select(VectorExpressions.minhashSignature(col("h"), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))            // deterministic
+    assert(sigs(0) != sigs(2))            // content-sensitive
+    assert(sigs(0).length == 16)
+    assert(sigs(0).forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("simhash: identical inputs agree, near inputs have low hamming") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely unrelated words appear here instead",
+    ).toDF("text")
+    val hs = df.select(graft.dataprep.Dedup.simhash64(
+        graft.dataprep.TextPrep.tokens(col("text"))).as("s"))
+      .collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
+  }
+
+  test("complexSearch: hits, total, aggs, histogram from one match set") {
+    val eng = new SeqEngine(TestTables.eventsDocs(spark, sfDir))
+    val res = eng.complexSearch(
+      SearchRequest("event_type:error", 1704067200000L, 1706745599999L, size = 10),
+      aggs = Seq(AggRequest(AggFunc.Count, groupBy = Some("event_type"))),
+      histIntervalMs = 86400000L,
+      withTotal = true)
+    try {
+      assert(res.hits.count() == 10)
+      assert(res.total.exists(_ > 10))
+      val aggRows = res.aggs.head.collect()
+      assert(aggRows.length == 1 && aggRows(0).getString(0) == "error")
+      assert(aggRows(0).getLong(1) == res.total.get)
+      assert(res.histogram.get.agg(sum("cnt")).collect()(0).getLong(0) == res.total.get)
+    } finally res.unpersist()
+  }
+}
