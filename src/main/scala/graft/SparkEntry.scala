@@ -251,6 +251,23 @@ object SparkEntry {
       dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- ANN: IVF cell-probing variant (rows-only) ----
+    "dp_ann_ivf" -> ((s, dir) =>
+      dataprep.Similarity.ivfTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- A4 + A5: per-day quantiles (time-series) ----
+    "seq_agg_quantile_ts" -> ((s, dir) =>
+      ev(s, dir).aggregate("event_type:purchase", T0, T31,
+        AggRequest(AggFunc.Quantile(Seq(0.5)), field = "value",
+          groupBy = Some("event_type"), intervalMs = 604800000L))),
+
+    // ---- A2 + A5: per-week distinct group values ----
+    "seq_agg_unique_ts" -> ((s, dir) =>
+      ev(s, dir).aggregate("value:[200, *]", T0, T31,
+        AggRequest(AggFunc.Unique, groupBy = Some("event_type"),
+          intervalMs = 604800000L))),
+
     // ---- language ID ----
     "dp_lang_id" -> ((s, dir) =>
       dataprep.TextAnalysis.langId(TestTables.documents(s, dir), "doc_id", "text")),
@@ -453,6 +470,28 @@ object SparkEntry {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue_e4 DESC, n_name ASC""",
+
+    "seq_agg_quantile_ts" ->
+      s"""WITH m AS (
+            SELECT $M - $M % 604800000 AS bucket_ms,
+                   coalesce(event_type, '_not_exists') AS name, value FROM events
+            WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'purchase' AND value IS NOT NULL
+          ), r AS (
+            SELECT bucket_ms, name, value,
+                   row_number() OVER (PARTITION BY bucket_ms, name ORDER BY value) - 1 AS rn,
+                   count(*) OVER (PARTITION BY bucket_ms, name) AS n
+            FROM m
+          )
+          SELECT bucket_ms, name, q, value FROM r
+          JOIN (VALUES (CAST(0.5 AS DOUBLE))) AS qs(q)
+            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
+          ORDER BY bucket_ms ASC, name ASC, q ASC""",
+
+    "seq_agg_unique_ts" ->
+      s"""SELECT DISTINCT $M - $M % 604800000 AS bucket_ms, event_type AS name
+          FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND value >= 200 AND event_type IS NOT NULL
+          ORDER BY bucket_ms ASC, name ASC""",
 
     "seq_agg_filtered" ->
       s"""SELECT coalesce(event_type, '_not_exists') AS name,

@@ -70,6 +70,47 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells`
+    * Voronoi cells around deterministic centroids (the lowest-id
+    * vectors — a real system would run k-means; the assignment/probe
+    * machinery is identical), then answer queries by exact-scoring
+    * only the `nProbe` nearest cells. The cell id becomes the shuffle/
+    * storage key at scale: each query touches nProbe/nCells of the
+    * corpus instead of all of it.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centroids = df.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell"), v.as("cv"))
+    // assign: argmin over broadcast centroids (one shuffle on corpus id)
+    val scoredCells = df.select(col(idCol).as("neighbor_id"), v.as("v"))
+      .join(broadcast(centroids))
+      .withColumn("dist", -dot(col("v"), col("cv"))) // unit vectors: max dot = min dist
+    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("dist").asc, col("cell").asc)
+    val assigned = scoredCells.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("neighbor_id"), col("v"), col("cell"))
+    // queries probe their nProbe nearest cells
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), v.as("q"))
+      .join(broadcast(centroids))
+      .withColumn("dist", -dot(col("q"), col("cv")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)
+    val probes = queries.withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q"), col("cell"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Approximate top-k: LSH-bucket the corpus, probe only buckets
     * within `probeHamming` bits of the query's bucket (explode of
     * nearby buckets — multi-probe LSH), exact-rank the candidates.

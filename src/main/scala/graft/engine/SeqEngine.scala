@@ -320,6 +320,11 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       .drop("__fetch_ord")
   }
 
+  /** Fetch by wire-format id strings (`hex(LE mid)-hex(LE rid)`,
+    * seq/seq.go:37-53). */
+  def fetchByIds(ids: Seq[String]): DataFrame =
+    fetch(ids.map(graft.model.SeqId.parse).map(id => (id.mid, id.rid)))
+
   /** Fields projection pipe (P1): pure output projection; requested
     * fields need not be indexed (storeapi/grpc_fetch.go:168-249). */
   private def applyPipes(df: DataFrame, pipes: Seq[Pipe]): DataFrame =

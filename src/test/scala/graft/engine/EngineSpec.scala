@@ -105,6 +105,22 @@ class EngineSpec extends SparkSpec {
     assert(e2.matches("ghost:x", T0, T31).count() == 0)
   }
 
+  test("entry() works on a driver-like session without pre-set configs") {
+    // the driver smoke-checks entry(spark) with its own session; the
+    // nanos flag must be applied at runtime by the adapter
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try assert(graft.SparkEntry.entry(spark).count() > 0)
+    finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  test("fetch by wire-format hex id strings") {
+    val t = TestTables.eventsDocs(spark, sfDir)
+    val ids = t.df.where(col("rid").isin(1L, 2L)).select("mid", "rid")
+      .collect().map(r => graft.model.SeqId(r.getLong(0), r.getLong(1)).toString).toSeq
+    val got = eng.fetchByIds(ids).select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("async search: start, await, fetch, restart-survivability") {
     val dir = java.nio.file.Files.createTempDirectory("async").toString
     val mgr = new AsyncSearchManager(spark, dir)
