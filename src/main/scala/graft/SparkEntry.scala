@@ -203,6 +203,27 @@ object SparkEntry {
         .orderBy(col("revenue_e4").desc, col("n_name").asc)
     }),
 
+    // ---- F3 middle/contains wildcard ----
+    "seq_search_wildcard_mid" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:*ur*", T02, T15, size = 200))
+        .select("mid", "rid", "event_type")),
+
+    // ---- F4 open upper bound, exclusive ----
+    "seq_search_range_open" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("value:(*, 5)", T02, T15, size = 200))
+        .select("mid", "rid", "value")),
+
+    // ---- F8/F9 negated disjunction (De Morgan handled by Catalyst) ----
+    "seq_search_not_or" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest(
+        "not (event_type:click or event_type:view or event_type:purchase)", T02, T15, size = 200))
+        .select("mid", "rid", "event_type")),
+
+    // ---- path prefix at depth 2 (exact leaf level) ----
+    "seq_path_deep" -> ((s, dir) =>
+      docs(s, dir).search(SearchRequest("src_path:/src2/en", 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id", "src_path")),
+
     // ---- A8 filtered aggregation (agg field is itself a filter) ----
     "seq_agg_filtered" -> ((s, dir) =>
       ev(s, dir).aggregateFiltered("*", T0, T31, "event_type", "value:[400, *]")),
@@ -470,6 +491,30 @@ object SparkEntry {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue_e4 DESC, n_name ASC""",
+
+    "seq_search_wildcard_mid" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type LIKE '%ur%'
+          ORDER BY mid DESC, rid DESC LIMIT 200""",
+
+    "seq_search_range_open" ->
+      s"""SELECT $M AS mid, event_id AS rid, value FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND value < 5
+          ORDER BY mid DESC, rid DESC LIMIT 200""",
+
+    "seq_search_not_or" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15
+            AND NOT (event_type = 'click' OR event_type = 'view' OR event_type = 'purchase')
+          ORDER BY mid DESC, rid DESC LIMIT 200""",
+
+    "seq_path_deep" ->
+      s"""SELECT doc_id AS mid, doc_id AS rid, doc_id,
+                 '/' || source || '/' || lang AS src_path
+          FROM documents
+          WHERE '/' || source || '/' || lang = '/src2/en'
+             OR ('/' || source || '/' || lang) LIKE '/src2/en/%'
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
 
     "seq_agg_quantile_ts" ->
       s"""WITH m AS (

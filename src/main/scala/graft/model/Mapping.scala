@@ -71,6 +71,10 @@ object SeqMapping {
 
   val indexAll: SeqMapping = SeqMapping(Map.empty, indexAll = true)
 
+  def loadYaml(path: String): SeqMapping =
+    parseYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
   /** Parse the reference's mapping YAML shape (benchmarks/configs/seqdb/
     * mapping.yaml): a `mapping-list:` of `{name, type}` items, multi-type
     * fields via a nested `types:` list (entry `title` gives the dotted

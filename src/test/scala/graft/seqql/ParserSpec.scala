@@ -97,6 +97,46 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[SeqQlError](p("a:1 )"))
   }
 
+  test("unicode and byte escapes") {
+    val FullText(_, v) = p("""k:'зн\x41'""").ast: @unchecked
+    assert(v.exact == "знA")
+  }
+
+  test("adjacent and duplicate stars collapse") {
+    val FullText(_, v) = p("k:**a**b**").ast: @unchecked
+    assert(v.parts == Vector(Pattern.Star, Pattern.Lit("a"), Pattern.Star,
+      Pattern.Lit("b"), Pattern.Star))
+  }
+
+  test("numeric-looking fields and values are plain terms") {
+    assert(p("404:500").ast == FullText("404", Pattern.exact("500")))
+  }
+
+  test("values may contain colons and dashes (trace ids, URLs)") {
+    val FullText(f, v) = p("trace:123e4567-e89b-12d3").ast: @unchecked
+    assert(f == "trace" && v.exact == "123e4567-e89b-12d3")
+    val FullText(_, v2) = p("url:'http://x/y?z=1'").ast: @unchecked
+    assert(v2.exact == "http://x/y?z=1")
+  }
+
+  test("deeply mixed precedence round trip") {
+    val q = p("a:1 and not b:2 or c:in(x, y) and d:[1, 2)").ast
+    assert(q == Or(
+      And(FullText("a", Pattern.exact("1")), Not(FullText("b", Pattern.exact("2")))),
+      And(InFilter("c", Seq(Pattern.exact("x"), Pattern.exact("y"))),
+        RangeFilter("d", Some("1"), true, Some("2"), false))))
+  }
+
+  test("pipe after complex expression, whitespace-insensitive") {
+    val q = p("  a:1   or(b:2 and c:3)|fields  x ,y  ")
+    assert(q.pipes == Seq(FieldsPipe(Seq("x", "y"), except = false)))
+  }
+
+  test("range with 'to' separator and negative numbers") {
+    assert(p("delta:[-5 to -1]").ast ==
+      RangeFilter("delta", Some("-5"), true, Some("-1"), true))
+  }
+
   test("in() requires parenthesized non-empty list") {
     assertThrows[SeqQlError](p("a:in()"))
     // `in` not followed by ( is a plain term
