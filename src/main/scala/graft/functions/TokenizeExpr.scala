@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Precompiled tokenizer kernel: maximal runs of Unicode
+  * letters/digits/`_`/`*` (the text tokenizer's char class —
+  * equivalent to the `[^a-z0-9_*\p{L}\p{N}]+` split regex, but a
+  * codepoint loop instead of a Java regex with Unicode property
+  * classes, which costs ~1 µs/char and dominated cold tokenization).
+  */
+object TokenKernels {
+  def isTokenChar(cp: Int): Boolean =
+    Character.isLetter(cp) || Character.isDigit(cp) || cp == '_' || cp == '*'
+
+  def tokenize(input: UTF8String, lowerCase: Boolean): ArrayData = {
+    val s0 = input.toString
+    val s = if (lowerCase) s0.toLowerCase else s0
+    val out = new java.util.ArrayList[AnyRef](16)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isTokenChar(cp)) {
+        val start = i
+        var j = i
+        while (j < n && isTokenChar(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
+        out.add(UTF8String.fromString(s.substring(start, j)))
+        i = j
+      } else {
+        i += Character.charCount(cp)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Column expression wrapping [[TokenKernels.tokenize]]; generated code
+  * is a single static call, so whole-stage codegen stays small.
+  */
+case class TokenizeExpr(child: Expression, lowerCase: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenKernels.tokenize(input.asInstanceOf[UTF8String], lowerCase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TokenKernels.tokenize($x, $lowerCase);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenizeExpr {
+  def tokens(text: Column, caseSensitive: Boolean): Column =
+    ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(text), lowerCase = !caseSensitive))
+}

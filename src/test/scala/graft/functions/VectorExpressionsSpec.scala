@@ -56,6 +56,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("native tokenizer matches the regex formulation on real data") {
+    val docs = TestTables.documents(spark, "/root/testdata/sf0.01")
+    val diff = docs.select(
+        Tokenizers.textTokens(col("text"), caseSensitive = false).as("fast"),
+        Tokenizers.textTokensRegex(col("text"), caseSensitive = false).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    // edge cases: unicode, punctuation runs, empty, star/underscore
+    val edge = Seq("Héllo,  Wörld!! x_y*z 42", "中文 test", "", "  ", "___", "a..b").toDF("t")
+    val rows = edge.select(
+      Tokenizers.textTokens(col("t"), caseSensitive = false).as("fast"),
+      Tokenizers.textTokensRegex(col("t"), caseSensitive = false).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+  }
+
   test("complexSearch: hits, total, aggs, histogram from one match set") {
     val eng = new SeqEngine(TestTables.eventsDocs(spark, sfDir))
     val res = eng.complexSearch(
