@@ -71,7 +71,7 @@ object Dedup {
       col(idCol).as("id"),
       col(lenCol).as("len"),
       bucket.as("bkt"),
-      hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
+      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
       .persist()
     val probes = spread(s)
       .withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
@@ -127,7 +127,7 @@ object Dedup {
     val banded = spread(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("id"),
-        hashedSet(TextPrep.bigramShingles(TextPrep.tokens(col(textCol)))).as("sh"))
+        graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"), col("sh"),

@@ -40,6 +40,56 @@ object TokenKernels {
   }
 }
 
+/** Sorted distinct xxhash64 (seed 42 — Spark's xxhash64 function) of
+  * word-bigram shingles, fused into one kernel: replaces
+  * sort(distinct(hash(transform(concat(try_element_at...))))) — no
+  * intermediate arrays or HOF lambda frames per row.
+  * Bigram text = tokens(i) + " " + tokens(i+1), identical to
+  * [[graft.dataprep.TextPrep.bigramShingles]].
+  */
+object ShingleKernels {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def bigramHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val big = UTF8String.concat(tokens.getUTF8String(i), SPACE, tokens.getUTF8String(i + 1))
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        big, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+case class BigramHashesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.bigramHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleKernels.bigramHashes($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column expression wrapping [[TokenKernels.tokenize]]; generated code
   * is a single static call, so whole-stage codegen stays small.
   */
@@ -62,4 +112,7 @@ case class TokenizeExpr(child: Expression, lowerCase: Boolean)
 object TokenizeExpr {
   def tokens(text: Column, caseSensitive: Boolean): Column =
     ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(text), lowerCase = !caseSensitive))
+
+  def bigramHashes(tokens: Column): Column =
+    ColumnBridge.column(BigramHashesExpr(ColumnBridge.expression(tokens)))
 }
