@@ -131,10 +131,12 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"), col("sh"),
+        // band key = hash(band idx, its r signature values): a false
+        // key collision only adds a candidate, which exact verification
+        // then rejects — soundness is unaffected
         explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
-          struct(bIdx.as("band"),
-            concat_ws("_", (0 until r).map(j => try_element_at(col("sig"), bIdx * r + j + 1)): _*)
-              .as("key")))).as("bk"))
+          xxhash64((bIdx +: (0 until r).map(j =>
+            try_element_at(col("sig"), bIdx * r + j + 1))): _*))).as("bk"))
       .persist()
     val left = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
     val right = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))

@@ -105,6 +105,22 @@ class EngineSpec extends SparkSpec {
     assert(e2.matches("ghost:x", T0, T31).count() == 0)
   }
 
+  test("A3 strict mode: non-numeric agg field fails the query") {
+    // event_type is a non-numeric string field
+    assertThrows[graft.model.SeqQlError](
+      eng.requireNumericField("*", T0, T31, "event_type"))
+    // numeric-looking string field passes
+    eng.requireNumericField("*", T0, T31, "props.k")
+    // typed numeric column passes trivially
+    eng.requireNumericField("*", T0, T31, "value")
+  }
+
+  test("A7 cardinality cap rejects high-cardinality group_by") {
+    assertThrows[graft.model.SeqQlError](
+      eng.requireGroupCardinality("*", T0, T31, "event_id", maxGroupTokens = 100))
+    eng.requireGroupCardinality("*", T0, T31, "event_type", maxGroupTokens = 100)
+  }
+
   test("entry() works on a driver-like session without pre-set configs") {
     // the driver smoke-checks entry(spark) with its own session; the
     // nanos flag must be applied at runtime by the adapter
