@@ -105,6 +105,33 @@ class EngineSpec extends SparkSpec {
     assert(e2.matches("ghost:x", T0, T31).count() == 0)
   }
 
+  test("ungrouped stats aggregation returns a single value row") {
+    val avg = eng.aggregate("*", T0, T31, AggRequest(AggFunc.Avg, field = "value")).collect()
+    assert(avg.length == 1 && avg(0).schema.fieldNames.toSeq == Seq("value"))
+    val mn = eng.aggregate("*", T0, T31, AggRequest(AggFunc.Min, field = "value"))
+      .collect()(0).getDouble(0)
+    val mx = eng.aggregate("*", T0, T31, AggRequest(AggFunc.Max, field = "value"))
+      .collect()(0).getDouble(0)
+    assert(mn <= avg(0).getDouble(0) && avg(0).getDouble(0) <= mx)
+  }
+
+  test("ungrouped quantile uses a global window") {
+    val q = eng.aggregate("*", T0, T31,
+      AggRequest(AggFunc.Quantile(Seq(0.0, 1.0)), field = "value")).collect()
+    val mn = eng.aggregate("*", T0, T31, AggRequest(AggFunc.Min, field = "value"))
+      .collect()(0).getDouble(0)
+    val mx = eng.aggregate("*", T0, T31, AggRequest(AggFunc.Max, field = "value"))
+      .collect()(0).getDouble(0)
+    assert(q.map(r => r.getDouble(0) -> r.getDouble(1)).toMap == Map(0.0 -> mn, 1.0 -> mx))
+  }
+
+  test("COUNT/UNIQUE without group_by are rejected") {
+    assertThrows[graft.model.SeqQlError](
+      eng.aggregate("*", T0, T31, AggRequest(AggFunc.Count)))
+    assertThrows[graft.model.SeqQlError](
+      eng.aggregate("*", T0, T31, AggRequest(AggFunc.Unique)))
+  }
+
   test("A3 strict mode: non-numeric agg field fails the query") {
     // event_type is a non-numeric string field
     assertThrows[graft.model.SeqQlError](
