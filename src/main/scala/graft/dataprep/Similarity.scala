@@ -56,9 +56,15 @@ object Similarity {
     (pmod(xxhash64(p, j), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
-    * onto deterministic hyperplanes. Vectors in the same bucket are
+    * onto deterministic hyperplanes (native kernel with plane cache —
+    * graft.functions.LshBucketsExpr). Vectors in the same bucket are
     * near-collinear with high probability. */
-  def lshBuckets(vec: Column, nBits: Int): Column = {
+  def lshBuckets(vec: Column, nBits: Int): Column =
+    graft.functions.VectorExpressions.lshBuckets(vec, nBits)
+
+  /** HOF reference formulation of [[lshBuckets]] (kept for parity
+    * testing of the native kernel). */
+  def lshBucketsHof(vec: Column, nBits: Int): Column = {
     val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x * planeComponent(p, j)),

@@ -261,7 +261,70 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket id over array<double>, with the plane
+  * components cached per (nBits, dim) instead of re-deriving 768 hashes
+  * per row. Components replicate the HOF formulation exactly:
+  * ((xxhash64(p, j) pmod 1e6) / 1e6) - 0.5 with Spark's seed-42 chained
+  * int hashing, so bucket ids are bit-identical to the original.
+  */
+case class LshBucketsExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    LshPlanes.bucket(v, nBits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.LshPlanes.bucket($x, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshPlanes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def hashInt(i: Int, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      i, org.apache.spark.sql.types.IntegerType, seed)
+
+  def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nBits, dim), { _ =>
+      Array.tabulate(nBits, dim) { (p, j) =>
+        val h = hashInt(j, hashInt(p, 42L))
+        val m = ((h % 1000000L) + 1000000L) % 1000000L
+        m.toDouble / 1000000.0 - 0.5
+      }
+    })
+
+  def bucket(v: ArrayData, nBits: Int): Long = {
+    val dim = v.numElements()
+    val ps = planes(nBits, dim)
+    var out = 0L
+    var p = 0
+    while (p < nBits) {
+      val plane = ps(p)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += v.getDouble(j) * plane(j)
+        j += 1
+      }
+      if (acc > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
+  def lshBuckets(vec: Column, nBits: Int): Column =
+    ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(vec), nBits))
+
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -56,6 +56,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("native LSH buckets are bit-identical to the HOF formulation") {
+    val emb = TestTables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val diff = emb.select(
+        Similarity.lshBuckets(col("v"), 12).as("fast"),
+        Similarity.lshBucketsHof(col("v"), 12).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("native tokenizer matches the regex formulation on real data") {
     val docs = TestTables.documents(spark, "/root/testdata/sf0.01")
     val diff = docs.select(
