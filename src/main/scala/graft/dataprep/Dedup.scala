@@ -109,10 +109,12 @@ object Dedup {
     * shuffle on (band, band-signature) → per-bucket candidate pairs →
     * exact Jaccard verification on the shingle sets. With r =
     * numHashes/bands rows per band, recall at similarity s is
-    * 1 - (1 - s^r)^bands; the defaults (128 hashes, 64 bands, r=2)
-    * give ~1 - 1e-8 at s = 0.5, so the LSH path reproduces the
-    * brute-force result while scaling as O(n · candidates) instead of
-    * O(n^2). Output: id_a < id_b, inter_cnt, union_cnt for pairs with
+    * 1 - (1 - s^r)^bands; e.g. 128 hashes / 32 bands (r=4) gives
+    * recall ≈ 1 for near-identical dups (s ≳ 0.9) while keeping the
+    * candidate set sparse even when most pairs share low similarity,
+    * so the LSH path reproduces the brute-force result while scaling
+    * as O(n · candidates) instead of O(n^2). Output: id_a < id_b,
+    * inter_cnt, union_cnt for pairs with
     * jaccard >= thresholdNum/thresholdDen.
     */
   def minhashLshPairs(
