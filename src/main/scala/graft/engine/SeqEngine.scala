@@ -325,6 +325,15 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def fetchByIds(ids: Seq[String]): DataFrame =
     fetch(ids.map(graft.model.SeqId.parse).map(id => (id.mid, id.rid)))
 
+  /** Attach the wire-format id string column (responses carry ids as
+    * `hex(LE mid)-hex(LE rid)`). */
+  def withIdString(df: DataFrame, as: String = "id"): DataFrame =
+    df.withColumn(as,
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.SeqIdStringExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("mid")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("rid")))))
+
   /** Fields projection pipe (P1): pure output projection; requested
     * fields need not be indexed (storeapi/grpc_fetch.go:168-249). */
   private def applyPipes(df: DataFrame, pipes: Seq[Pipe]): DataFrame =

@@ -109,6 +109,27 @@ case class TokenizeExpr(child: Expression, lowerCase: Boolean)
     copy(child = newChild)
 }
 
+/** Wire-format id string `hex(LE mid)-hex(LE rid)` (seq/seq.go:37-53)
+  * as a column expression, for responses that carry document ids.
+  */
+case class SeqIdStringExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(mid: Any, rid: Any): Any =
+    UTF8String.fromString(
+      graft.model.SeqId(mid.asInstanceOf[Long], rid.asInstanceOf[Long]).toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, r) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  new graft.model.SeqId($m, $r).toString());""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TokenizeExpr {
   def tokens(text: Column, caseSensitive: Boolean): Column =
     ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(text), lowerCase = !caseSensitive))

@@ -156,6 +156,14 @@ class EngineSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
+  test("withIdString emits parseable wire-format ids") {
+    val page = eng.withIdString(eng.search(SearchRequest("*", T0, T31, size = 5)))
+    page.select("mid", "rid", "id").collect().foreach { r =>
+      val parsed = graft.model.SeqId.parse(r.getString(2))
+      assert(parsed == graft.model.SeqId(r.getLong(0), r.getLong(1)))
+    }
+  }
+
   test("fetch by wire-format hex id strings") {
     val t = TestTables.eventsDocs(spark, sfDir)
     val ids = t.df.where(col("rid").isin(1L, 2L)).select("mid", "rid")
