@@ -175,13 +175,16 @@ object BulkIngest {
 
   /** Write the docs table in the at-scale layout: day-partitioned by
     * event time (fraction pruning ≈ partition pruning, SURVEY.md §1.3),
-    * sorted by (mid, rid) within partitions so Parquet min/max row-group
-    * stats prune time ranges inside a day.
+    * RANGE-partitioned by (date, mid) across tasks — hashing by date
+    * alone would funnel each whole day through one task, which dies at
+    * 100 TB; ranges keep writes parallel AND give every output file a
+    * tight disjoint mid range, so Parquet min/max stats prune time
+    * windows inside a day.
     */
   def writePartitioned(docs: DataFrame, path: String): Unit =
     docs
       .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
-      .repartition(col("date"))
+      .repartitionByRange(col("date"), col("mid"))
       .sortWithinPartitions(col("mid"), col("rid"))
       .write.mode("overwrite")
       .partitionBy("date")

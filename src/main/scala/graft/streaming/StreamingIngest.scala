@@ -57,7 +57,9 @@ object StreamingIngest {
     */
   def compactDay(spark: SparkSession, outPath: String, date: String, targetFiles: Int = 1): Unit = {
     val day = spark.read.parquet(s"$outPath/date=$date")
-    day.repartition(targetFiles)
+    // range-partition by mid so compacted files carry disjoint time
+    // ranges (tight min/max stats), not random row hashes
+    day.repartitionByRange(targetFiles, col("mid"), col("rid"))
       .sortWithinPartitions(col("mid"), col("rid"))
       .write.mode("overwrite")
       .parquet(s"$outPath/.compact_tmp_$date")
