@@ -83,3 +83,72 @@ final class AsyncSearchManager(spark: SparkSession, resultsDir: String, parallel
 
   def shutdown(): Unit = pool.shutdownNow()
 }
+
+/** Chunked async search: the reference persists per-fraction partial
+  * results so a long search survives restarts and can serve partial
+  * answers while running (fracmanager/async_searcher.go:52-260). Here
+  * the time range splits into interval-aligned chunks (fraction
+  * analogue), each chunk's matches are written under
+  * `resultsDir/<id>/chunk=<startMs>` with a done-marker, newest first;
+  * a restart [[resume]]s from the missing chunks and [[fetchPartial]]
+  * serves whatever is complete at any moment.
+  */
+final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
+
+  private val pool = Executors.newFixedThreadPool(2)
+
+  private def idDir(id: String) = s"$resultsDir/$id"
+  private def chunkDir(id: String, startMs: Long) = s"${idDir(id)}/chunk=$startMs"
+  private def marker(id: String, startMs: Long) =
+    Paths.get(s"${idDir(id)}/.done_$startMs")
+
+  def chunkStarts(fromMs: Long, toMs: Long, chunkMs: Long): Seq[Long] =
+    (fromMs / chunkMs * chunkMs) to toMs by chunkMs
+
+  /** Run (or resume) search `id`: skips chunks whose done-marker
+    * exists, processes the rest newest-first. Blocking variant —
+    * submit via [[startAsync]] for fire-and-forget. */
+  def run(id: String, engine: SeqEngine, query: String,
+      fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit = {
+    Files.createDirectories(Paths.get(idDir(id)))
+    val todo = chunkStarts(fromMs, toMs, chunkMs).reverse
+      .filterNot(s => Files.exists(marker(id, s)))
+    todo.foreach { start =>
+      val lo = math.max(start, fromMs)
+      val hi = math.min(start + chunkMs - 1, toMs)
+      engine.matches(query, lo, hi)
+        .write.mode("overwrite").parquet(chunkDir(id, start))
+      Files.writeString(marker(id, start), "done")
+    }
+    Files.writeString(Paths.get(s"${idDir(id)}/.complete"), "done")
+  }
+
+  def startAsync(id: String, engine: SeqEngine, query: String,
+      fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit =
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        ChunkedAsyncSearcher.this.run(id, engine, query, fromMs, toMs, chunkMs)
+    })
+
+  def isComplete(id: String): Boolean =
+    Files.exists(Paths.get(s"${idDir(id)}/.complete"))
+
+  /** Merge of all COMPLETED chunks (may be a partial answer). */
+  def fetchPartial(id: String): Option[DataFrame] = {
+    val dir = new java.io.File(idDir(id))
+    if (!dir.isDirectory) return None
+    val done = dir.listFiles().filter(_.getName.startsWith(".done_"))
+      .map(_.getName.stripPrefix(".done_").toLong)
+    if (done.isEmpty) return None
+    val paths = done.sorted.map(s => chunkDir(id, s))
+    Some(spark.read.parquet(paths.toIndexedSeq: _*))
+  }
+
+  def completedChunks(id: String): Int = {
+    val dir = new java.io.File(idDir(id))
+    if (!dir.isDirectory) 0
+    else dir.listFiles().count(_.getName.startsWith(".done_"))
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}

@@ -172,6 +172,31 @@ class EngineSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("chunked async search: partial results, restart resume") {
+    val dir = java.nio.file.Files.createTempDirectory("chunked").toString
+    val s1 = new ChunkedAsyncSearcher(spark, dir)
+    val chunkMs = 7L * 86400000 // weekly chunks over Jan 2024 → 5 chunks
+    val starts = s1.chunkStarts(T0, T31, chunkMs)
+    assert(starts.length == 5)
+    // simulate a crash: process only the 2 newest chunks, then "restart"
+    val eng2 = eng
+    starts.reverse.take(2).foreach { st =>
+      eng2.matches("event_type:error", math.max(st, T0), math.min(st + chunkMs - 1, T31))
+        .write.mode("overwrite").parquet(s"$dir/j1/chunk=$st")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/j1/.done_$st"), "done")
+    }
+    assert(s1.completedChunks("j1") == 2 && !s1.isComplete("j1"))
+    val partial = s1.fetchPartial("j1").get.count()
+    // a fresh searcher (restart) resumes the remaining 3 chunks only
+    val s2 = new ChunkedAsyncSearcher(spark, dir)
+    s2.run("j1", eng2, "event_type:error", T0, T31, chunkMs)
+    assert(s2.isComplete("j1") && s2.completedChunks("j1") == 5)
+    val full = s2.fetchPartial("j1").get.count()
+    assert(full > partial)
+    assert(full == eng2.matches("event_type:error", T0, T31).count())
+    s1.shutdown(); s2.shutdown()
+  }
+
   test("async search: start, await, fetch, restart-survivability") {
     val dir = java.nio.file.Files.createTempDirectory("async").toString
     val mgr = new AsyncSearchManager(spark, dir)
