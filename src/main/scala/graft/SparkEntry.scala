@@ -237,6 +237,11 @@ object SparkEntry {
       ev(s, dir).export("user_id:[140, *]", T0, T31, asc = true)
         .select("mid", "rid", "user_id")),
 
+    // ---- sessionization: inactivity-gap session rollup per user ----
+    "events_sessionize" -> ((s, dir) =>
+      dataprep.Sessionize.sessions(
+        TestTables.eventsDocs(s, dir).df, "user_id", "mid", "rid", gapMs = 1800000L)),
+
     // ==== training-data pipeline operators (dataprep package) ====
 
     // ---- exact dedup: hash-groupBy ----
@@ -553,6 +558,27 @@ object SparkEntry {
       s"""SELECT $M AS mid, event_id AS rid, user_id FROM events
           WHERE $M BETWEEN $T0 AND $T31 AND user_id >= 140
           ORDER BY mid ASC, rid ASC""",
+
+    "events_sessionize" ->
+      s"""WITH g AS (
+            SELECT user_id, $M AS mid, event_id AS rid,
+                   lag($M) OVER (PARTITION BY user_id ORDER BY $M ASC, event_id ASC) AS prev
+            FROM events
+          ), b AS (
+            SELECT user_id, mid, rid,
+                   CASE WHEN prev IS NULL OR mid - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+            FROM g
+          ), s AS (
+            SELECT user_id, mid,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY mid ASC, rid ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM b
+          )
+          SELECT user_id, session_no, count(*) AS n_events,
+                 min(mid) AS start_ms, max(mid) AS end_ms,
+                 max(mid) - min(mid) AS duration_ms
+          FROM s GROUP BY user_id, session_no
+          ORDER BY user_id ASC, session_no ASC""",
 
     "dp_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt
