@@ -51,15 +51,10 @@ object Dedup {
     df.repartition(n)
   }
 
-  /** Sorted xxhash64 mirror of a distinct-shingle set: set operations
-    * on longs via two-pointer merges instead of per-pair string-array
-    * hash sets. Counts equal the string-set counts barring a 64-bit
-    * hash collision inside one document's shingles (~1e-15 at 1e4
-    * shingles — negligible even for the exact-compare gate).
-    */
-  private def hashedSet(sh: Column): Column =
-    array_sort(array_distinct(transform(sh, s => xxhash64(s))))
-
+  // Set operations run on sorted xxhash64 mirrors of the shingle sets
+  // (BigramHashesExpr): two-pointer merges on longs instead of per-pair
+  // string-array hash sets. Counts equal the string-set counts barring
+  // a 64-bit collision inside one document (~1e-15 at 1e4 shingles).
   private def interCount(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.sortedIntersectCount(a, b)
 

@@ -56,6 +56,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("bigram-hash kernel matches sort(distinct(hash(HOF shingles)))") {
+    val docs = TestTables.documents(spark, "/root/testdata/sf0.01")
+    val toks = graft.dataprep.TextPrep.tokens(col("text"))
+    val diff = docs.select(
+        TokenizeExpr.bigramHashes(toks).as("fast"),
+        array_sort(array_distinct(transform(
+          graft.dataprep.TextPrep.bigramShingles(toks), s => xxhash64(s)))).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("native LSH buckets are bit-identical to the HOF formulation") {
     val emb = TestTables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("embedding").cast("array<double>").as("v"))
