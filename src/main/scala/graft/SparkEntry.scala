@@ -237,6 +237,11 @@ object SparkEntry {
       ev(s, dir).export("user_id:[140, *]", T0, T31, asc = true)
         .select("mid", "rid", "user_id")),
 
+    // ---- A1 over a text field: group by TOKEN (J6 nodeOrAgg parity) ----
+    "seq_agg_count_text_tokens" -> ((s, dir) =>
+      docs(s, dir).aggregate("*", 0L, Long.MaxValue,
+        AggRequest(AggFunc.Count, groupBy = Some("text")))),
+
     // ---- sessionization: inactivity-gap session rollup per user ----
     "events_sessionize" -> ((s, dir) =>
       dataprep.Sessionize.sessions(
@@ -558,6 +563,12 @@ object SparkEntry {
       s"""SELECT $M AS mid, event_id AS rid, user_id FROM events
           WHERE $M BETWEEN $T0 AND $T31 AND user_id >= 140
           ORDER BY mid ASC, rid ASC""",
+
+    "seq_agg_count_text_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          e AS (SELECT unnest(toks) AS name FROM t)
+          SELECT name, count(*) AS value FROM e
+          GROUP BY 1 ORDER BY value DESC, name ASC""",
 
     "events_sessionize" ->
       s"""WITH g AS (

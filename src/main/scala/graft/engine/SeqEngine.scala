@@ -138,12 +138,26 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
 
   /** Aggregation over an already-filtered match set (shared by
     * [[aggregate]] and [[complexSearch]]). */
-  def aggregateOver(m: DataFrame, agg: AggRequest): DataFrame = {
+  def aggregateOver(m0: DataFrame, agg: AggRequest): DataFrame = {
+    // group_by over a text field groups by TOKEN, one contribution per
+    // matching token (the reference's SourcedNodeIterator feeding the
+    // aggregator per term, node/node_or.go:68-122); docs with no tokens
+    // land in `_not_exists` via explode_outer(null).
+    val (m, groupCol): (DataFrame, Option[Column]) = agg.groupBy match {
+      case Some(g) if table.mapping.isIndexed(g) &&
+          table.mapping.typeOf(g) == graft.model.IndexType.Text =>
+        val toks = table.tokensCol(g)
+        val exploded = m0.withColumn("__gname",
+          explode_outer(when(size(toks) > 0, toks)))
+        (exploded, Some(col("__gname")))
+      case Some(g) => (m0, Some(table.fieldCol(g)))
+      case None    => (m0, None)
+    }
     val hasBucket = agg.intervalMs > 0
     val bucketCol = (mid - mid % lit(agg.intervalMs)).as("bucket_ms")
 
     def nameCol(field: String): Column =
-      coalesce(table.fieldCol(field).cast(StringType), lit("_not_exists")).as("name")
+      coalesce(groupCol.get.cast(StringType), lit("_not_exists")).as("name")
 
     def valueCol(field: String): Column = {
       table.fieldType(field) match {
@@ -176,8 +190,8 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       case AggFunc.Unique =>
         val g = agg.groupBy.getOrElse(
           throw new SeqQlError("UNIQUE aggregation requires group_by"))
-        m.where(table.fieldCol(g).isNotNull)
-          .select(groupCols(table.fieldCol(g).cast(StringType).as("name")): _*)
+        m.where(groupCol.get.isNotNull)
+          .select(groupCols(groupCol.get.cast(StringType).as("name")): _*)
           .distinct()
           .orderBy((if (hasBucket) Seq(col("bucket_ms").asc) else Nil) :+ col("name").asc: _*)
 
