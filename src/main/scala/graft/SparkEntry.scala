@@ -315,6 +315,10 @@ object SparkEntry {
     "dp_fingerprint" -> ((s, dir) =>
       dataprep.TextAnalysis.fingerprint(TestTables.documents(s, dir), "doc_id", "text")),
 
+    // ---- PII redaction over raw JSON payloads ----
+    "dp_pii_redact" -> ((s, dir) =>
+      dataprep.TextAnalysis.redactPii(TestTables.raw(s, dir, "events"), "event_id", "props", digitRunRe = "[0-9]{2,}")),
+
     // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
     "dp_multimodal_stub" -> ((s, dir) =>
       dataprep.Multimodal.extractFeatures(
@@ -686,6 +690,17 @@ object SparkEntry {
     "dp_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id ASC""",
+
+    "dp_pii_redact" ->
+      """SELECT event_id,
+               CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(props, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_digit_runs,
+               regexp_replace(regexp_replace(regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '[0-9]{2,}', '<NUM>', 'g') AS redacted
+        FROM events ORDER BY event_id ASC""",
 
     "dp_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

@@ -81,6 +81,29 @@ object TextAnalysis {
       .orderBy(col(idCol).asc)
   }
 
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses
+    * and long digit runs (ids/phones) with typed placeholders, plus
+    * per-document redaction counts for audit. Pure regexp_replace
+    * chain — same patterns work in any ANSI engine for verification.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val DigitRunRe = "[0-9]{5,}"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      digitRunRe: String = DigitRunRe): DataFrame =
+    df.select(
+        col(idCol),
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col(textCol), lit(digitRunRe), lit(0))).cast("long").as("n_digit_runs"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          digitRunRe, "<NUM>").as("redacted"))
+      .orderBy(col(idCol).asc)
+
   /** Document fingerprint: md5 over the normalized text (lower-cased,
     * non-alphanumeric runs collapsed to single spaces, trimmed) — the
     * standard "same modulo whitespace/punctuation" dedup key.
