@@ -14,6 +14,9 @@ Test / fork := true
 // session-conf-mutating tests can't race concurrent suites
 Test / parallelExecution := false
 run / fork := true
+// the bench/verify driver parses a bare JSON line from stdout — don't
+// let sbt prefix forked-run output with "[info] "
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
