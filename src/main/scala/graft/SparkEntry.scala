@@ -263,7 +263,7 @@ object SparkEntry {
       dataprep.Dedup.minhashLshPairs(TestTables.documents(s, dir),
         "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)),
 
-    // ---- SimHash near-dup pairs (banded; rows-only check) ----
+    // ---- SimHash near-dup pairs (banded; oracle = O(n^2) portable-simhash SQL) ----
     "dp_dedup_simhash" -> ((s, dir) =>
       dataprep.Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
 
@@ -277,12 +277,12 @@ object SparkEntry {
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
-    // ---- ANN: random-hyperplane LSH-bucketed variant (rows-only) ----
+    // ---- ANN: random-hyperplane LSH-bucketed variant (oracle mirrors planes) ----
     "dp_ann_lsh" -> ((s, dir) =>
       dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
-    // ---- ANN: IVF cell-probing variant (rows-only) ----
+    // ---- ANN: IVF cell-probing variant (oracle mirrors deterministic centroids) ----
     "dp_ann_ivf" -> ((s, dir) =>
       dataprep.Similarity.ivfTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -337,7 +337,82 @@ object SparkEntry {
     s"""WITH t AS (SELECT doc_id, n_chars, $DTOKS AS toks FROM documents),
         s AS (SELECT doc_id, n_chars, $DSHINGLES AS sh FROM t)"""
 
+  // DuckDB-side portable-simhash bit terms: per bit b, tokens vote by
+  // the sign of an affine mix of their poly-31 hash (PortableSimHash —
+  // the Spark kernel mirrors this arithmetic exactly).
+  private def simhashSqlExpr: String = {
+    import graft.functions.PortableSimHash
+    (0 until 64).map { b =>
+      val bitval = if (b < 63) (1L << b).toString else Long.MinValue.toString
+      s"CASE WHEN 2*len(list_filter(hs, h -> (((${PortableSimHash.aCoef(b)} * h + ${PortableSimHash.cCoef(b)}) % 2147483647) * 2 < 2147483647))) > len(hs) THEN CAST($bitval AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+  }
+
+  // DuckDB-side LSH bucket id: sign bits of projections onto the same
+  // deterministic hyperplanes the Spark kernel uses (integer pre-images
+  // from LshPlanes.planeInts; the m/1e6-0.5 arithmetic is identical
+  // IEEE ops on both engines, embeddings.parquet is 64-dim).
+  private def lshBucketSqlExpr(vCol: String): String =
+    graft.functions.LshPlanes.planeInts(12, 64).zipWithIndex.map { case (row, p) =>
+      val arr = "list_transform([" + row.mkString(",") + "], x -> CAST(x AS DOUBLE)/1000000.0 - 0.5)"
+      s"CASE WHEN list_dot_product($vCol, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "dp_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+         asg AS (
+           SELECT neighbor_id, v, cell FROM (
+             SELECT e.vec_id AS neighbor_id, e.v, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+             FROM e, cent c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, q, cell FROM (
+             SELECT e.vec_id AS query_id, e.v AS q, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+             FROM e, cent c WHERE e.vec_id IN (0,1,2,3,4)) WHERE rn <= 4),
+         cand AS (
+           SELECT p.query_id, a.neighbor_id, list_dot_product(p.q, a.v) AS d
+           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.neighbor_id),
+         r AS (
+           SELECT query_id, neighbor_id, d,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+           FROM cand)
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    "dp_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS (SELECT vec_id, v, ${lshBucketSqlExpr("v")} AS bucket FROM e),
+          q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id IN (0,1,2,3,4)),
+          cand AS (
+            SELECT q.query_id, n.vec_id AS neighbor_id, list_dot_product(q.qv, n.v) AS d
+            FROM q JOIN b n ON n.vec_id <> q.query_id AND bit_count(xor(n.bucket, q.qb)) <= 1),
+          r AS (
+            SELECT query_id, neighbor_id, d,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+            FROM cand)
+          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                 CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    "dp_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($DTOKS) AS toks FROM documents),
+          h AS (SELECT doc_id, list_transform(toks, tok ->
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    [CAST(unicode(tok[i]) AS BIGINT) for i in range(1, len(tok)+1)]),
+                  (acc, c) -> (acc * 31 + c) % 2147483647)) AS hs FROM t),
+          s AS (SELECT doc_id, $simhashSqlExpr AS sim FROM h)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+          ORDER BY id_a, id_b""",
+
     "seq_search_keyword" ->
       s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
           WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'error'

@@ -117,30 +117,34 @@ object Dedup {
       numHashes: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // signatures are expensive (numHashes passes over the shingle
-    // hashes) and the self-join would otherwise compute them twice —
-    // persist the banded form once.
-    val banded = spread(df.select(col(idCol), col(textCol)))
+    // Shingle hashes are needed twice (banding, exact verification) —
+    // persist the compact per-doc form once.
+    val withSh = spread(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("id"),
         graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(
-        col("id"), col("sh"),
-        // band key = hash(band idx, its r signature values): a false
-        // key collision only adds a candidate, which exact verification
-        // then rejects — soundness is unaffected
-        explode(transform(sequence(lit(0), lit(bands - 1)), bIdx =>
-          xxhash64((bIdx +: (0 until r).map(j =>
-            try_element_at(col("sig"), bIdx * r + j + 1))): _*))).as("bk"))
       .persist()
-    val left = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val right = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
-    val candidates = left.join(right, left("bk") === right("bk") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    // The band self-join stays NARROW: (id, band key) only, 16 bytes a
+    // row. Carrying the shingle arrays through this join would move
+    // kilobytes per candidate through the shuffle; instead candidate
+    // pairs are deduped first and the arrays attached afterwards by
+    // joining back on id (per-doc side — AQE broadcasts it when small;
+    // at corpus scale it is an id-partitioned shuffle join, still one
+    // array copy per pair instead of one per band collision).
+    // (no persist here: both join sides re-derive the narrow banded form
+    // from the persisted withSh — recomputing band keys is cheaper than
+    // a persist materialization barrier)
+    val banded = withSh.select(col("id"),
+      explode(graft.functions.VectorExpressions.minhashBandKeys(
+        col("sh"), numHashes, bands)).as("bk"))
+    val pairs = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
+    pairs
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter_cnt", interCount(col("sh_a"), col("sh_b")))
       .withColumn("union_cnt",
         (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter_cnt"))
@@ -149,13 +153,14 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash over word tokens: per bit position, sum +1/-1
-    * across token hashes and keep the sign — one native codegen pass
-    * (graft.functions.SimHash64Expr).
+  /** 64-bit SimHash over distinct word tokens: per bit position, sum
+    * +1/-1 across token hashes and keep the sign — one native codegen
+    * pass. Uses the SQL-portable hashing scheme
+    * (graft.functions.PortableSimHash) so the result is verifiable
+    * bit-for-bit by the DuckDB oracle.
     */
   def simhash64(toks: Column): Column =
-    graft.functions.VectorExpressions.simhash64(
-      transform(array_distinct(toks), t => xxhash64(t)))
+    graft.functions.VectorExpressions.simhashPortable64(array_distinct(toks))
 
   /** SimHash near-duplicate pairs with banded candidate generation:
     * split the 64-bit hash into 4 16-bit bands; any pair within
@@ -168,15 +173,19 @@ object Dedup {
       .select(col(idCol).as("id"),
         simhash64(TextPrep.tokens(col(textCol))).as("sim"))
     val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("key", concat_ws("_", col("band"),
+      // numeric band key (band, 16 sim bits) — avoids per-row string
+      // building/hashing in the join
+      .withColumn("key", shiftleft(col("band").cast("long"), 16).bitwiseOR(
         call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL))))
-      .persist() // simhash64 is 64 aggregate passes — don't compute it twice
+      .persist() // simhash64 is a 64-counter pass — don't compute it twice
     val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
     val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
     left.join(broadcast(right), Seq("key")).where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
+      // a matching pair shares ≤4 band keys — dedup after the filter,
+      // on the small match set, instead of on every candidate
+      .dropDuplicates("id_a", "id_b", "hamming")
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }

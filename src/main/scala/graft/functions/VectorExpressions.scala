@@ -200,6 +200,90 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Fused MinHash signature + LSH band keys in one pass: compute the
+  * `numHashes` permutation minima (same scheme as
+  * [[MinHashSignatureExpr]]), then fold each band's r = numHashes/bands
+  * consecutive signature values (plus the band index) into one 64-bit
+  * key. Replaces a transform/xxhash64/try_element_at expression forest —
+  * any deterministic mixing works here, because a band-key collision
+  * only adds a candidate pair that exact verification rejects.
+  */
+case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  private val P = 2147483647L
+  private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
+  private val C2 = ((0xC2B2AE3D27D4EB4FL % P) + P) % P
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = Array.fill(numHashes)(P)
+    var k = 0
+    while (k < n) {
+      val xm = ((xs.getLong(k) % P) + P) % P
+      var i = 0
+      while (i < numHashes) {
+        val v = (((i + 1) * C1) % P + 1) * xm % P + ((i + 1) * C2) % P
+        val vm = if (v >= P) v - P else v
+        if (vm < sig(i)) sig(i) = vm
+        i += 1
+      }
+      k += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L + b
+      var j = 0
+      while (j < r) {
+        h = h * 31 + sig(b * r + j)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val xm = ctx.freshName("xm"); val v = ctx.freshName("v")
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val r = numHashes / bands
+      s"""
+         |int $n = $x.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, ${P}L);
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $xm = (($x.getLong($k) % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ((($i + 1) * ${C1}L) % ${P}L + 1L) * $xm % ${P}L + (($i + 1) * ${C2}L) % ${P}L;
+         |    if ($v >= ${P}L) $v -= ${P}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 1125899906842597L + $b;
+         |  for (int $j = 0; $j < $r; $j++) $h = $h * 31L + $sig[$b * $r + $j];
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash from an array of element hashes in one pass: per bit
   * position sum +1/−1 over elements, keep the sign bit. Replaces a
   * 64-aggregate-traversal HOF formulation.
@@ -261,6 +345,78 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHash variant whose every step is expressible in portable ANSI-ish
+  * SQL, so the result can be cross-checked bit-for-bit by an external
+  * engine (DuckDB oracle): token base hash = polynomial-31 over Unicode
+  * code points mod P = 2^31−1 (seed 7); per bit b an affine mix
+  * g = (A_b·h + C_b) mod P votes +1 when 2g < P; majority sign forms the
+  * 64-bit hash. Input: array<string> (distinct tokens), output: long.
+  */
+case class SimHashPortable64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PortableSimHash.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PortableSimHash.simhash($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableSimHash {
+  val P = 2147483647L
+  private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
+  private val C2 = ((0xC2B2AE3D27D4EB4FL % P) + P) % P
+
+  def aCoef(b: Int): Long = ((2L * b + 1L) * C1) % P
+  def cCoef(b: Int): Long = ((b + 1L) * C2) % P
+  private val A = Array.tabulate(64)(aCoef)
+  private val C = Array.tabulate(64)(cCoef)
+
+  /** poly-31 over Unicode code points, mod P, seed 7 — mirrors the
+    * DuckDB `list_reduce(list_prepend(7, [unicode(t[i]) ...]), ...)`
+    * oracle formulation exactly.
+    */
+  def hashToken(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counters = new Array[Int](64)
+    var k = 0
+    while (k < n) {
+      val h = hashToken(tokens.getUTF8String(k).toString)
+      var b = 0
+      while (b < 64) {
+        val g = (A(b) * h + C(b)) % P
+        if (2 * g < P) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      k += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Random-hyperplane LSH bucket id over array<double>, with the plane
   * components cached per (nBits, dim) instead of re-deriving 768 hashes
   * per row. Components replicate the HOF formulation exactly:
@@ -292,13 +448,19 @@ object LshPlanes {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       i, org.apache.spark.sql.types.IntegerType, seed)
 
+  /** Integer pre-images of the plane components (component =
+    * m/1e6 − 0.5). Exposed so an external oracle can rebuild the exact
+    * plane doubles with its own (identical, IEEE) arithmetic.
+    */
+  def planeInts(nBits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nBits, dim) { (p, j) =>
+      val h = hashInt(j, hashInt(p, 42L))
+      ((h % 1000000L) + 1000000L) % 1000000L
+    }
+
   def planes(nBits: Int, dim: Int): Array[Array[Double]] =
     cache.computeIfAbsent((nBits, dim), { _ =>
-      Array.tabulate(nBits, dim) { (p, j) =>
-        val h = hashInt(j, hashInt(p, 42L))
-        val m = ((h % 1000000L) + 1000000L) % 1000000L
-        m.toDouble / 1000000.0 - 0.5
-      }
+      planeInts(nBits, dim).map(_.map(m => m.toDouble / 1000000.0 - 0.5))
     })
 
   def bucket(v: ArrayData, nBits: Int): Long = {
@@ -334,6 +496,12 @@ object VectorExpressions {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashes), numHashes))
 
+  def minhashBandKeys(hashes: Column, numHashes: Int, bands: Int): Column =
+    ColumnBridge.column(MinHashBandKeysExpr(ColumnBridge.expression(hashes), numHashes, bands))
+
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+
+  def simhashPortable64(tokens: Column): Column =
+    ColumnBridge.column(SimHashPortable64Expr(ColumnBridge.expression(tokens)))
 }

@@ -56,6 +56,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("portable simhash matches cross-engine known vectors") {
+    // the same vectors are produced by the DuckDB oracle formulation
+    // (poly-31 code-point hash + per-bit affine mix, see PortableSimHash)
+    val df = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("héllo", "中文", "a1_b"),
+      Seq.empty[String],
+      Seq("zzz")).toDF("toks")
+    val got = df.select(VectorExpressions.simhashPortable64(col("toks")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3465703297728465970L, -1111096084529543763L, 0L, -7378697629483820647L))
+  }
+
   test("bigram-hash kernel matches sort(distinct(hash(HOF shingles)))") {
     val docs = TestTables.documents(spark, "/root/testdata/sf0.01")
     val toks = graft.dataprep.TextPrep.tokens(col("text"))
