@@ -29,66 +29,85 @@ final class SeqQlCompiler(table: DocsTable) {
     CompiledQuery(compileAst(parsed.ast), parsed.pipes)
   }
 
-  def compileAst(ast: SeqAst): Column = ast match {
-    case MatchAll            => lit(true)
-    case a: And              => compileConjunction(flattenAnd(a))
-    case Or(l, r)            => compileAst(l) || compileAst(r)
-    case Not(c)              => !compileAst(c)
-    case ExistsFilter(field) => existsFilter(field)
-    case FullText(field, v)  => compileLeaf(FullText(field, v))
-    case InFilter(field, vs) => compileLeaf(InFilter(field, vs))
-    case r: RangeFilter      => compileLeaf(r)
-  }
-
-  private def flattenAnd(ast: SeqAst): Seq[SeqAst] = ast match {
-    case And(l, r) => flattenAnd(l) ++ flattenAnd(r)
-    case other     => Seq(other)
-  }
-
-  /** Nested-field pseudo-doc semantics: in the reference, each element
-    * of a `nested` array is indexed as a separate pseudo-document
-    * sharing the parent ID (proxy/bulk/indexer.go:97-105), so an AND of
-    * filters on the same nested parent must match within ONE element
-    * (tests/integration_tests/single_test.go:165-225). Here: conjuncts
-    * targeting the same nested parent merge into a single `exists`
-    * whose lambda ANDs the per-element predicates.
+  /** Nested-field pseudo-doc semantics. In the reference every element
+    * of a `nested` array is indexed as a separate pseudo-document that
+    * shares the parent ID AND carries a copy of all the parent's tokens
+    * (proxy/bulk/indexer.go:32-46 — nested metas append
+    * `parent.Tokens[1:]`), while the parent's own pseudo-doc carries no
+    * nested-element tokens. Search evaluates the whole boolean tree per
+    * pseudo-doc (sorted-merge over per-meta posting lists), so a doc
+    * matches iff SOME pseudo-doc satisfies the query. Declaratively:
+    *
+    *   match = Q[parent view] OR (∃ element e of P: Q[element view of P])
+    *           for each nested parent P referenced by Q
+    *
+    * where in the parent view every nested-field leaf is `false` (the
+    * parent meta has no such tokens — so a negated nested leaf is
+    * vacuously true there: `not spans.op:x` alone matches every doc,
+    * exactly like the reference's NAND against the full LID range), and
+    * in P's element view leaves on P evaluate against that element,
+    * leaves on a different nested parent are `false` (element metas of
+    * P carry no tokens of P'), and plain leaves keep their doc-level
+    * meaning (tokens copied to every pseudo-doc). This generalizes the
+    * same-element AND rule (tests/integration_tests/single_test.go:
+    * TestSearchNestedWithAND) to arbitrary boolean structure including
+    * `not`.
     */
-  private def compileConjunction(conjuncts: Seq[SeqAst]): Column = {
-    def nestedParentOf(ast: SeqAst): Option[String] = {
-      val field = ast match {
-        case FullText(f, _)     => Some(f)
-        case InFilter(f, _)     => Some(f)
-        case RangeFilter(f, _, _, _, _) => Some(f)
-        case ExistsFilter(f)    => Some(f)
-        case _                  => None
+  def compileAst(ast: SeqAst): Column = {
+    val parents = nestedParentsIn(ast)
+    if (parents.isEmpty) compileView(ast, None)
+    else {
+      val views = compileView(ast, None) +: parents.toSeq.sorted.map { p =>
+        exists(table.fieldCol(p), e => compileView(ast, Some((p, e))))
       }
-      field.flatMap { f =>
-        f.split("\\.").inits.drop(1)
-          .map(_.mkString("."))
-          .find(p => p.nonEmpty && table.mapping.isIndexed(p) &&
-            table.mapping.typeOf(p) == IndexType.Nested)
-      }
+      views.reduce(_ || _)
     }
-    val (nested, plain) = conjuncts.partition(c => nestedParentOf(c).isDefined)
-    def compilePlain(ast: SeqAst): Column = ast match {
-      case FullText(f, v)  => fullText(f, v)
-      case InFilter(f, vs) => vs.map(fullText(f, _)).reduce(_ || _)
-      case r: RangeFilter  => range(r)
-      case ExistsFilter(f) => existsFilter(f)
-      case other           => compileAst(other) // Or/Not/MatchAll sub-trees
-    }
-    val plainCol = plain.map(compilePlain).reduceOption(_ && _)
-    val nestedCols = nested.groupBy(c => nestedParentOf(c).get).toSeq.sortBy(_._1)
-      .map { case (parent, filters) =>
-        exists(table.fieldCol(parent), e =>
-          filters.map(f => compileElementFilter(parent, f, e)).reduce(_ && _))
-      }
-    (plainCol.toSeq ++ nestedCols).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Leaf outside an AND: a nested-field filter still needs element
-    * scoping (a group of one). */
-  private def compileLeaf(ast: SeqAst): Column = compileConjunction(Seq(ast))
+  private def leafField(ast: SeqAst): Option[String] = ast match {
+    case FullText(f, _)             => Some(f)
+    case InFilter(f, _)             => Some(f)
+    case RangeFilter(f, _, _, _, _) => Some(f)
+    case ExistsFilter(f)            => Some(f)
+    case _                          => None
+  }
+
+  private def nestedParentOf(field: String): Option[String] =
+    field.split("\\.").inits.drop(1)
+      .map(_.mkString("."))
+      .find(p => p.nonEmpty && table.mapping.isIndexed(p) &&
+        table.mapping.typeOf(p) == IndexType.Nested)
+
+  private def nestedParentsIn(ast: SeqAst): Set[String] = ast match {
+    case And(l, r) => nestedParentsIn(l) ++ nestedParentsIn(r)
+    case Or(l, r)  => nestedParentsIn(l) ++ nestedParentsIn(r)
+    case Not(c)    => nestedParentsIn(c)
+    case leaf      => leafField(leaf).flatMap(nestedParentOf).toSet
+  }
+
+  /** Compile the query as seen by one pseudo-doc: `scope = None` is the
+    * parent's own pseudo-doc; `scope = Some((p, e))` is element `e` of
+    * nested parent `p`. */
+  private def compileView(ast: SeqAst, scope: Option[(String, Column)]): Column = ast match {
+    case MatchAll   => lit(true)
+    case And(l, r)  => compileView(l, scope) && compileView(r, scope)
+    case Or(l, r)   => compileView(l, scope) || compileView(r, scope)
+    case Not(c)     => !compileView(c, scope)
+    case leaf =>
+      leafField(leaf).flatMap(nestedParentOf) match {
+        case Some(p) => scope match {
+          case Some((sp, e)) if sp == p => compileElementFilter(p, leaf, e)
+          case _                        => lit(false)
+        }
+        case None => leaf match {
+          case FullText(f, v)  => fullText(f, v)
+          case InFilter(f, vs) => vs.map(fullText(f, _)).reduce(_ || _)
+          case r: RangeFilter  => range(r)
+          case ExistsFilter(f) => existsFilter(f)
+          case other           => lit(false) // unreachable: leaves only
+        }
+      }
+  }
 
   /** Compile one filter against a nested element lambda variable. */
   private def compileElementFilter(parent: String, ast: SeqAst, e: Column): Column = {
@@ -127,6 +146,7 @@ final class SeqQlCompiler(table: DocsTable) {
     * NULL-ness. */
   private def existsFilter(field: String): Column = {
     if (field == "_all_") return lit(true)
+    if (field == "_index") return lit(false)
     tagsParentOf(field) match {
       case Some(parent) =>
         val key = field.stripPrefix(parent + ".")
@@ -137,6 +157,10 @@ final class SeqQlCompiler(table: DocsTable) {
     if (!table.hasColumn(field)) lit(false)
     else table.mapping.typeOf(field) match {
       case IndexType.Text => size(table.tokensCol(field)) > 0
+      // the reference never emits an `_exists_` token for a nested or
+      // tags PARENT itself — only for element/pair child fields
+      // (proxy/bulk/indexer.go decode loops `continue` before index())
+      case IndexType.Nested | IndexType.Tags => lit(false)
       case _              => table.fieldCol(field).isNotNull
     }
   }
@@ -155,6 +179,10 @@ final class SeqQlCompiler(table: DocsTable) {
   private def fullText(field: String, rawValue: Pattern): Column = {
     // builtin `_all_` token is present on every doc (seq/tokenizer.go:10)
     if (field == "_all_") return lit(true)
+    // builtin `_index` parses as a keyword field (query_parser.go:18)
+    // but no `_index` token is ever emitted (ES bulk index is ignored,
+    // docs/en/10-public-api.md:103-105) — it matches nothing
+    if (field == "_index") return lit(false)
     // `tags` children: parent is an array of {key,value} pairs; the
     // dotted child name selects pairs by key (proxy/bulk/indexer.go:136-143)
     tagsParentOf(field) match {
@@ -271,6 +299,7 @@ final class SeqQlCompiler(table: DocsTable) {
     * don't parse silently don't match); otherwise lexicographic. Typed
     * numeric columns always compare natively. */
   private def range(r: RangeFilter): Column = {
+    if (r.field == "_index") return lit(false)
     table.requireIndexed(r.field)
     if (!table.hasColumn(r.field)) return lit(false)
     val c = table.fieldCol(r.field)

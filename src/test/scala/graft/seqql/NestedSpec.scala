@@ -54,6 +54,32 @@ class NestedSpec extends SparkSpec {
     assert(count("spans.op:compact or (spans.op:write and spans.ms:[50, *])") == 2)
   }
 
+  test("not over a nested filter matches via the parent pseudo-doc") {
+    // the parent pseudo-doc never carries nested-element tokens, so a
+    // bare negated nested filter is vacuously true on it — every doc
+    // matches (reference: NAND against the full per-meta LID range)
+    assert(count("not spans.op:compact") == 3)
+    assert(count("not (spans.op:write and spans.ms:[50, *])") == 3)
+    // conjoined with a plain filter, the parent view still satisfies
+    // the negation — doc-level filter decides
+    assert(count("svc:api and not spans.op:compact") == 2)
+  }
+
+  test("not combined with a positive nested filter is element-scoped") {
+    // doc1: write@90 (fails not ms>=50); doc2: write@3 (passes) — the
+    // negation applies within the SAME element as the positive filter
+    assert(count("spans.op:write and not spans.ms:[50, *]") == 1)
+    // op:read exists in doc1 (ms=5) and doc2 (ms=80): element-scoped
+    // negation keeps doc1 only
+    assert(count("spans.op:read and not spans.ms:[50, *]") == 1)
+  }
+
+  test("_exists_ on the nested parent itself matches nothing") {
+    // no `_exists_:spans` token is ever emitted — only element children
+    assert(count("_exists_:spans") == 0)
+    assert(count("_exists_:spans.op") == 3)
+  }
+
   test("multi-type field: text tokens vs whole-value keyword") {
     assert(count("message:slow") == 2)            // token match, folded
     assert(count("message:'write slow'") == 2)     // bag-of-words AND

@@ -45,4 +45,14 @@ class TagsSpec extends SparkSpec {
     assert(count("_all_:*") == 3)
     assert(count("_exists_:_all_") == 3)
   }
+
+  test("_index builtin parses but matches nothing") {
+    // the reference registers `_index` as a builtin keyword
+    // (parser/query_parser.go:18) but never emits its token — queries
+    // on it are valid and empty
+    assert(count("_index:logs") == 0)
+    assert(count("_index:[a, z]") == 0)
+    assert(count("_exists_:_index") == 0)
+    assert(count("not _index:logs") == 3)
+  }
 }
