@@ -31,7 +31,47 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ---- write-path throughput (BASELINE.md "Write path" section) ----
+    // Rendering the events table to NDJSON is setup (not timed); the
+    // timed span is the full ingest path: JSON parse -> time
+    // extraction/drift clamp -> id generation -> mapping projection +
+    // text tokenization -> day-partitioned range-sorted parquet write.
+    // Lines are replicated 10x so the measurement isn't overhead-bound.
+    val ingest = try {
+      import org.apache.spark.sql.functions._
+      import graft.model.IndexType
+      val base = spark.read.parquet(s"$sfDir/events.parquet").select(to_json(struct(
+          date_format(timestamp_millis(expr("ts div 1000000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
+          col("event_type"),
+          col("user_id").cast("string").as("user_id"),
+          col("value").cast("string").as("value"),
+          col("props"))).as("value"))
+        .persist()
+      base.count()
+      val lines = (1 to 10).map(_ => base).reduce(_ union _)
+      val mapping = graft.model.SeqMapping.of(
+        "event_type" -> IndexType.Keyword,
+        "user_id"    -> IndexType.Keyword,
+        "value"      -> IndexType.Keyword,
+        "props"      -> IndexType.Text)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        graft.ingest.BulkIngest.ingestPartitioned(lines, mapping,
+          requestTimeMs = 1706745599999L, path = "/tmp/graft_bench_ingest",
+          allowedDriftMs = 10L * 365 * 86400 * 1000)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // cold includes one-time plan/codegen compilation; warm is the
+      // steady-state rate a long-lived ingest job sustains
+      val cold = run()
+      val warm = run()
+      val n = spark.read.parquet("/tmp/graft_bench_ingest").count()
+      base.unpersist()
+      s""","ingest":{"docs":$n,"sec":$cold,"docs_per_sec":${(n / cold).toLong}""" +
+        s""","warm_sec":$warm,"warm_docs_per_sec":${(n / warm).toLong}}"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

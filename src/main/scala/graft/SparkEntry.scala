@@ -319,6 +319,11 @@ object SparkEntry {
     "dp_pii_redact" -> ((s, dir) =>
       dataprep.TextAnalysis.redactPii(TestTables.raw(s, dir, "events"), "event_id", "props", digitRunRe = "[0-9]{2,}")),
 
+    // ---- decontamination: benchmark n-gram overlap report ----
+    "dp_decontaminate" -> ((s, dir) =>
+      dataprep.Decontaminate.report(TestTables.documents(s, dir), "doc_id", "text",
+        col("doc_id") % 20 === 0, minOverlap = 5)),
+
     // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
     "dp_multimodal_stub" -> ((s, dir) =>
       dataprep.Multimodal.extractFeatures(
@@ -776,6 +781,16 @@ object SparkEntry {
                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                  '[0-9]{2,}', '<NUM>', 'g') AS redacted
         FROM events ORDER BY event_id ASC""",
+
+    "dp_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          s AS (SELECT doc_id, $DSHINGLES AS sh FROM t),
+          b AS (SELECT list(DISTINCT sx) AS bsh
+                FROM (SELECT unnest(sh) AS sx FROM s WHERE doc_id % 20 = 0))
+          SELECT doc_id, CAST(len(list_intersect(s.sh, b.bsh)) AS BIGINT) AS n_overlap
+          FROM s, b
+          WHERE doc_id % 20 <> 0 AND len(list_intersect(s.sh, b.bsh)) >= 5
+          ORDER BY doc_id""",
 
     "dp_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
