@@ -32,6 +32,14 @@ final case class ComplexSearchResult(
   def unpersist(): Unit = shared.unpersist()
 }
 
+/** Status RPC response shape (StatusResponse: number_of_stores,
+  * oldest_storage_time, per-store detail). */
+final case class SeqStatus(
+    numberOfStores: Int,
+    oldestStorageTimeMs: Option[Long],
+    newestStorageTimeMs: Option[Long],
+    totalDocs: Long)
+
 sealed trait AggFunc
 object AggFunc {
   /** docs per group value (frac/processor/aggregator.go:160-233) */
@@ -71,6 +79,31 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   private def rid = col("rid")
 
   def compileFilter(query: String): Column = compiler.compile(query).filter
+
+  /** `Mapping` RPC analogue (seq_proxy_api.proto:54-59, MappingResponse
+    * = utf-8 mapping info): the table's mapping as a JSON object
+    * field → [index types]. */
+  def mappingJson: String = {
+    val fields = table.mapping.fields.toSeq.sortBy(_._1).map { case (name, spec) =>
+      val types = spec.types.map(t => "\"" + t.toString.toLowerCase + "\"").mkString("[", ",", "]")
+      "\"" + name + "\":" + types
+    }
+    fields.mkString("{", ",", "}")
+  }
+
+  /** `Status` RPC analogue (seq_proxy_api.proto:61-66, StatusResponse
+    * {number_of_stores, oldest_storage_time, stores}): one logical
+    * store backed by the partitioned table; oldest = min(mid) over it.
+    */
+  def status(): SeqStatus = {
+    val row = table.df.agg(
+      min(mid).as("oldest"), max(mid).as("newest"), count(lit(1)).as("docs")).collect()(0)
+    SeqStatus(
+      numberOfStores = 1,
+      oldestStorageTimeMs = if (row.isNullAt(0)) None else Some(row.getLong(0)),
+      newestStorageTimeMs = if (row.isNullAt(1)) None else Some(row.getLong(1)),
+      totalDocs = row.getLong(2))
+  }
 
   /** Time-pruned, filtered, replica-deduplicated doc set. The [from,to]
     * MID range is inclusive on both ends (frac/processor/search.go:211-232).
@@ -217,8 +250,8 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       case AggFunc.Quantile(qs) =>
         // Discrete quantile at rank round(q*(n-1)) over the sorted
         // per-bucket values — the reference's sampling-free definition
-        // (seq/qpr.go:345-364). Exact here; the reservoir-sampling
-        // variant for huge buckets lives in graft.functions.ReservoirQuantile.
+        // (seq/qpr.go:345-364). Exact here; the bounded-memory sketch
+        // for huge buckets is [[aggregateQuantileSketch]].
         val v = valueCol(agg.field)
         val keys = groupCols(agg.groupBy.map(nameCol).toSeq: _*)
         val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
@@ -236,6 +269,54 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
           .select(keyNames.map(col) ++ Seq(col("q"), col("__v").as("value")): _*)
           .orderBy((keyNames.map(c => col(c).asc) :+ col("q").asc): _*)
     }
+  }
+
+  /** Quantiles via the deterministic bottom-k sketch
+    * (graft.functions.SeqAggregates.DetSamplesAgg) — the at-scale path:
+    * memory per bucket is bounded by the sample cap no matter the
+    * bucket size, partials merge associatively AND the sample is
+    * independent of partitioning/merge order (priority = mix64 of the
+    * row id), so a 1000-executor run reproduces a single-thread run
+    * bit-for-bit. Below the cap the sample is complete, so results
+    * equal the exact window-rank quantiles of [[aggregateOver]].
+    * Output shape matches the Quantile branch of [[aggregateOver]].
+    */
+  def aggregateQuantileSketch(query: String, fromMs: Long, toMs: Long,
+      agg: AggRequest): DataFrame = {
+    val qs = agg.func match {
+      case AggFunc.Quantile(x) => x
+      case other => throw new SeqQlError(s"quantile sketch called with $other")
+    }
+    val m = matches(query, fromMs, toMs)
+    val hasBucket = agg.intervalMs > 0
+    val v = (table.fieldType(agg.field) match {
+      case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) =>
+        table.fieldCol(agg.field).cast(DoubleType)
+      case _ => table.fieldCol(agg.field).try_cast(DoubleType)
+    })
+    val bucket = if (hasBucket) mid - mid % lit(agg.intervalMs) else lit(0L)
+    val name = agg.groupBy match {
+      case Some(g) => coalesce(table.fieldCol(g).cast(StringType), lit("_not_exists"))
+      case None    => lit("")
+    }
+    val spark = table.df.sparkSession
+    import spark.implicits._
+    import graft.functions.SeqAggregates
+    val ds = m.select(
+        bucket.as("b"), name.as("n"), v.as("v"),
+        xxhash64(mid, rid).as("u"))
+      .as[(Long, String, Option[Double], Long)]
+    val agged = ds.groupByKey(t => (t._1, t._2))
+      .mapValues(t => SeqAggregates.DetIn(t._3, t._4))
+      .agg(SeqAggregates.detSamplesAgg(qs).toColumn)
+    val rows = agged.flatMap { case ((b, n), res) =>
+      qs.zip(res.quantiles).map { case (q, value) => (b, n, q, value) }
+    }.toDF("bucket_ms", "name", "q", "value")
+      .where(!isnan(col("value"))) // empty buckets carry no quantile rows
+    val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
+      (if (agg.groupBy.isDefined) Seq("name") else Nil)
+    rows.select(keyNames.map(col) ++ Seq(col("q"), col("value")): _*)
+      .orderBy(keyNames.map(c => col(c).asc) :+ col("q").asc: _*)
   }
 
   /** Histogram with a promql-style interval string (`"1h"`, `"30s"`,

@@ -111,4 +111,96 @@ object SeqAggregates {
   }
 
   def samplesAgg(quantiles: Seq[Double]): SamplesAgg = new SamplesAgg(quantiles)
+
+  // ---------------------------------------------------------------------
+  // Deterministic distributed sampling: bottom-k by hash priority.
+  //
+  // The reservoir above mirrors the reference exactly but — like the
+  // reference — its sample depends on encounter order, and in a
+  // distributed run partial-merge order is scheduler-dependent. This
+  // variant assigns every row a priority = mix64(uid) (uid = any stable
+  // per-row identity, e.g. hash(mid, rid)) and keeps the k smallest
+  // priorities. Keeping "k smallest of a fixed random permutation" is a
+  // uniform sample without replacement AND a commutative, associative,
+  // fully deterministic merge: any partitioning, any merge order, same
+  // sample. This is the right sketch for a 1000-executor aggregation.
+  // ---------------------------------------------------------------------
+
+  /** splitmix64 finalizer — well-mixed 64-bit priority from a uid. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L + Seed
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  final case class DetIn(value: Option[Double], uid: Long)
+
+  final case class DetBuf(
+      var min: Double, var max: Double, var sum: Double,
+      var total: Long, var notExists: Long,
+      var prios: Array[Long], var samples: Array[Double])
+
+  final class DetSamplesAgg(quantiles: Seq[Double])
+      extends Aggregator[DetIn, DetBuf, StatsResult] {
+
+    override def zero: DetBuf =
+      DetBuf(Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L, 0L,
+        Array.empty[Long], Array.empty[Double])
+
+    /** Keep the ReservoirCap smallest (prio, value) pairs; buffers are
+      * allowed to grow to 2x cap between compactions so inserts stay
+      * O(1) amortized. */
+    private def compact(b: DetBuf): Unit = {
+      if (b.prios.length <= ReservoirCap) return
+      val idx = b.prios.indices.toArray
+        .sortBy(i => (b.prios(i), b.samples(i)))
+        .take(ReservoirCap)
+      b.prios = idx.map(b.prios)
+      b.samples = idx.map(b.samples)
+    }
+
+    override def reduce(b: DetBuf, in: DetIn): DetBuf = in.value match {
+      case None => b.notExists += 1; b
+      case Some(v) =>
+        b.total += 1
+        b.sum += v
+        if (v < b.min) b.min = v
+        if (v > b.max) b.max = v
+        b.prios = b.prios :+ mix64(in.uid)
+        b.samples = b.samples :+ v
+        if (b.prios.length >= 2 * ReservoirCap) compact(b)
+        b
+    }
+
+    override def merge(a: DetBuf, c: DetBuf): DetBuf = {
+      a.total += c.total
+      a.notExists += c.notExists
+      a.sum += c.sum
+      if (c.min < a.min) a.min = c.min
+      if (c.max > a.max) a.max = c.max
+      a.prios = a.prios ++ c.prios
+      a.samples = a.samples ++ c.samples
+      compact(a)
+      a
+    }
+
+    override def finish(b: DetBuf): StatsResult = {
+      compact(b)
+      val sorted = b.samples.sorted
+      StatsResult(
+        min = if (b.total == 0) Double.NaN else b.min,
+        max = if (b.total == 0) Double.NaN else b.max,
+        sum = b.sum,
+        avg = if (b.total == 0) Double.NaN else b.sum / b.total,
+        total = b.total,
+        notExists = b.notExists,
+        quantiles = quantiles.map(q => quantileOf(sorted, q)).toArray)
+    }
+
+    override def bufferEncoder: Encoder[DetBuf] = Encoders.product[DetBuf]
+    override def outputEncoder: Encoder[StatsResult] = Encoders.product[StatsResult]
+  }
+
+  def detSamplesAgg(quantiles: Seq[Double]): DetSamplesAgg = new DetSamplesAgg(quantiles)
 }

@@ -148,6 +148,27 @@ class EngineSpec extends SparkSpec {
     eng.requireGroupCardinality("*", T0, T31, "event_type", maxGroupTokens = 100)
   }
 
+  test("quantile sketch equals exact quantiles under the sample cap") {
+    val req = AggRequest(AggFunc.Quantile(Seq(0.5, 0.9)), field = "value",
+      groupBy = Some("event_type"))
+    val exact = eng.aggregate("*", T0, T31, req)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val sketch = eng.aggregateQuantileSketch("*", T0, T31, req)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(sketch == exact)
+  }
+
+  test("status and mapping endpoints mirror the proto shapes") {
+    val st = eng.status()
+    assert(st.numberOfStores == 1)
+    assert(st.totalDocs > 0)
+    assert(st.oldestStorageTimeMs.exists(o => st.newestStorageTimeMs.exists(_ >= o)))
+    val mj = eng.mappingJson
+    assert(mj.contains("\"event_type\":[\"keyword\"]"))
+    // valid JSON (driver-side consumers parse it)
+    assert(mj.startsWith("{") && mj.endsWith("}"))
+  }
+
   test("entry() works on a driver-like session without pre-set configs") {
     // the driver smoke-checks entry(spark) with its own session; the
     // nanos flag must be applied at runtime by the adapter

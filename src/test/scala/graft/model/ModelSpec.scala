@@ -103,6 +103,25 @@ class ReservoirSpec extends AnyFunSuite {
     assert(r.quantiles.toSeq == Seq(3.0))
   }
 
+  test("deterministic bottom-k sketch: same result for ANY partition/merge order") {
+    import graft.functions.SeqAggregates.DetIn
+    val agg = SeqAggregates.detSamplesAgg(Seq(0.5, 0.9))
+    val data = (1 to 20000).map(i => DetIn(Some((i * 37 % 20011).toDouble), i.toLong))
+    def runPartitioned(chunks: Seq[Seq[DetIn]], mergeLeft: Boolean) = {
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)((b, in) => agg.reduce(b, in)))
+      val merged = if (mergeLeft) bufs.reduceLeft(agg.merge) else bufs.reduceRight(agg.merge)
+      agg.finish(merged)
+    }
+    val a = runPartitioned(data.grouped(977).toSeq, mergeLeft = true)
+    val b = runPartitioned(scala.util.Random.shuffle(data).grouped(3001).toSeq, mergeLeft = false)
+    val c = runPartitioned(Seq(data.reverse), mergeLeft = true)
+    assert(a.quantiles.toSeq == b.quantiles.toSeq)
+    assert(a.quantiles.toSeq == c.quantiles.toSeq)
+    assert(a.total == 20000 && b.total == 20000)
+    // accuracy envelope comparable to the reservoir
+    assert(math.abs(a.quantiles(0) - 10005.0) / 10005.0 < 0.05)
+  }
+
   test("reservoir caps at 8096 and merge stays bounded") {
     val agg = SeqAggregates.samplesAgg(Seq(0.5, 0.99))
     var a = agg.zero
