@@ -1,0 +1,66 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.model.{IndexType, SeqMapping}
+
+class EsFacadeSpec extends SparkSpec {
+
+  private val mapping = SeqMapping.of(
+    "service" -> IndexType.Keyword,
+    "level"   -> IndexType.Keyword,
+    "message" -> IndexType.Text)
+
+  private lazy val sink = java.nio.file.Files.createTempDirectory("graft_es_sink").toString + "/docs"
+  private lazy val facade = new EsHttpFacade(spark, mapping, sink)
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${facade.port}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${facade.port}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("handshake stubs satisfy shipper probes") {
+    facade.start()
+    try {
+      assert(get("/").body().contains("\"cluster_name\""))
+      assert(get("/_license").body().contains("\"basic\""))
+      assert(get("/_ilm/policy/foo").body() == "{}")
+      assert(get("/_nodes").body() == "{}")
+      assert(get("/bogus").statusCode() == 400)
+    } finally facade.stop()
+  }
+
+  test("bulk ingest then search over HTTP round-trips") {
+    facade.start()
+    try {
+      val now = System.currentTimeMillis()
+      val ts = java.time.Instant.ofEpochMilli(now).toString
+      val bulk = Seq(
+        """{"index":{"_index":"ignored"}}""",
+        s"""{"timestamp":"$ts","service":"api","level":"error","message":"disk is full"}""",
+        """{"index":{}}""",
+        s"""{"timestamp":"$ts","service":"api","level":"info","message":"all fine"}""",
+        s"""{"timestamp":"$ts","service":"db","level":"error","message":"full table scan"}""",
+      ).mkString("", "\n", "\n")
+      val resp = post("/_bulk", bulk)
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("\"errors\":false"))
+      assert("\\{\"index\":\\{\"status\":201\\}\\}".r.findAllIn(resp.body()).size == 3)
+
+      val hits = post("/search",
+        s"""{"query":"level:error and message:full","from":0,"to":${Long.MaxValue},"size":10}""")
+      assert(hits.statusCode() == 200)
+      assert(hits.body().contains("\"total\":2"))
+      assert(hits.body().contains("disk is full"))
+      assert(hits.body().contains("full table scan"))
+      assert(!hits.body().contains("all fine"))
+    } finally facade.stop()
+  }
+}
