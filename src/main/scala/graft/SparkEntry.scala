@@ -363,32 +363,57 @@ object SparkEntry {
       s"CASE WHEN list_dot_product($vCol, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
+  /** Generated oracle for the trained-IVF query: mirrors
+    * Similarity.trainIvfCentroids's deterministic Lloyd steps (exact
+    * integer-e6 centroid means — order-independent on both engines)
+    * followed by the assignment/probe/rank pipeline.
+    */
+  private def ivfOracleSql(nCells: Int, nProbe: Int, iters: Int, k: Int): String = {
+    def assignCte(name: String, centName: String): String =
+      s"""$name AS (
+         SELECT neighbor_id, v, cell FROM (
+           SELECT e.vec_id AS neighbor_id, e.v, c.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+           FROM e, $centName c) WHERE rn = 1)"""
+    def recomputeCte(name: String, asgName: String): String =
+      s"""$name AS (
+         SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv
+         FROM (SELECT cell, d, sum(xi) AS s, count(*) AS n
+               FROM (SELECT cell, CAST(generate_subscripts(v, 1) AS INT) AS d,
+                            CAST(round(unnest(v) * 1000000) AS BIGINT) AS xi
+                     FROM $asgName)
+               GROUP BY cell, d)
+         GROUP BY cell)"""
+    val train = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"asg$i", s"cent${i - 1}"), recomputeCte(s"cent$i", s"asg$i"))
+    }
+    val ctes = Seq(
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"cent0 AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id ASC LIMIT $nCells)"
+    ) ++ train ++ Seq(
+      assignCte("asgF", s"cent$iters"),
+      s"""probes AS (
+         SELECT query_id, q, cell FROM (
+           SELECT e.vec_id AS query_id, e.v AS q, c.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+           FROM e, cent$iters c WHERE e.vec_id IN (0,1,2,3,4)) WHERE rn <= $nProbe)""",
+      """cand AS (
+         SELECT p.query_id, a.neighbor_id, list_dot_product(p.q, a.v) AS d
+         FROM probes p JOIN asgF a ON p.cell = a.cell AND p.query_id <> a.neighbor_id)""",
+      """r AS (
+         SELECT query_id, neighbor_id, d,
+                row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+         FROM cand)""")
+    s"""WITH ${ctes.mkString(",\n")}
+       SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+              CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+       FROM r WHERE rn <= $k ORDER BY query_id, rank"""
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "dp_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
-         asg AS (
-           SELECT neighbor_id, v, cell FROM (
-             SELECT e.vec_id AS neighbor_id, e.v, c.cell,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
-             FROM e, cent c) WHERE rn = 1),
-         probes AS (
-           SELECT query_id, q, cell FROM (
-             SELECT e.vec_id AS query_id, e.v AS q, c.cell,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
-             FROM e, cent c WHERE e.vec_id IN (0,1,2,3,4)) WHERE rn <= 4),
-         cand AS (
-           SELECT p.query_id, a.neighbor_id, list_dot_product(p.q, a.v) AS d
-           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.neighbor_id),
-         r AS (
-           SELECT query_id, neighbor_id, d,
-                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
-           FROM cand)
-         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
-         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+    "dp_ann_ivf" -> ivfOracleSql(nCells = 16, nProbe = 4, iters = 2, k = 10),
 
     "dp_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -76,27 +76,59 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into `nCells`
-    * Voronoi cells around deterministic centroids (the lowest-id
-    * vectors — a real system would run k-means; the assignment/probe
-    * machinery is identical), then answer queries by exact-scoring
-    * only the `nProbe` nearest cells. The cell id becomes the shuffle/
-    * storage key at scale: each query touches nProbe/nCells of the
-    * corpus instead of all of it.
-    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val centroids = df.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell"), v.as("cv"))
-    // assign: argmin over broadcast centroids (one shuffle on corpus id)
-    val scoredCells = df.select(col(idCol).as("neighbor_id"), v.as("v"))
+  /** Argmin-over-centroids assignment: (id, v, cell). */
+  private def assignCells(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = points
       .join(broadcast(centroids))
       .withColumn("dist", -dot(col("v"), col("cv"))) // unit vectors: max dot = min dist
-    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("dist").asc, col("cell").asc)
-    val assigned = scoredCells.withColumn("rn", row_number().over(wAssign))
+    val w = Window.partitionBy("neighbor_id").orderBy(col("dist").asc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("neighbor_id"), col("v"), col("cell"))
+  }
+
+  /** Deterministic k-means training for IVF: seed centroids are the
+    * `nCells` lowest-id vectors, then `iters` Lloyd steps. Each new
+    * centroid component is an EXACT integer mean: components quantize
+    * to e6 fixed-point, integer-sum per (cell, dim) — associative and
+    * commutative, so the result is identical for any partitioning or
+    * merge order (a float mean would depend on both) — then one double
+    * division. Cells that lose all members drop out (matching a
+    * verification oracle that mirrors the same arithmetic).
+    */
+  def trainIvfCentroids(points: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "neighbor_id"): DataFrame = {
+    var cent = points.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(points, cent)
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .withColumn("xi", expr("CAST(round(col * 1000000) AS BIGINT)"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))).as("a"))
+        .select(col("cell"), transform(col("a"), t =>
+          t.getField("s").cast("double") / (t.getField("n").cast("double") * lit(1000000.0))).as("cv"))
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells`
+    * Voronoi cells around k-means centroids trained with `trainIters`
+    * deterministic Lloyd steps (seeds = lowest-id vectors), then
+    * answer queries by exact-scoring only the `nProbe` nearest cells.
+    * The cell id becomes the shuffle/storage key at scale: each query
+    * touches nProbe/nCells of the corpus instead of all of it.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val points = df.select(col(idCol).as("neighbor_id"), v.as("v"))
+    val centroids = trainIvfCentroids(points, nCells, trainIters)
+    val assigned = assignCells(points, centroids)
     // queries probe their nProbe nearest cells
     val queries = df.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), v.as("q"))
