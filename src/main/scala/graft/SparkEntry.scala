@@ -102,6 +102,11 @@ object SparkEntry {
       ev(s, dir).aggregate("*", T0, T31,
         AggRequest(AggFunc.Unique, groupBy = Some("event_type")))),
 
+    // ---- A3 max (A6: value desc, name asc) ----
+    "seq_agg_max_by_type" -> ((s, dir) =>
+      ev(s, dir).aggregate("*", T0, T31,
+        AggRequest(AggFunc.Max, field = "value", groupBy = Some("event_type")))),
+
     // ---- A3 min with A6 bucket ordering ----
     "seq_agg_min_by_type" -> ((s, dir) =>
       ev(s, dir).aggregate("*", T0, T31,
@@ -150,6 +155,22 @@ object SparkEntry {
     "seq_text_phrase" -> ((s, dir) =>
       docs(s, dir).search(SearchRequest("text:'key order'", 0L, Long.MaxValue, size = 1000))
         .select("mid", "rid", "doc_id", "lang")),
+
+    // ---- F4 lexicographic range over TEXT TOKENS (dictionary walk) ----
+    "seq_text_range" -> ((s, dir) =>
+      docs(s, dir).search(SearchRequest("text:[q, r]", 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id")),
+
+    // ---- P1 fields except variant ----
+    "seq_fields_except" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest(
+        "event_type:signup | fields except props, props_k, value, value_cents, ts",
+        T02, T15, size = 100))),
+
+    // ---- F3 suffix wildcard ----
+    "seq_search_wildcard_suffix" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("event_type:*up", T02, T15, size = 150))
+        .select("mid", "rid", "event_type")),
 
     // ---- F3 wildcard over text tokens ----
     "seq_text_wildcard" -> ((s, dir) =>
@@ -518,6 +539,27 @@ object SparkEntry {
       s"""SELECT coalesce(event_type, '_not_exists') AS name, min(value) AS value
           FROM events WHERE $M BETWEEN $T0 AND $T31
           GROUP BY 1 ORDER BY value ASC, name ASC""",
+
+    "seq_agg_max_by_type" ->
+      s"""SELECT coalesce(event_type, '_not_exists') AS name, max(value) AS value
+          FROM events WHERE $M BETWEEN $T0 AND $T31
+          GROUP BY 1 ORDER BY value DESC, name ASC""",
+
+    "seq_text_range" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents)
+          SELECT doc_id AS mid, doc_id AS rid, doc_id FROM t
+          WHERE len(list_filter(toks, x -> x >= 'q' AND x <= 'r')) > 0
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
+
+    "seq_fields_except" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_id, event_type, user_id FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'signup'
+          ORDER BY mid DESC, rid DESC LIMIT 100""",
+
+    "seq_search_wildcard_suffix" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND event_type LIKE '%up'
+          ORDER BY mid DESC, rid DESC LIMIT 150""",
 
     "seq_agg_sum_avg_cents" ->
       s"""SELECT event_type AS name,

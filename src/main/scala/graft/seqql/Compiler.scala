@@ -312,6 +312,26 @@ final class SeqQlCompiler(table: DocsTable) {
       if (conds.isEmpty) col.isNotNull else conds.reduce(_ && _)
     }
 
+    // text fields: ranges scan the TOKEN domain (the reference walks
+    // the token dictionary, pattern/pattern.go:157-257) — a doc
+    // matches when SOME token falls in the range, with the same
+    // numeric-iff-both-bounds-parse duality applied per token
+    if (table.mapping.typeOf(r.field) == IndexType.Text) {
+      val toks = table.tokensCol(r.field)
+      val loD = r.lo.map(parseDouble)
+      val hiD = r.hi.map(parseDouble)
+      val numeric = loD.forall(_.isDefined) && hiD.forall(_.isDefined) &&
+        (loD.nonEmpty || hiD.nonEmpty)
+      return exists(toks, t =>
+        if (numeric) {
+          val td = t.try_cast(DoubleType)
+          td.isNotNull && cmp(td, loD.flatten.map(lit), hiD.flatten.map(lit))
+        } else {
+          val f = (s: String) => lit(if (caseSensitive) s else s.toLowerCase)
+          cmp(t, r.lo.map(f), r.hi.map(f))
+        })
+    }
+
     dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         val lo = r.lo.map(v => parseLong(v).map(lit).orElse(parseDouble(v).map(d => lit(d))).getOrElse(return lit(false)))

@@ -80,6 +80,15 @@ class NestedSpec extends SparkSpec {
     assert(count("_exists_:spans.op") == 3)
   }
 
+  test("range over a text field scans tokens, with per-token numeric duality") {
+    // lexicographic: a token in [pa, pz] — "path" is in all three docs
+    assert(count("message:[pa, pz]") == 3)
+    // tighter range: only "fast" falls in [fa, fz]
+    assert(count("message:[fa, fz]") == 1)
+    // numeric bounds: no numeric tokens in these messages
+    assert(count("message:[1, 99]") == 0)
+  }
+
   test("multi-type field: text tokens vs whole-value keyword") {
     assert(count("message:slow") == 2)            // token match, folded
     assert(count("message:'write slow'") == 2)     // bag-of-words AND
