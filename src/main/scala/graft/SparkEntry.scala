@@ -54,6 +54,11 @@ object SparkEntry {
       ev(s, dir).search(SearchRequest("event_type:in(err*, sign*)", T02, T15, size = 150))
         .select("mid", "rid", "event_type")),
 
+    // ---- F5 in() with exact numeric values (BASELINE status:in scenario) ----
+    "seq_search_in_numeric" -> ((s, dir) =>
+      ev(s, dir).search(SearchRequest("value:in(100, 200, 300)", T02, T15, size = 200))
+        .select("mid", "rid", "value")),
+
     // ---- F4 numeric range on a typed column ----
     "seq_search_range_numeric" -> ((s, dir) =>
       ev(s, dir).search(SearchRequest("value:[100, 200)", T02, T15, size = 300))
@@ -485,6 +490,11 @@ object SparkEntry {
       s"""SELECT $M AS mid, event_id AS rid, value FROM events
           WHERE $M BETWEEN $T02 AND $T15 AND value >= 100 AND value < 200
           ORDER BY mid DESC, rid DESC LIMIT 300""",
+
+    "seq_search_in_numeric" ->
+      s"""SELECT $M AS mid, event_id AS rid, value FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND value IN (100, 200, 300)
+          ORDER BY mid DESC, rid DESC LIMIT 200""",
 
     "seq_search_range_text" ->
       s"""SELECT $M AS mid, event_id AS rid, event_type FROM events

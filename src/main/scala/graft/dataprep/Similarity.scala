@@ -76,33 +76,45 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Argmin-over-centroids assignment: (id, v, cell). */
-  private def assignCells(points: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = points
-      .join(broadcast(centroids))
-      .withColumn("dist", -dot(col("v"), col("cv"))) // unit vectors: max dot = min dist
-    val w = Window.partitionBy("neighbor_id").orderBy(col("dist").asc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("neighbor_id"), col("v"), col("cell"))
-  }
+  /** Map-side argmin over DRIVER-HELD centroids: the centroid table is
+    * KBs (nCells × dim doubles), so it embeds as literals and cell
+    * assignment is a pure projection — no join, no window, no shuffle.
+    * This is the shape IVF takes at corpus scale: the index metadata
+    * lives with the planner, the data never moves for assignment.
+    * Ties break (dist asc, cell asc) like the reference ordering.
+    */
+  private def scoredCells(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    // array_sort on structs orders lexicographically: (dist asc, cell asc)
+    array_sort(array(centroids.map { case (cell, cv) =>
+      struct((-dot(v, typedlit(cv))).as("dist"), lit(cell).as("cell"))
+    }: _*))
+
+  private def argminCell(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    scoredCells(v, centroids).getItem(0)
+
+  /** (id, v, cell) via [[argminCell]]. */
+  private def assignCells(points: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    points.select(col("neighbor_id"), col("v"),
+      argminCell(col("v"), centroids).getField("cell").as("cell"))
 
   /** Deterministic k-means training for IVF: seed centroids are the
-    * `nCells` lowest-id vectors, then `iters` Lloyd steps. Each new
-    * centroid component is an EXACT integer mean: components quantize
-    * to e6 fixed-point, integer-sum per (cell, dim) — associative and
-    * commutative, so the result is identical for any partitioning or
-    * merge order (a float mean would depend on both) — then one double
-    * division. Cells that lose all members drop out (matching a
-    * verification oracle that mirrors the same arithmetic).
+    * `nCells` lowest-id vectors, then `iters` Lloyd steps driven from
+    * the driver (one tiny collect per step — standard k-means shape).
+    * Each new centroid component is an EXACT integer mean: components
+    * quantize to e6 fixed-point, integer-sum per (cell, dim) — an
+    * associative, commutative reduction, so the result is identical
+    * for any partitioning or merge order (a float mean would depend on
+    * both) — then one double division. Cells that lose all members
+    * drop out (matching a verification oracle that mirrors the same
+    * arithmetic).
     */
   def trainIvfCentroids(points: DataFrame, nCells: Int, iters: Int,
-      idCol: String = "neighbor_id"): DataFrame = {
-    var cent = points.orderBy(col(idCol).asc).limit(nCells)
+      idCol: String = "neighbor_id"): Seq[(Long, Seq[Double])] = {
+    var cent: Seq[(Long, Seq[Double])] = points.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell"), col("v").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
-      val assigned = assignCells(points, cent)
-      cent = assigned
+      cent = assignCells(points, cent)
         .select(col("cell"), posexplode(col("v")))
         .withColumn("xi", expr("CAST(round(col * 1000000) AS BIGINT)"))
         .groupBy(col("cell"), col("pos"))
@@ -111,6 +123,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))).as("a"))
         .select(col("cell"), transform(col("a"), t =>
           t.getField("s").cast("double") / (t.getField("n").cast("double") * lit(1000000.0))).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
     }
     cent
   }
@@ -129,15 +143,13 @@ object Similarity {
     val points = df.select(col(idCol).as("neighbor_id"), v.as("v"))
     val centroids = trainIvfCentroids(points, nCells, trainIters)
     val assigned = assignCells(points, centroids)
-    // queries probe their nProbe nearest cells
-    val queries = df.where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), v.as("q"))
-      .join(broadcast(centroids))
-      .withColumn("dist", -dot(col("q"), col("cv")))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)
-    val probes = queries.withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("q"), col("cell"))
+    // queries probe their nProbe nearest cells — again a pure
+    // projection over the driver-held centroids, then explode
+    val probes = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), v.as("q"),
+        explode(transform(
+          slice(scoredCells(v, centroids), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dot(col("q"), col("v")))
