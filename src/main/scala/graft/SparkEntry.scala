@@ -395,12 +395,15 @@ object SparkEntry {
     * followed by the assignment/probe/rank pipeline.
     */
   private def ivfOracleSql(nCells: Int, nProbe: Int, iters: Int, k: Int): String = {
+    // assignment key = |c|^2 - 2 v.c (true squared-distance argmin up
+    // to the per-row |v|^2 constant), mirroring Similarity.scoredCells
     def assignCte(name: String, centName: String): String =
       s"""$name AS (
          SELECT neighbor_id, v, cell FROM (
            SELECT e.vec_id AS neighbor_id, e.v, c.cell,
                   row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+                    ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) ASC,
+                             c.cell ASC) AS rn
            FROM e, $centName c) WHERE rn = 1)"""
     def recomputeCte(name: String, asgName: String): String =
       s"""$name AS (
@@ -423,7 +426,8 @@ object SparkEntry {
          SELECT query_id, q, cell FROM (
            SELECT e.vec_id AS query_id, e.v AS q, c.cell,
                   row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY -list_dot_product(e.v, c.cv) ASC, c.cell ASC) AS rn
+                    ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) ASC,
+                             c.cell ASC) AS rn
            FROM e, cent$iters c WHERE e.vec_id IN (0,1,2,3,4)) WHERE rn <= $nProbe)""",
       """cand AS (
          SELECT p.query_id, a.neighbor_id, list_dot_product(p.q, a.v) AS d

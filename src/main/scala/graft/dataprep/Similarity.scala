@@ -84,9 +84,15 @@ object Similarity {
     * Ties break (dist asc, cell asc) like the reference ordering.
     */
   private def scoredCells(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    // True squared-distance argmin: |v−c|² = |v|² − 2v·c + |c|², and
+    // |v|² is constant per row, so the sort key is |c|² − 2v·c (a plain
+    // −dot would bias toward large-norm centroids once Lloyd means
+    // shrink below unit norm). |c|² is an ordered driver-side fold —
+    // the oracle recomputes it with the same op order.
     // array_sort on structs orders lexicographically: (dist asc, cell asc)
     array_sort(array(centroids.map { case (cell, cv) =>
-      struct((-dot(v, typedlit(cv))).as("dist"), lit(cell).as("cell"))
+      val c2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((lit(c2) - lit(2.0) * dot(v, typedlit(cv))).as("dist"), lit(cell).as("cell"))
     }: _*))
 
   private def argminCell(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
@@ -108,10 +114,11 @@ object Similarity {
     * drop out (matching a verification oracle that mirrors the same
     * arithmetic).
     */
-  def trainIvfCentroids(points: DataFrame, nCells: Int, iters: Int,
-      idCol: String = "neighbor_id"): Seq[(Long, Seq[Double])] = {
-    var cent: Seq[(Long, Seq[Double])] = points.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell"), col("v").as("cv"))
+  /** `points` must have columns (neighbor_id, v: array<double>) — the
+    * same shape [[assignCells]] consumes. */
+  def trainIvfCentroids(points: DataFrame, nCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    var cent: Seq[(Long, Seq[Double])] = points.orderBy(col("neighbor_id").asc).limit(nCells)
+      .select(col("neighbor_id").as("cell"), col("v").as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
       cent = assignCells(points, cent)

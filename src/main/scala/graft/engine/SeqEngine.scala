@@ -85,8 +85,9 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     * field → [index types]. */
   def mappingJson: String = {
     val fields = table.mapping.fields.toSeq.sortBy(_._1).map { case (name, spec) =>
-      val types = spec.types.map(t => "\"" + t.toString.toLowerCase + "\"").mkString("[", ",", "]")
-      "\"" + name + "\":" + types
+      val types = spec.types.map(t =>
+        graft.model.Json.quote(t.toString.toLowerCase)).mkString("[", ",", "]")
+      graft.model.Json.quote(name) + ":" + types
     }
     fields.mkString("{", ",", "}")
   }
@@ -287,32 +288,42 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       case AggFunc.Quantile(x) => x
       case other => throw new SeqQlError(s"quantile sketch called with $other")
     }
-    val m = matches(query, fromMs, toMs)
+    val m0 = matches(query, fromMs, toMs)
     val hasBucket = agg.intervalMs > 0
+    // text-field group_by groups per TOKEN, exactly like [[aggregateOver]]
+    val (m, nameC): (DataFrame, Column) = agg.groupBy match {
+      case Some(g) if table.mapping.isIndexed(g) &&
+          table.mapping.typeOf(g) == graft.model.IndexType.Text =>
+        val toks = table.tokensCol(g)
+        (m0.withColumn("__gname", explode_outer(when(size(toks) > 0, toks))),
+          coalesce(col("__gname"), lit("_not_exists")))
+      case Some(g) =>
+        (m0, coalesce(table.fieldCol(g).cast(StringType), lit("_not_exists")))
+      case None => (m0, lit(""))
+    }
     val v = (table.fieldType(agg.field) match {
       case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) =>
         table.fieldCol(agg.field).cast(DoubleType)
       case _ => table.fieldCol(agg.field).try_cast(DoubleType)
     })
     val bucket = if (hasBucket) mid - mid % lit(agg.intervalMs) else lit(0L)
-    val name = agg.groupBy match {
-      case Some(g) => coalesce(table.fieldCol(g).cast(StringType), lit("_not_exists"))
-      case None    => lit("")
-    }
     val spark = table.df.sparkSession
     import spark.implicits._
     import graft.functions.SeqAggregates
     val ds = m.select(
-        bucket.as("b"), name.as("n"), v.as("v"),
+        bucket.as("b"), nameC.as("n"), v.as("v"),
         xxhash64(mid, rid).as("u"))
       .as[(Long, String, Option[Double], Long)]
     val agged = ds.groupByKey(t => (t._1, t._2))
       .mapValues(t => SeqAggregates.DetIn(t._3, t._4))
       .agg(SeqAggregates.detSamplesAgg(qs).toColumn)
     val rows = agged.flatMap { case ((b, n), res) =>
-      qs.zip(res.quantiles).map { case (q, value) => (b, n, q, value) }
+      // value-less buckets (only NotExists contributions) carry no
+      // quantile rows — but a legitimately-NaN data value survives,
+      // matching the exact path's isNotNull semantics
+      if (res.total == 0) Nil
+      else qs.zip(res.quantiles).map { case (q, value) => (b, n, q, value) }
     }.toDF("bucket_ms", "name", "q", "value")
-      .where(!isnan(col("value"))) // empty buckets carry no quantile rows
     val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
       (if (agg.groupBy.isDefined) Seq("name") else Nil)
     rows.select(keyNames.map(col) ++ Seq(col("q"), col("value")): _*)

@@ -136,28 +136,39 @@ object SeqAggregates {
 
   final case class DetIn(value: Option[Double], uid: Long)
 
+  /** `used` is the fill pointer — `prios`/`samples` may have spare
+    * capacity beyond it (geometric growth keeps inserts O(1) amortized;
+    * a serialized buffer round-trips the spare slots harmlessly). */
   final case class DetBuf(
       var min: Double, var max: Double, var sum: Double,
-      var total: Long, var notExists: Long,
+      var total: Long, var notExists: Long, var used: Int,
       var prios: Array[Long], var samples: Array[Double])
 
   final class DetSamplesAgg(quantiles: Seq[Double])
       extends Aggregator[DetIn, DetBuf, StatsResult] {
 
     override def zero: DetBuf =
-      DetBuf(Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L, 0L,
+      DetBuf(Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L, 0L, 0,
         Array.empty[Long], Array.empty[Double])
 
-    /** Keep the ReservoirCap smallest (prio, value) pairs; buffers are
-      * allowed to grow to 2x cap between compactions so inserts stay
-      * O(1) amortized. */
+    /** Keep the ReservoirCap smallest (prio, value) pairs of the used
+      * prefix; memory stays bounded by 2x cap between compactions. */
     private def compact(b: DetBuf): Unit = {
-      if (b.prios.length <= ReservoirCap) return
-      val idx = b.prios.indices.toArray
+      if (b.used <= ReservoirCap) return
+      val idx = (0 until b.used).toArray
         .sortBy(i => (b.prios(i), b.samples(i)))
         .take(ReservoirCap)
       b.prios = idx.map(b.prios)
       b.samples = idx.map(b.samples)
+      b.used = ReservoirCap
+    }
+
+    private def ensureRoom(b: DetBuf): Unit = {
+      if (b.used < b.prios.length) return
+      if (b.used >= 2 * ReservoirCap) compact(b)
+      val cap = math.max(64, math.min(2 * ReservoirCap, math.max(b.used * 2, b.used + 1)))
+      b.prios = java.util.Arrays.copyOf(b.prios, cap)
+      b.samples = java.util.Arrays.copyOf(b.samples, cap)
     }
 
     override def reduce(b: DetBuf, in: DetIn): DetBuf = in.value match {
@@ -167,9 +178,10 @@ object SeqAggregates {
         b.sum += v
         if (v < b.min) b.min = v
         if (v > b.max) b.max = v
-        b.prios = b.prios :+ mix64(in.uid)
-        b.samples = b.samples :+ v
-        if (b.prios.length >= 2 * ReservoirCap) compact(b)
+        ensureRoom(b)
+        b.prios(b.used) = mix64(in.uid)
+        b.samples(b.used) = v
+        b.used += 1
         b
     }
 
@@ -179,15 +191,16 @@ object SeqAggregates {
       a.sum += c.sum
       if (c.min < a.min) a.min = c.min
       if (c.max > a.max) a.max = c.max
-      a.prios = a.prios ++ c.prios
-      a.samples = a.samples ++ c.samples
+      a.prios = a.prios.take(a.used) ++ c.prios.take(c.used)
+      a.samples = a.samples.take(a.used) ++ c.samples.take(c.used)
+      a.used += c.used
       compact(a)
       a
     }
 
     override def finish(b: DetBuf): StatsResult = {
       compact(b)
-      val sorted = b.samples.sorted
+      val sorted = b.samples.take(b.used).sorted
       StatsResult(
         min = if (b.total == 0) Double.NaN else b.min,
         max = if (b.total == 0) Double.NaN else b.max,

@@ -101,12 +101,17 @@ final class EsHttpFacade(
       val t0 = System.nanoTime()
       val lines = body(ex).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       val df = lines.toDF("value")
+      // persist so the ingest pipeline (parse + tokenize) runs once for
+      // the write and the item count reads the cached result
       val docs = BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
-      docs.write.mode("append").parquet(sinkDir)
-      val nDocs = docs.count()
-      val tookMs = (System.nanoTime() - t0) / 1000000
-      val items = Seq.fill(nDocs.toInt)("""{"index":{"status":201}}""").mkString(",")
-      reply(ex, 200, s"""{"took":$tookMs,"errors":false,"items":[$items]}""")
+        .persist()
+      try {
+        docs.write.mode("append").parquet(sinkDir)
+        val nDocs = docs.count()
+        val tookMs = (System.nanoTime() - t0) / 1000000
+        val items = Seq.fill(nDocs.toInt)("""{"index":{"status":201}}""").mkString(",")
+        reply(ex, 200, s"""{"took":$tookMs,"errors":false,"items":[$items]}""")
+      } finally docs.unpersist()
     }
 
     private def handleSearch(ex: HttpExchange): Unit = {
@@ -127,7 +132,7 @@ final class EsHttpFacade(
   private def parseSearch(json: String): SearchRequest = {
     def str(k: String): Option[String] =
       ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(json).map(_.group(1).replace("\\\"", "\""))
+        .findFirstMatchIn(json).map(m => graft.model.Json.unescape(m.group(1)))
     def num(k: String): Option[Long] =
       ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
     def bool(k: String): Option[Boolean] =
@@ -141,14 +146,5 @@ final class EsHttpFacade(
       asc = bool("asc").getOrElse(false))
   }
 
-  private def quote(s: String): String =
-    "\"" + Option(s).getOrElse("").flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    } + "\""
+  private def quote(s: String): String = graft.model.Json.quote(s)
 }

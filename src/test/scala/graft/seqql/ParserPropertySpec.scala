@@ -83,6 +83,46 @@ class ParserPropertySpec extends AnyFunSuite {
     case Not(c)    => s"not (${render(c)})"
   }
 
+  test("random ASTs compile to a Column or raise SeqQlError — never crash") {
+    // fields are random, so most hit the unindexed-field rejection
+    // (F11) — the invariant is that compilation is TOTAL over the AST
+    // space: either a usable predicate or the typed error
+    val mapping = graft.model.SeqMapping.of(
+      "a"   -> graft.model.IndexType.Keyword,
+      "a.b" -> graft.model.IndexType.Keyword,
+      "t"   -> graft.model.IndexType.Text)
+    val table = graft.engine.DocsTable(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .getOrElse(org.apache.spark.sql.SparkSession.builder()
+          .master("local[2]").config("spark.ui.enabled", "false").getOrCreate())
+        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("mid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("t__tokens",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))),
+      mapping, columnOverrides = Map("a.b" -> "a"))
+    val compiler = new SeqQlCompiler(table)
+    var checked = 0
+    var seed = 100000L
+    while (checked < 300 && seed < 110000) {
+      astGen(3).apply(Gen.Parameters.default, Seed(seed)) match {
+        case Some(ast) =>
+          checked += 1
+          try compiler.compileAst(ast)
+          catch {
+            case _: graft.model.SeqQlError => () // typed rejection is fine
+            case e: Throwable => fail(s"compile crashed for <${render(ast)}>: $e")
+          }
+        case None => ()
+      }
+      seed += 1
+    }
+    assert(checked == 300, s"only generated $checked samples")
+  }
+
   test("render → parse round-trips the AST (500 seeded samples)") {
     var checked = 0
     var seed = 0L
