@@ -345,6 +345,20 @@ object SparkEntry {
     "dp_pii_redact" -> ((s, dir) =>
       dataprep.TextAnalysis.redactPii(TestTables.raw(s, dir, "events"), "event_id", "props", digitRunRe = "[0-9]{2,}")),
 
+    // ---- deterministic hash split (train/val/test) ----
+    "dp_split" -> ((s, dir) =>
+      dataprep.Sampling.split(
+          TestTables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // ---- deterministic stratified sample (k smallest priorities per group) ----
+    "dp_sample_stratified" -> ((s, dir) =>
+      dataprep.Sampling.stratifiedSample(
+          TestTables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy("lang", "sample_rank")),
+
     // ---- decontamination: benchmark n-gram overlap report ----
     "dp_decontaminate" -> ((s, dir) =>
       dataprep.Decontaminate.report(TestTables.documents(s, dir), "doc_id", "text",
@@ -442,7 +456,50 @@ object SparkEntry {
        FROM r WHERE rn <= $k ORDER BY query_id, rank"""
   }
 
+  /** Macro-free splitmix64 (graft.functions.SeqAggregates.mix64) as a
+    * DuckDB CTE chain over HUGEINT mod-2^64 arithmetic; the 64x64
+    * multiply is split 32/32 so no intermediate exceeds HUGEINT range.
+    * `baseSelect` must expose a BIGINT `uid` column; the chain appends
+    * `h63` (the unsigned hash shifted right once — compare with plain
+    * signed <).
+    */
+  private def mix64Ctes(baseSelect: String): String = {
+    val M = "18446744073709551616"
+    def u64(x: String) = s"(((CAST($x AS HUGEINT)) % $M + $M) % $M)"
+    def tos64(u: String) = s"CAST($u - CASE WHEN $u >= 9223372036854775808 THEN $M ELSE 0 END AS BIGINT)"
+    def mul(a: String, b: String) =
+      u64(s"(($a % 4294967296) * $b + (((($a // 4294967296) * $b) % 4294967296) * 4294967296))")
+    val C = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L + graft.functions.SeqAggregates.Seed)
+    val B1 = java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L)
+    val B2 = java.lang.Long.toUnsignedString(0x94D049BB133111EBL)
+    s"""b AS ($baseSelect),
+       m0 AS (SELECT *, ${u64(s"CAST(uid AS HUGEINT) + $C")} AS u0 FROM b),
+       m1 AS (SELECT *, ${u64(s"xor(${tos64("u0")}, ${tos64("(u0 // 1073741824)")})")} AS u1 FROM m0),
+       m2 AS (SELECT *, ${mul("u1", B1)} AS u2 FROM m1),
+       m3 AS (SELECT *, ${u64(s"xor(${tos64("u2")}, ${tos64("(u2 // 134217728)")})")} AS u3 FROM m2),
+       m4 AS (SELECT *, ${mul("u3", B2)} AS u4 FROM m3),
+       m5 AS (SELECT *, ${u64(s"xor(${tos64("u4")}, ${tos64("(u4 // 2147483648)")})")} AS u5 FROM m4),
+       mh AS (SELECT *, CAST(u5 // 2 AS BIGINT) AS h63 FROM m5)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dp_split" -> {
+      val ts = dataprep.Sampling.thresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = ts.init.map { case (n, t) => s"WHEN h63 < $t THEN '$n'" }.mkString(" ")
+      s"""WITH ${mix64Ctes("SELECT doc_id, CAST(doc_id AS BIGINT) AS uid FROM documents")}
+          SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
+          FROM mh ORDER BY doc_id"""
+    },
+
+    "dp_sample_stratified" ->
+      s"""WITH ${mix64Ctes("SELECT doc_id, lang, CAST(doc_id AS BIGINT) AS uid FROM documents")},
+          r AS (SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY h63 ASC, doc_id ASC) AS rn
+                FROM mh)
+          SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id
+          FROM r WHERE rn <= 20 ORDER BY lang, sample_rank""",
+
     "dp_ann_ivf" -> ivfOracleSql(nCells = 16, nProbe = 4, iters = 2, k = 10),
 
     "dp_ann_lsh" ->

@@ -1,0 +1,68 @@
+package graft.dataprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines, built
+  * on the same hash-priority idea as the quantile sketch
+  * (graft.functions.SeqAggregates.mix64): every row's fate is a pure
+  * function of its stable id, so any partitioning, any cluster size,
+  * any merge order — even a different engine — reproduces the exact
+  * same split/sample. No RNG state, no seed-per-partition pitfalls.
+  */
+object Sampling {
+
+  /** 63-bit non-negative hash of the uid (top bit shifted out so plain
+    * signed comparisons work on both engines). */
+  def priority63(uid: Column): Column =
+    shiftrightunsigned(graft.functions.VectorExpressions.mix64(uid), 1)
+
+  /** Integer thresholds on the 63-bit domain for cumulative weights —
+    * computed in exact BigDecimal so the Spark side and a SQL oracle
+    * embed identical literals.
+    */
+  def thresholds(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    val scale = BigDecimal(2).pow(63)
+    var cum = BigDecimal(0)
+    weights.map { case (name, w) =>
+      cum += BigDecimal(w)
+      val t = (scale * cum).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      // the final cumulative bound is 2^63 itself — clamp to the max
+      // h63 value + 1 (the fallback branch makes it unused anyway)
+      (name, if (t >= scale) Long.MaxValue else t.toLongExact)
+    }
+  }
+
+  /** Assign each row to a named split (train/val/test by default) by
+    * hash range — deterministic, engine-independent, stable under
+    * re-partitioning and incremental reprocessing (a row's split never
+    * changes when other rows come or go, unlike randomSplit).
+    */
+  def split(df: DataFrame, uidCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      asCol: String = "split"): DataFrame = {
+    val h = priority63(col(uidCol).cast("long"))
+    val ts = thresholds(weights)
+    val expr = ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), acc) =>
+      when(h < lit(t), lit(name)).otherwise(acc)
+    }
+    // foldRight builds when-chains nested in the otherwise branch; the
+    // last split is the unconditional fallback
+    df.withColumn(asCol, expr)
+  }
+
+  /** Exactly-k-per-group deterministic sample: the k rows with the
+    * smallest hash priorities in each group (ties broken by uid). A
+    * uniform without-replacement sample per group — and, like
+    * [[split]], reproducible anywhere.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, uidCol: String, k: Int): DataFrame = {
+    val h = priority63(col(uidCol).cast("long"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(uidCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+}

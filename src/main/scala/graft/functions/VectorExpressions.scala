@@ -483,7 +483,31 @@ object LshPlanes {
   }
 }
 
+/** splitmix64 of a long uid (graft.functions.SeqAggregates.mix64) as a
+  * native expression — Java long arithmetic wraps, which ANSI-mode
+  * Column operators would reject as overflow. The same arithmetic is
+  * replayable in the DuckDB oracle via HUGEINT mod-2^64 steps.
+  */
+case class Mix64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SeqAggregates.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SeqAggregates.mix64($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  def mix64(uid: Column): Column =
+    ColumnBridge.column(Mix64Expr(ColumnBridge.expression(uid)))
+
   def lshBuckets(vec: Column, nBits: Int): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(vec), nBits))
 

@@ -1,0 +1,39 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (0L until 1000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+
+  test("split is deterministic, partition-independent, and ~weight-proportional") {
+    val a = Sampling.split(df, "id").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.split(df.repartition(13, col("grp")), "id").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) < 60)
+    assert(math.abs(counts("val") - 100) < 40)
+    assert(math.abs(counts("test") - 100) < 40)
+    // membership is per-row stable: a subset of the data splits identically
+    val sub = Sampling.split(df.where(col("id") < 100), "id").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+  }
+
+  test("stratifiedSample keeps exactly k smallest priorities per group") {
+    val s = Sampling.stratifiedSample(df, "grp", "id", k = 10)
+      .select("grp", "sample_rank", "id").collect()
+    assert(s.length == 30)
+    val byG = s.groupBy(_.getString(0))
+    assert(byG.keySet == Set("g0", "g1", "g2") && byG.values.forall(_.length == 10))
+    // re-running on a reshuffled frame returns the identical sample
+    val s2 = Sampling.stratifiedSample(df.repartition(7), "grp", "id", k = 10)
+      .select("grp", "sample_rank", "id").collect()
+    assert(s.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      s2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+}
