@@ -337,6 +337,10 @@ object SparkEntry {
     "dp_token_counts" -> ((s, dir) =>
       dataprep.TextAnalysis.tokenCounts(TestTables.documents(s, dir), "doc_id", "text")),
 
+    // ---- text normalization (NFC + case fold + whitespace collapse) ----
+    "dp_normalize" -> ((s, dir) =>
+      dataprep.TextAnalysis.normalizeText(TestTables.documents(s, dir), "doc_id", "text")),
+
     // ---- document fingerprint ----
     "dp_fingerprint" -> ((s, dir) =>
       dataprep.TextAnalysis.fingerprint(TestTables.documents(s, dir), "doc_id", "text")),
@@ -904,6 +908,12 @@ object SparkEntry {
               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens,
               CAST(len(list_distinct($DTOKS)) AS BIGINT) AS uniq_tokens
           FROM documents ORDER BY doc_id ASC""",
+
+    "dp_normalize" ->
+      """SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm,
+               CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM documents ORDER BY doc_id ASC""",
 
     "dp_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

@@ -112,4 +112,20 @@ object TextAnalysis {
     df.select(col(idCol),
         md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))).as("fp"))
       .orderBy(col(idCol).asc)
+
+  /** Canonical text normalization for multilingual corpora: Unicode
+    * NFC (combining sequences → precomposed — native
+    * graft.functions.NfcNormalizeExpr), case folding, whitespace runs
+    * collapsed to single spaces, trimmed. The standard pre-dedup /
+    * pre-tokenization cleanup; every step has an exact DuckDB
+    * equivalent (nfc_normalize / lower / regexp_replace), so the
+    * output is oracle-checkable byte-for-byte.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        trim(regexp_replace(
+          lower(graft.functions.VectorExpressions.nfcNormalize(col(textCol))),
+          "\\s+", " ")).as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+      .orderBy(col(idCol).asc)
 }

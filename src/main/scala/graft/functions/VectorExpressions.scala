@@ -504,9 +504,36 @@ case class Mix64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — Spark has no
+  * builtin; the DuckDB oracle's `nfc_normalize` implements the same
+  * Unicode algorithm, so normalized text compares exactly.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($x.toString(), java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def mix64(uid: Column): Column =
     ColumnBridge.column(Mix64Expr(ColumnBridge.expression(uid)))
+
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(s)))
 
   def lshBuckets(vec: Column, nBits: Int): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(vec), nBits))
