@@ -488,8 +488,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dp_split" -> {
-      val ts = dataprep.Sampling.thresholds(
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val ts = dataprep.Sampling.thresholds(dataprep.Sampling.DefaultWeights)
       val cases = ts.init.map { case (n, t) => s"WHEN h63 < $t THEN '$n'" }.mkString(" ")
       s"""WITH ${mix64Ctes("SELECT doc_id, CAST(doc_id AS BIGINT) AS uid FROM documents")}
           SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
@@ -911,8 +910,8 @@ object SparkEntry {
 
     "dp_normalize" ->
       """SELECT doc_id,
-               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm,
-               CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+               trim(regexp_replace(lower(nfc_normalize(text)), '[\s\p{Z}]+', ' ', 'g')) AS norm,
+               CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '[\s\p{Z}]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         FROM documents ORDER BY doc_id ASC""",
 
     "dp_fingerprint" ->

@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  val DefaultWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   /** 63-bit non-negative hash of the uid (top bit shifted out so plain
-    * signed comparisons work on both engines). */
+    * signed comparisons work on both engines). Null uids hash as 0 so
+    * rows with a missing id still land deterministically — and
+    * identically on an oracle engine, where null ordering differs. */
   def priority63(uid: Column): Column =
-    shiftrightunsigned(graft.functions.VectorExpressions.mix64(uid), 1)
+    shiftrightunsigned(
+      graft.functions.VectorExpressions.mix64(coalesce(uid, lit(0L))), 1)
 
   /** Integer thresholds on the 63-bit domain for cumulative weights —
     * computed in exact BigDecimal so the Spark side and a SQL oracle
@@ -25,13 +31,15 @@ object Sampling {
   def thresholds(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "weights must sum to 1")
+    require(weights.forall(_._2 > 0), "every weight must be positive")
     val scale = BigDecimal(2).pow(63)
     var cum = BigDecimal(0)
     weights.map { case (name, w) =>
       cum += BigDecimal(w)
       val t = (scale * cum).setScale(0, BigDecimal.RoundingMode.FLOOR)
-      // the final cumulative bound is 2^63 itself — clamp to the max
-      // h63 value + 1 (the fallback branch makes it unused anyway)
+      // the final cumulative bound is 2^63 itself — clamp into range;
+      // the last split is the when-chain fallback, so its threshold is
+      // never compared
       (name, if (t >= scale) Long.MaxValue else t.toLongExact)
     }
   }
@@ -42,8 +50,9 @@ object Sampling {
     * changes when other rows come or go, unlike randomSplit).
     */
   def split(df: DataFrame, uidCol: String,
-      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      weights: Seq[(String, Double)] = DefaultWeights,
       asCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(asCol), s"column '$asCol' already exists")
     val h = priority63(col(uidCol).cast("long"))
     val ts = thresholds(weights)
     val expr = ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), acc) =>
@@ -60,8 +69,11 @@ object Sampling {
     * [[split]], reproducible anywhere.
     */
   def stratifiedSample(df: DataFrame, groupCol: String, uidCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("sample_rank"), "column 'sample_rank' already exists")
     val h = priority63(col(uidCol).cast("long"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(uidCol).asc)
+    // null-safe tiebreak: engines disagree on null ordering
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h.asc, coalesce(col(uidCol).cast("long"), lit(0L)).asc)
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }

@@ -114,18 +114,19 @@ object TextAnalysis {
       .orderBy(col(idCol).asc)
 
   /** Canonical text normalization for multilingual corpora: Unicode
-    * NFC (combining sequences → precomposed — native
-    * graft.functions.NfcNormalizeExpr), case folding, whitespace runs
-    * collapsed to single spaces, trimmed. The standard pre-dedup /
-    * pre-tokenization cleanup; every step has an exact DuckDB
-    * equivalent (nfc_normalize / lower / regexp_replace), so the
-    * output is oracle-checkable byte-for-byte.
+    * NFC + SIMPLE per-codepoint case folding in one native kernel
+    * (graft.functions.NfcFoldExpr — context- and locale-free, unlike
+    * Spark's `lower`), then whitespace runs (ASCII + Unicode space
+    * separators) collapsed to single spaces and trimmed. The standard
+    * pre-dedup / pre-tokenization cleanup; every step has an exact
+    * DuckDB equivalent (lower(nfc_normalize(x)) / regexp_replace), so
+    * the output is oracle-checkable byte-for-byte.
     */
   def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
         trim(regexp_replace(
-          lower(graft.functions.VectorExpressions.nfcNormalize(col(textCol))),
-          "\\s+", " ")).as("norm"))
+          graft.functions.VectorExpressions.nfcFold(col(textCol)),
+          "[\\s\\p{Z}]+", " ")).as("norm"))
       .withColumn("n_chars_norm", length(col("norm")).cast("long"))
       .orderBy(col(idCol).asc)
 }

@@ -492,6 +492,12 @@ case class Mix64Expr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mix64 expects bigint, got $other")
+    }
 
   override def nullSafeEval(input: Any): Any =
     SeqAggregates.mix64(input.asInstanceOf[Long])
@@ -504,36 +510,61 @@ case class Mix64Expr(child: Expression)
     copy(child = newChild)
 }
 
-/** Unicode NFC normalization (java.text.Normalizer) — Spark has no
-  * builtin; the DuckDB oracle's `nfc_normalize` implements the same
-  * Unicode algorithm, so normalized text compares exactly.
+/** Unicode NFC normalization + SIMPLE per-codepoint case folding.
+  * Spark has no NFC builtin, and its `lower` delegates to Java's
+  * contextual, locale-sensitive toLowerCase (final-sigma handling,
+  * Turkish-locale dotted I) — not byte-equivalent to other engines.
+  * This kernel applies java.text.Normalizer NFC then
+  * Character.toLowerCase per code point: the Unicode SIMPLE lowercase
+  * mapping, context-free and locale-free, matching utf8proc-based
+  * engines (the DuckDB oracle's `lower(nfc_normalize(x))`).
   */
-case class NfcNormalizeExpr(child: Expression)
+case class NfcFoldExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_fold expects string, got $other")
+    }
 
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
-        java.text.Normalizer.Form.NFC))
+      NfcFold.fold(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  java.text.Normalizer.normalize($x.toString(), java.text.Normalizer.Form.NFC));""".stripMargin)
+         |  graft.functions.NfcFold.fold($x.toString()));""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object NfcFold {
+  def fold(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 }
 
 object VectorExpressions {
   def mix64(uid: Column): Column =
     ColumnBridge.column(Mix64Expr(ColumnBridge.expression(uid)))
 
-  def nfcNormalize(s: Column): Column =
-    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(s)))
+  def nfcFold(s: Column): Column =
+    ColumnBridge.column(NfcFoldExpr(ColumnBridge.expression(s)))
 
   def lshBuckets(vec: Column, nBits: Int): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(vec), nBits))

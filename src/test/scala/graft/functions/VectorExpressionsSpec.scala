@@ -56,6 +56,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("nfcFold: NFC + simple lowercase, matching utf8proc known vectors") {
+    // expected values produced by DuckDB lower(nfc_normalize(x)) —
+    // note ΟΔΟΣ keeps the NON-final sigma (simple mapping, no context),
+    // İ maps 1:1 to i, ß stays, the decomposed e+◌́ precomposes
+    val df = Seq("ΟΔΟΣ", "İstanbul", "STRASSE \u00df", "e\u0301cole", "\u01c5ungla").toDF("t")
+    val got = df.select(VectorExpressions.nfcFold(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("οδοσ", "istanbul", "strasse \u00df", "\u00e9cole", "\u01c6ungla"))
+  }
+
   test("portable simhash matches cross-engine known vectors") {
     // the same vectors are produced by the DuckDB oracle formulation
     // (poly-31 code-point hash + per-bit affine mix, see PortableSimHash)
