@@ -133,6 +133,13 @@ object SparkEntry {
         AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
           groupBy = Some("event_type")))),
 
+    // ---- A4 via the deterministic bottom-k sketch (complete sample
+    // below the cap ⇒ exact — same oracle as the window-rank path) ----
+    "seq_agg_quantile_sketch" -> ((s, dir) =>
+      ev(s, dir).aggregateQuantileSketch("*", T0, T31,
+        AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
+          groupBy = Some("event_type")))),
+
     // ---- A5 time-series bins ----
     "seq_agg_timeseries_day" -> ((s, dir) =>
       ev(s, dir).aggregate("*", T0, T31,
@@ -644,6 +651,23 @@ object SparkEntry {
           GROUP BY 1 ORDER BY name ASC""",
 
     "seq_agg_quantile" ->
+      s"""WITH m AS (
+            SELECT coalesce(event_type, '_not_exists') AS name, value FROM events
+            WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL
+          ), r AS (
+            SELECT name, value,
+                   row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
+                   count(*) OVER (PARTITION BY name) AS n
+            FROM m
+          )
+          SELECT name, q, value FROM r
+          JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
+          ORDER BY name ASC, q ASC""",
+
+    // below the sample cap the bottom-k sketch's sample is complete,
+    // so the exact window-rank oracle applies verbatim
+    "seq_agg_quantile_sketch" ->
       s"""WITH m AS (
             SELECT coalesce(event_type, '_not_exists') AS name, value FROM events
             WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL
