@@ -28,7 +28,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the whole JSON line under ~1.8 KB so it fits
+    // intact in the driver's bounded stdout-tail capture
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // ---- write-path throughput (BASELINE.md "Write path" section) ----
@@ -68,10 +72,10 @@ object Bench {
       val warm = run()
       val n = spark.read.parquet("/tmp/graft_bench_ingest").count()
       base.unpersist()
-      s""","ingest":{"docs":$n,"sec":$cold,"docs_per_sec":${(n / cold).toLong}""" +
-        s""","warm_sec":$warm,"warm_docs_per_sec":${(n / warm).toLong}}"""
+      s""","ingest":{"docs":$n,"sec":${f3(cold)},"docs_per_sec":${(n / cold).toLong}""" +
+        s""","warm_sec":${f3(warm)},"warm_docs_per_sec":${(n / warm).toLong}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,9 @@ object Decontaminate {
     */
   def report(df: DataFrame, idCol: String, textCol: String,
       benchPred: Column, minOverlap: Int): DataFrame = {
-    val sh = df.select(col(idCol), benchPred.as("is_bench"),
+    // NULL predicate rows are corpus docs, not bench docs — without the
+    // coalesce they'd vanish from both sides (NOT NULL is NULL)
+    val sh = df.select(col(idCol), coalesce(benchPred, lit(false)).as("is_bench"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
     val benchSh = sh.where(col("is_bench"))
       .select(explode(col("sh")).as("h")).distinct()
@@ -42,7 +44,7 @@ object Decontaminate {
     * report). */
   def clean(df: DataFrame, idCol: String, textCol: String,
       benchPred: Column, minOverlap: Int): DataFrame =
-    df.where(!benchPred).join(
+    df.where(!coalesce(benchPred, lit(false))).join(
       report(df, idCol, textCol, benchPred, minOverlap).select(idCol),
       Seq(idCol), "left_anti")
 }

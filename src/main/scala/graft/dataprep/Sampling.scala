@@ -24,6 +24,25 @@ object Sampling {
     shiftrightunsigned(
       graft.functions.VectorExpressions.mix64(coalesce(uid, lit(0L))), 1)
 
+  /** The mix64 priority domain is the raw 64-bit integer value of the
+    * uid; a non-integral uid (e.g. a string doc id) would cast to NULL
+    * for every row, collapsing all priorities to mix64(0) — split()
+    * would silently put the whole corpus in one bucket. Fail fast
+    * instead: stable string ids must be pre-hashed to a BIGINT column
+    * (e.g. xxhash64) by the caller, which keeps the priority function
+    * an explicit, engine-portable contract.
+    */
+  private def requireIntegralUid(df: DataFrame, uidCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(uidCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"uid column '$uidCol' must be integral for deterministic " +
+        s"hash-priority sampling, got $other; pre-hash string ids to " +
+        "BIGINT (e.g. xxhash64) first")
+    }
+  }
+
   /** Integer thresholds on the 63-bit domain for cumulative weights —
     * computed in exact BigDecimal so the Spark side and a SQL oracle
     * embed identical literals.
@@ -53,6 +72,7 @@ object Sampling {
       weights: Seq[(String, Double)] = DefaultWeights,
       asCol: String = "split"): DataFrame = {
     require(!df.columns.contains(asCol), s"column '$asCol' already exists")
+    requireIntegralUid(df, uidCol)
     val h = priority63(col(uidCol).cast("long"))
     val ts = thresholds(weights)
     val expr = ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), acc) =>
@@ -70,6 +90,7 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, groupCol: String, uidCol: String, k: Int): DataFrame = {
     require(!df.columns.contains("sample_rank"), "column 'sample_rank' already exists")
+    requireIntegralUid(df, uidCol)
     val h = priority63(col(uidCol).cast("long"))
     // null-safe tiebreak: engines disagree on null ordering
     val w = Window.partitionBy(col(groupCol))

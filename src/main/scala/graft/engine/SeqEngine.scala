@@ -85,8 +85,11 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     * field → [index types]. */
   def mappingJson: String = {
     val fields = table.mapping.fields.toSeq.sortBy(_._1).map { case (name, spec) =>
+      // Locale.ROOT: default-locale lowercasing is locale-sensitive
+      // (Turkish I → ı), same rationale as NfcFoldExpr
       val types = spec.types.map(t =>
-        graft.model.Json.quote(t.toString.toLowerCase)).mkString("[", ",", "]")
+        graft.model.Json.quote(t.toString.toLowerCase(java.util.Locale.ROOT)))
+        .mkString("[", ",", "]")
       graft.model.Json.quote(name) + ":" + types
     }
     fields.mkString("{", ",", "}")

@@ -152,9 +152,15 @@ object BulkIngest {
 
   /** Stage 2 — expand: mapping-driven projection + tokenization of
     * stamped rows (a narrow map — preserves any partitioning/order the
-    * input already has). */
-  def expand(stamped: DataFrame, mapping: SeqMapping): DataFrame = {
+    * input already has). `extraCols` are passed through verbatim (same
+    * attributes, not recomputed) so a sort established before expand —
+    * e.g. [[ingestPartitioned]]'s (date, mid, rid) — remains visible to
+    * downstream consumers like FileFormatWriter's required ordering. */
+  def expand(stamped: DataFrame, mapping: SeqMapping,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val schema = schemaFor(mapping)
+    require(!extraCols.exists(schema.fieldNames.contains),
+      s"extraCols ${extraCols.mkString(",")} collide with mapped fields")
     val withDoc = stamped.withColumn("__doc", from_json(col("_raw"), schema))
     val topLevel: Seq[Column] = schema.fields.toSeq.map { f =>
       val src = col("__doc").getField(f.name)
@@ -171,7 +177,8 @@ object BulkIngest {
       .sortBy(_.name)
       .map(s => Tokenizers.textTokens(col("__doc").getField(s.name), mapping.caseSensitive)
         .as(s.name + "__tokens"))
-    withDoc.select(Seq(col("mid"), col("rid"), col("_raw")) ++ topLevel ++ tokenCols: _*)
+    withDoc.select(Seq(col("mid"), col("rid"), col("_raw")) ++
+      extraCols.map(col) ++ topLevel ++ tokenCols: _*)
   }
 
   def project(
@@ -232,8 +239,12 @@ object BulkIngest {
       .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
       .repartitionByRange(col("date"), col("mid"))
       .sortWithinPartitions(col("date"), col("mid"), col("rid"))
-    expand(staged, mapping)
-      .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+    // 'date' is passed through expand (same attribute), so the sort
+    // above satisfies the writer's required (date) ordering and
+    // FileFormatWriter inserts no extra date-only sort — which would
+    // cost a second sort AND, being non-stable on (mid, rid), could
+    // scramble the in-file clustering
+    expand(staged, mapping, extraCols = Seq("date"))
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("date")

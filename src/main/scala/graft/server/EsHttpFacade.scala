@@ -101,17 +101,37 @@ final class EsHttpFacade(
       val t0 = System.nanoTime()
       val lines = body(ex).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       val df = lines.toDF("value")
-      // persist so the ingest pipeline (parse + tokenize) runs once for
-      // the write and the item count reads the cached result
-      val docs = BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
-        .persist()
-      try {
-        docs.write.mode("append").parquet(sinkDir)
-        val nDocs = docs.count()
-        val tookMs = (System.nanoTime() - t0) / 1000000
-        val items = Seq.fill(nDocs.toInt)("""{"index":{"status":201}}""").mkString(",")
-        reply(ex, 200, s"""{"took":$tookMs,"errors":false,"items":[$items]}""")
-      } finally docs.unpersist()
+      // ES contract: one items entry per bulk action (= per document
+      // line). Counted from the request itself, NOT from the surviving
+      // ingested rows, so a doc line the projection drops still gets
+      // its items slot and counts never diverge from what the shipper
+      // sent.
+      val actionRe = """^\s*\{\s*"(index|create|update|delete)"\s*:""".r
+      val nActions = lines.count(l => actionRe.findFirstIn(l).isEmpty)
+      BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
+        .write.mode("append").parquet(sinkDir)
+      val tookMs = (System.nanoTime() - t0) / 1000000
+      // stream the repeated item template instead of building an O(n)
+      // response string on the heap (the request body is already the
+      // unavoidable buffered allocation)
+      val head = s"""{"took":$tookMs,"errors":false,"items":["""
+        .getBytes(StandardCharsets.UTF_8)
+      val item = """{"index":{"status":201}}""".getBytes(StandardCharsets.UTF_8)
+      val comma = ",".getBytes(StandardCharsets.UTF_8)
+      val tailB = "]}".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0) // chunked
+      val out = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+      out.write(head)
+      var i = 0
+      while (i < nActions) {
+        if (i > 0) out.write(comma)
+        out.write(item)
+        i += 1
+      }
+      out.write(tailB)
+      out.flush()
+      ex.close()
     }
 
     private def handleSearch(ex: HttpExchange): Unit = {
