@@ -77,31 +77,28 @@ object Similarity {
   }
 
   /** Map-side argmin over DRIVER-HELD centroids: the centroid table is
-    * KBs (nCells × dim doubles), so it embeds as literals and cell
-    * assignment is a pure projection — no join, no window, no shuffle.
+    * KBs (nCells × dim doubles), so it rides along as one codegen
+    * reference object (graft.functions.NearestCellsExpr) and cell
+    * assignment is a pure projection — no join, no window, no shuffle,
+    * and (unlike unrolled per-component literals) the generated code is
+    * identical across Lloyd iterations, so repeated assignments reuse
+    * the compiled class instead of paying codegen per step.
     * This is the shape IVF takes at corpus scale: the index metadata
     * lives with the planner, the data never moves for assignment.
-    * Ties break (dist asc, cell asc) like the reference ordering.
+    *
+    * Sort key per cell: |v−c|² = |v|² − 2v·c + |c|² with the constant
+    * |v|² dropped (a plain −dot would bias toward large-norm centroids
+    * once Lloyd means shrink below unit norm); ties break (dist asc,
+    * cell asc) like the reference ordering. |c|² is an ordered fold —
+    * the oracle recomputes it with the same op order.
     */
-  private def scoredCells(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
-    // True squared-distance argmin: |v−c|² = |v|² − 2v·c + |c|², and
-    // |v|² is constant per row, so the sort key is |c|² − 2v·c (a plain
-    // −dot would bias toward large-norm centroids once Lloyd means
-    // shrink below unit norm). |c|² is an ordered driver-side fold —
-    // the oracle recomputes it with the same op order.
-    // array_sort on structs orders lexicographically: (dist asc, cell asc)
-    array_sort(array(centroids.map { case (cell, cv) =>
-      val c2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-      struct((lit(c2) - lit(2.0) * dot(v, typedlit(cv))).as("dist"), lit(cell).as("cell"))
-    }: _*))
+  private def nearestCells(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.VectorExpressions.nearestCells(v, centroids)
 
-  private def argminCell(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
-    scoredCells(v, centroids).getItem(0)
-
-  /** (id, v, cell) via [[argminCell]]. */
+  /** (id, v, cell) via nearest-cell argmin. */
   private def assignCells(points: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
     points.select(col("neighbor_id"), col("v"),
-      argminCell(col("v"), centroids).getField("cell").as("cell"))
+      nearestCells(col("v"), centroids).getItem(0).as("cell"))
 
   /** Deterministic k-means training for IVF: seed centroids are the
     * `nCells` lowest-id vectors, then `iters` Lloyd steps driven from
@@ -121,17 +118,23 @@ object Similarity {
       .select(col("neighbor_id").as("cell"), col("v").as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
-      cent = assignCells(points, cent)
+      // One shuffle per Lloyd step: partial-aggregated integer sums per
+      // (cell, dim). The nCells × dim result rows are pivoted back into
+      // centroid vectors on the driver — that table is KBs, so a second
+      // groupBy(cell) exchange + collect_list would cost a whole extra
+      // stage to assemble what a local groupBy does for free.
+      val rows = assignCells(points, cent)
         .select(col("cell"), posexplode(col("v")))
         .withColumn("xi", expr("CAST(round(col * 1000000) AS BIGINT)"))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))).as("a"))
-        .select(col("cell"), transform(col("a"), t =>
-          t.getField("s").cast("double") / (t.getField("n").cast("double") * lit(1000000.0))).as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-        .sortBy(_._1)
+        .collect()
+      cent = rows.groupBy(_.getLong(0)).toSeq.map { case (cell, rs) =>
+        val cv = rs.sortBy(_.getInt(1)).map(r =>
+          // same IEEE ops as the previous in-plan cast/divide chain
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * 1000000.0)).toSeq
+        (cell, cv)
+      }.sortBy(_._1)
     }
     cent
   }
@@ -147,16 +150,16 @@ object Similarity {
       queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4,
       trainIters: Int = 2): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val points = df.select(col(idCol).as("neighbor_id"), v.as("v"))
+    // training re-reads the points once per Lloyd step — cache the
+    // decoded vectors instead of re-scanning parquet each iteration
+    val points = df.select(col(idCol).as("neighbor_id"), v.as("v")).persist()
     val centroids = trainIvfCentroids(points, nCells, trainIters)
     val assigned = assignCells(points, centroids)
     // queries probe their nProbe nearest cells — again a pure
     // projection over the driver-held centroids, then explode
     val probes = df.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), v.as("q"),
-        explode(transform(
-          slice(scoredCells(v, centroids), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(slice(nearestCells(v, centroids), 1, nProbe)).as("cell"))
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dot(col("q"), col("v")))

@@ -483,6 +483,94 @@ object LshPlanes {
   }
 }
 
+/** Precomputed centroid matrix for IVF cell assignment. Held as ONE
+  * runtime object (codegen reference) instead of unrolled per-component
+  * literals: the generated code is identical for every centroid set, so
+  * consecutive Lloyd iterations hit the Janino codegen cache instead of
+  * recompiling a 1000-literal expression tree per step.
+  * |c|² is an ordered left-to-right fold, matching the driver-side fold
+  * the literal formulation used (and the oracle's replay).
+  */
+final class IvfCentroids(val cells: Array[Long], val vecs: Array[Array[Double]])
+    extends Serializable {
+  val norms2: Array[Double] = vecs.map { cv =>
+    var acc = 0.0; var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    acc
+  }
+}
+
+object IvfCells {
+  /** Cell ids sorted by (squared distance asc, cell asc). dist =
+    * |c|² − 2·v·c (|v|² dropped: constant per row). The comparison is
+    * IEEE (`<`), so a -0.0/0.0 tie falls through to the cell id, the
+    * same total order SQL engines produce — bit-compatible with the
+    * previous array_sort(struct(dist, cell)) formulation.
+    */
+  def nearestCells(v: ArrayData, c: IvfCentroids): ArrayData = {
+    val k = c.cells.length
+    val dists = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val cv = c.vecs(p)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v.getDouble(j) * cv(j); j += 1 }
+      dists(p) = c.norms2(p) - 2.0 * acc
+      p += 1
+    }
+    // insertion-sort the index permutation by (dist, cell): k is small
+    // (16-4096 cells) and the input is nearly unordered anyway
+    val idx = Array.tabulate(k)(identity)
+    var i = 1
+    while (i < k) {
+      val cur = idx(i)
+      var j2 = i - 1
+      while (j2 >= 0 && {
+        val a = idx(j2)
+        dists(a) > dists(cur) ||
+          (!(dists(a) < dists(cur)) && c.cells(a) > c.cells(cur))
+      }) { idx(j2 + 1) = idx(j2); j2 -= 1 }
+      idx(j2 + 1) = cur
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      idx.map(c.cells(_)))
+  }
+}
+
+/** Sorted-by-distance centroid cell ids for a vector (see [[IvfCells]]).
+  * The centroid matrix rides along as a reference object, not as
+  * literals — stable generated code across training iterations.
+  */
+case class NearestCellsExpr(child: Expression, centroids: IvfCentroids)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells expects array<double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfCells.nearestCells(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", centroids,
+      classOf[IvfCentroids].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.IvfCells.nearestCells($x, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** splitmix64 of a long uid (graft.functions.SeqAggregates.mix64) as a
   * native expression — Java long arithmetic wraps, which ANSI-mode
   * Column operators would reject as overflow. The same arithmetic is
@@ -586,4 +674,8 @@ object VectorExpressions {
 
   def simhashPortable64(tokens: Column): Column =
     ColumnBridge.column(SimHashPortable64Expr(ColumnBridge.expression(tokens)))
+
+  def nearestCells(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(vec),
+      new IvfCentroids(centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray)))
 }

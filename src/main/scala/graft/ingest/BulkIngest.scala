@@ -22,11 +22,18 @@ object BulkIngest {
   /** Time fields probed in order (consts/consts.go:74). */
   val TimeFields: Seq[String] = Seq("timestamp", "time", "ts")
 
-  /** Accepted formats: ES-style, RFC3339(Nano) (consts/consts.go:75). */
+  /** Accepted formats: ES-style, RFC3339(Nano) (consts/consts.go:75).
+    * Two bracket-optional patterns (RFC3339 'T' first — the dominant
+    * shipper format — then ES-style space separator subsuming the
+    * second-precision and millisecond variants), with Spark's own
+    * parser as the catch-all. coalesce short-circuits in codegen, so
+    * per row this is one successful parse plus however many cheap
+    * failures precede it — pattern count is throughput-critical on the
+    * ingest hot path.
+    */
   private def parseTime(c: Column): Column = coalesce(
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSS")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX][X]")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX][X]")),
     try_to_timestamp(c))
 
   private def try_to_timestamp(c: Column, fmt: Column): Column =
@@ -216,8 +223,14 @@ object BulkIngest {
       // zstd mirrors the reference's sealed-segment codec
       // (frac/compress.go, --docs-zstd-compression-level) and writes
       // ~2x faster than the snappy default on log-shaped data while
-      // compressing tighter — the right trade at archive scale
+      // compressing tighter — the right trade at archive scale.
+      // Level 1 (not the parquet default 3): on the write path CPU is
+      // the bottleneck, and log-shaped data compresses nearly as well
+      // at 1; a background compaction can re-encode colder segments
+      // tighter later (the reference makes the same split: fast active
+      // fraction, tighter sealed segments).
       .option("compression", "zstd")
+      .option("parquet.compression.codec.zstd.level", "1")
       .partitionBy("date")
       .parquet(path)
 
@@ -247,6 +260,8 @@ object BulkIngest {
     expand(staged, mapping, extraCols = Seq("date"))
       .write.mode("overwrite")
       .option("compression", "zstd")
+      // level 1: write-path CPU trade, see writePartitioned
+      .option("parquet.compression.codec.zstd.level", "1")
       .partitionBy("date")
       .parquet(path)
   }
