@@ -139,14 +139,23 @@ object BulkIngest {
       allowedDriftMs: Long = 24L * 3600 * 1000,
       futureDriftMs: Long = 5L * 60 * 1000,
       rawCol: String = "value"): DataFrame = {
-    val timeSchema = StructType(TimeFields.map(f => StructField(f, StringType)))
+    // One fused scan of the raw doc (graft.functions.DocTimeExpr)
+    // replaces from_json + try_to_timestamp on the hot path: it stops
+    // at the first `timestamp` key and fast-parses the two published
+    // formats. Rows it cannot decide surface the extracted string and
+    // take Spark's general parser below — identical outcomes, but
+    // Jackson/DateTimeFormatter run only on the rare residue.
+    val utcSession = {
+      val tz = lines.sparkSession.sessionState.conf.sessionLocalTimeZone
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    }
     val withTimes = lines
       .where(stripActionLines(lines, rawCol))
       .withColumn("_raw", col(rawCol))
-      .withColumn("__times", from_json(col("_raw"), timeSchema))
-    val docTime: Column = parseTime(coalesce(
-      TimeFields.map(f => col("__times").getField(f)): _*))
-    val docMs = unix_millis(docTime)
+      .withColumn("__t", graft.functions.TimeExpressions.docTime(
+        col("_raw"), TimeFields, noZoneIsUtc = utcSession))
+    val docMs = coalesce(col("__t").getField("ms"),
+      unix_millis(parseTime(col("__t").getField("s"))))
     val clamped = when(docMs.isNull, lit(requestTimeMs))
       .when(docMs < lit(requestTimeMs - allowedDriftMs), lit(requestTimeMs))
       .when(docMs > lit(requestTimeMs + futureDriftMs), lit(requestTimeMs))
@@ -213,7 +222,10 @@ object BulkIngest {
     */
   def writePartitioned(docs: DataFrame, path: String): Unit =
     docs
-      .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+      // DateType, not a formatted string: the range exchange samples
+      // and the writer sort compare 4-byte days instead of strings
+      // (readers see DateType either way — partition-column inference)
+      .withColumn("date", to_date(timestamp_millis(col("mid"))))
       .repartitionByRange(col("date"), col("mid"))
       // sort prefixed by the partition column: FileFormatWriter then
       // sees its required ordering satisfied and adds no extra
@@ -249,7 +261,7 @@ object BulkIngest {
       allowedDriftMs: Long = 24L * 3600 * 1000,
       futureDriftMs: Long = 5L * 60 * 1000): Unit = {
     val staged = stamp(lines, requestTimeMs, allowedDriftMs, futureDriftMs)
-      .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+      .withColumn("date", to_date(timestamp_millis(col("mid"))))
       .repartitionByRange(col("date"), col("mid"))
       .sortWithinPartitions(col("date"), col("mid"), col("rid"))
     // 'date' is passed through expand (same attribute), so the sort

@@ -37,7 +37,7 @@ object StreamingIngest {
         val reqTime = requestTimeMs.getOrElse(System.currentTimeMillis())
         val docs = BulkIngest.project(batch, mapping, reqTime)
         docs
-          .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+          .withColumn("date", to_date(timestamp_millis(col("mid"))))
           .write.mode("append").partitionBy("date").parquet(outPath)
       }
       .start()

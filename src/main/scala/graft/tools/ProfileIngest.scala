@@ -52,7 +52,7 @@ object ProfileIngest {
       BulkIngest.stamp(lines, reqT, allowedDriftMs = drift)
         .write.mode("overwrite").format("noop").save())
     val staged = BulkIngest.stamp(lines, reqT, allowedDriftMs = drift)
-      .withColumn("date", date_format(timestamp_millis(col("mid")), "yyyy-MM-dd"))
+      .withColumn("date", to_date(timestamp_millis(col("mid"))))
     time("stamp + range exchange + sort")(
       staged.repartitionByRange(col("date"), col("mid"))
         .sortWithinPartitions(col("date"), col("mid"), col("rid"))
