@@ -43,6 +43,16 @@ object SparkEntry {
       ev(s, dir).search(SearchRequest("event_type:error", T02, T15, size = 100))
         .select("mid", "rid", "event_type", "value")),
 
+    // ---- S4 analogue: token-Bloom file pruning under a selective
+    //      conjunctive lookup (same semantics as plain search — the
+    //      sidecar only narrows the file list) ----
+    "seq_search_keyword_bloom" -> ((s, dir) => {
+      val q = "user_id:42 and event_type:error"
+      new SeqEngine(TestTables.eventsDocsBloom(s, dir, q))
+        .search(SearchRequest(q, T02, T15, size = 100))
+        .select("mid", "rid", "user_id", "event_type")
+    }),
+
     // ---- F8 boolean algebra (and/or/not) ----
     "seq_search_bool" -> ((s, dir) =>
       ev(s, dir).search(SearchRequest(
@@ -543,6 +553,11 @@ object SparkEntry {
     "seq_search_keyword" ->
       s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
           WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'error'
+          ORDER BY mid DESC, rid DESC LIMIT 100""",
+
+    "seq_search_keyword_bloom" ->
+      s"""SELECT $M AS mid, event_id AS rid, user_id, event_type FROM events
+          WHERE $M BETWEEN $T02 AND $T15 AND user_id = 42 AND event_type = 'error'
           ORDER BY mid DESC, rid DESC LIMIT 100""",
 
     "seq_search_bool" ->

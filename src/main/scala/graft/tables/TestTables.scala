@@ -34,6 +34,25 @@ object TestTables {
     * `value_cents` is an exact integer mirror of `value` for
     * float-stable aggregation.
     */
+  val eventsMapping: SeqMapping = SeqMapping.of(
+    "event_id"   -> IndexType.Keyword,
+    "user_id"    -> IndexType.Keyword,
+    "event_type" -> IndexType.Keyword,
+    "value"      -> IndexType.Keyword,
+    "value_cents"-> IndexType.Keyword,
+    "props"      -> IndexType.Keyword,
+    "props_k"    -> IndexType.Keyword,
+    "props.k"    -> IndexType.Keyword,
+    "mid"        -> IndexType.Keyword,
+  ).copy(caseSensitive = true)
+
+  // mid is derived (ts div 1e6) — give the scan a pushable bound on
+  // the physical ns column so Parquet row-group stats prune time.
+  private val tsPredicate: (Long, Long) => org.apache.spark.sql.Column =
+    (fromMs, toMs) =>
+      col("ts") >= lit(fromMs * 1000000L) &&
+      col("ts") <= lit(toMs * 1000000L + 999999L)
+
   def eventsDocs(spark: SparkSession, sfDir: String): DocsTable = {
     val df = raw(spark, sfDir, "events")
       .withColumn("mid", expr("ts div 1000000"))
@@ -42,23 +61,31 @@ object TestTables {
         when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) === "", lit(null))
           .otherwise(regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
       .withColumn("value_cents", expr("CAST(round(value * 100) AS BIGINT)"))
-    val mapping = SeqMapping.of(
-      "event_id"   -> IndexType.Keyword,
-      "user_id"    -> IndexType.Keyword,
-      "event_type" -> IndexType.Keyword,
-      "value"      -> IndexType.Keyword,
-      "value_cents"-> IndexType.Keyword,
-      "props"      -> IndexType.Keyword,
-      "props_k"    -> IndexType.Keyword,
-      "props.k"    -> IndexType.Keyword,
-      "mid"        -> IndexType.Keyword,
-    ).copy(caseSensitive = true)
-    DocsTable(df, mapping, columnOverrides = Map("props.k" -> "props_k"),
-      // mid is derived (ts div 1e6) — give the scan a pushable bound on
-      // the physical ns column so Parquet row-group stats prune time.
-      timePredicate = Some((fromMs, toMs) =>
-        col("ts") >= lit(fromMs * 1000000L) &&
-        col("ts") <= lit(toMs * 1000000L + 999999L)))
+    DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
+      timePredicate = Some(tsPredicate))
+  }
+
+  /** The events docs table in the at-scale layout: a day-partitioned
+    * parquet copy with a token-Bloom sidecar over the selective lookup
+    * fields (graft.index.TokenBloomIndex — the sealed-index analogue).
+    * Materialized once per SF under /tmp; `query`'s conjunctively
+    * required tokens then prune the FILE LIST before the scan, so a
+    * needle query touches only the files that can contain it.
+    */
+  def eventsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
+    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}"
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/_bloom/field=user_id/_SUCCESS").exists()) {
+        eventsDocs(spark, sfDir).df
+          .withColumn("date", to_date(timestamp_millis(col("mid"))))
+          .write.mode("overwrite").partitionBy("date").parquet(path)
+        graft.index.TokenBloomIndex.build(spark, path, eventsMapping,
+          Seq("user_id", "event_type"))
+      }
+    }
+    val df = graft.index.TokenBloomIndex.prunedRead(spark, path, query, eventsMapping)
+    DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
+      timePredicate = Some(tsPredicate))
   }
 
   /** documents → docs: no natural event time, so mid = doc_id (stable,
