@@ -48,7 +48,11 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    df.repartition(n)
+    // only when the source is under-parallel (small table in few
+    // splits); at corpus scale the input already has plenty of
+    // partitions and the exchange would be pure overhead. inputFiles is
+    // a file-index lookup — unlike df.rdd it triggers no codegen.
+    if (df.inputFiles.length >= n) df else df.repartition(n)
   }
 
   // Set operations run on sorted xxhash64 mirrors of the shingle sets
@@ -78,6 +82,12 @@ object Dedup {
       // the exploded probe side
       .join(broadcast(right), col("probe") === col("bkt") && col("id_a") < col("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxLenDiff)
+      // necessary condition evaluated before the intersect kernel:
+      // J = i/(|A|+|B|-i) <= min/max, so a pair whose set sizes are too
+      // disparate can never reach the threshold — filtered on two
+      // already-known sizes, no array walk
+      .where(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >=
+        lit(thresholdNum) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("inter_cnt", interCount(col("sh_a"), col("sh_b")))
       // |A ∪ B| = |A| + |B| − |A ∩ B| — no second array operation
       .withColumn("union_cnt",
@@ -180,12 +190,20 @@ object Dedup {
       .persist() // simhash64 is a 64-counter pass — don't compute it twice
     val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
     val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
+    // A pair sharing k bands appears under k keys. Rather than a
+    // dropDuplicates shuffle over every matching candidate, keep the
+    // pair only under its FIRST shared band — computable map-side from
+    // the two hashes already on the row, so dedup costs zero data
+    // movement at any scale.
+    def bandSlice(sim: Column, b: Int): Column =
+      call_function("shiftright", sim, lit(b * 16)).bitwiseAND(lit(0xFFFFL))
+    val firstShared = (0 until 4).foldRight(lit(-1): Column) { (b, acc) =>
+      when(bandSlice(col("sim_a"), b) === bandSlice(col("sim_b"), b), lit(b)).otherwise(acc)
+    }
     left.join(broadcast(right), Seq("key")).where(col("id_a") < col("id_b"))
+      .where(call_function("shiftright", col("key"), lit(16)) === firstShared)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
-      // a matching pair shares ≤4 band keys — dedup after the filter,
-      // on the small match set, instead of on every candidate
-      .dropDuplicates("id_a", "id_b", "hamming")
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
