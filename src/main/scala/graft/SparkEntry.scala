@@ -306,6 +306,17 @@ object SparkEntry {
       dataprep.Dedup.minhashLshPairs(TestTables.documents(s, dir),
         "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)),
 
+    // ---- near-dup clusters: pairs → connected components → canonical rep ----
+    "dp_dedup_clusters" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val pairs = dataprep.Dedup.minhashLshPairs(d,
+        "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)
+        .select("id_a", "id_b")
+      dataprep.Dedup.clusters(d, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash near-dup pairs (banded; oracle = O(n^2) portable-simhash SQL) ----
     "dp_dedup_simhash" -> ((s, dir) =>
       dataprep.Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
@@ -868,6 +879,26 @@ object SparkEntry {
           WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 25
             AND len(list_intersect(a.sh, b.sh)) * 10 >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))
           ORDER BY id_a, id_b""",
+
+    // clusters: the pair set (brute-force Jaccard — LSH at these
+    // settings reproduces it exactly, see dp_dedup_minhash_lsh), then
+    // transitive min-label reachability via a recursive CTE.
+    "dp_dedup_clusters" ->
+      s"""${DSH_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
+          SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
+          FROM reach GROUP BY v ORDER BY doc_id""",
 
     "dp_dedup_minhash_lsh" ->
       s"""$DSH_CTE

@@ -208,6 +208,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-duplicate CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation, the step that turns pairwise
+    * similarity into an actual keep/drop decision (keep one doc per
+    * component). Each iteration is one shuffle join (edges × labels)
+    * plus a min-aggregate — the standard scalable formulation; rounds
+    * needed = component diameter, and near-dup components are shallow
+    * (a handful of hops), so the loop converges in a few rounds. The
+    * fixpoint test rides on the same pass (an `observe` metric would
+    * also work; a count over the changed set keeps it simple).
+    *
+    * Output: (id, rep) for every id in `ids` — rep = min id of the
+    * component, singletons map to themselves. Deterministic and
+    * engine-independent: min over a set has no order dependence.
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val minNbr = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
+      // the fixpoint check rides the same materialization as an
+      // observe() metric — one job per round, no second comparison join
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(minNbr, col("id") === col("dst"), "left")
+        .select(col("id"), col("rep").as("__old"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .observe(obs, sum(when(col("__old") =!= col("rep"), 1L).otherwise(0L)).as("changed"))
+        .select("id", "rep")
+        .persist()
+      next.count()
+      labels = next
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The canonical doc set implied by [[clusters]]: rows whose id IS
+    * the component representative (one survivor per duplicate group).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(clusters(df, idCol, pairs).where(col("id") === col("rep"))
+      .select(col("id").as(idCol)), Seq(idCol))
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with
     * dot(a, b) >= threshold. The smaller side is broadcast (embeddings
     * are compact), so this runs as a broadcast nested-loop join with

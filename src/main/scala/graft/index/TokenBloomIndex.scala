@@ -177,13 +177,12 @@ object TokenBloomIndex {
     var anySidecar = false
     for ((field, tokens) <- required) {
       val sc = sidecarPath(tablePath, field)
-      val exists = try {
-        spark.read.parquet(sc).isInstanceOf[DataFrame]
-      } catch { case _: Exception => false }
-      if (exists) {
+      val rowsOpt = try {
+        Some(spark.read.parquet(sc)
+          .select("file", "bits", "num_bits", "num_hashes").collect())
+      } catch { case _: Exception => None }
+      for (rows <- rowsOpt) {
         anySidecar = true
-        val rows = spark.read.parquet(sc)
-          .select("file", "bits", "num_bits", "num_hashes").collect()
         val pass = rows.filter { r =>
           val bits = r.getSeq[Long](1).toArray
           val m = r.getInt(2); val k = r.getInt(3)
