@@ -94,10 +94,11 @@ object TokenBloomIndex {
   /** One distributed pass per field: explode the field's token stream,
     * OR per-token bit positions into a per-file bitset.
     */
-  def build(spark: SparkSession, tablePath: String, mapping: SeqMapping,
-      fields: Seq[String], numBits: Int = DefaultNumBits,
-      numHashes: Int = DefaultNumHashes): Unit = {
+  /** (file, bits, num_bits, num_hashes) rows for one field of `df`. */
+  private def bloomFrame(df: DataFrame, mapping: SeqMapping, field: String,
+      numBits: Int, numHashes: Int): DataFrame = {
     require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    require(mapping.fields.contains(field), s"field '$field' not in mapping")
     val agg = new Aggregator[String, Array[Long], Array[Long]] {
       override def zero: Array[Long] = new Array[Long](numBits / 64)
       override def reduce(b: Array[Long], token: String): Array[Long] = {
@@ -120,17 +121,52 @@ object TokenBloomIndex {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     }
     val bloomUdaf = udaf(agg, Encoders.STRING)
+    df.select(input_file_name().as("file"),
+        explode_outer(tokensCol(df, mapping, field)).as("tok"))
+      .groupBy(col("file"))
+      .agg(bloomUdaf(col("tok")).as("bits"))
+      .select(col("file"), col("bits"),
+        lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"))
+  }
+
+  def build(spark: SparkSession, tablePath: String, mapping: SeqMapping,
+      fields: Seq[String], numBits: Int = DefaultNumBits,
+      numHashes: Int = DefaultNumHashes): Unit = {
     val df = spark.read.parquet(tablePath)
-    for (field <- fields) {
-      require(mapping.fields.contains(field), s"field '$field' not in mapping")
-      df.select(input_file_name().as("file"),
-          explode_outer(tokensCol(df, mapping, field)).as("tok"))
-        .groupBy(col("file"))
-        .agg(bloomUdaf(col("tok")).as("bits"))
-        .select(col("file"), col("bits"),
-          lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"))
+    for (field <- fields)
+      bloomFrame(df, mapping, field, numBits, numHashes)
         .write.mode("overwrite").parquet(sidecarPath(tablePath, field))
+  }
+
+  /** Incremental maintenance: index ONLY the files the sidecar hasn't
+    * seen (streaming appends, compaction outputs) and append their
+    * rows. Unindexed files were merely unprunable before this runs —
+    * never wrong — so the update can lag ingestion arbitrarily (the
+    * same active-vs-sealed split as the reference: fresh data is
+    * queryable immediately, index catches up at seal time). Sidecar
+    * rows for files that no longer exist (e.g. replaced by compaction)
+    * dangle harmlessly: candidate selection intersects with the live
+    * file list. Returns the number of newly indexed files.
+    */
+  def update(spark: SparkSession, tablePath: String, mapping: SeqMapping,
+      fields: Seq[String], numBits: Int = DefaultNumBits,
+      numHashes: Int = DefaultNumHashes): Int = {
+    val all = spark.read.parquet(tablePath).inputFiles.toSet
+    var newlyIndexed = Set.empty[String]
+    for (field <- fields) {
+      val sc = sidecarPath(tablePath, field)
+      val known = try {
+        spark.read.parquet(sc).select("file").collect().map(_.getString(0)).toSet
+      } catch { case _: Exception => Set.empty[String] }
+      val missing = (all -- known).toSeq.sorted
+      if (missing.nonEmpty) {
+        newlyIndexed ++= missing
+        val df = spark.read.option("basePath", tablePath).parquet(missing: _*)
+        bloomFrame(df, mapping, field, numBits, numHashes)
+          .write.mode("append").parquet(sc)
+      }
     }
+    newlyIndexed.size
   }
 
   /** Conjunctively-required (field → tokens) of a seq-ql query: tokens

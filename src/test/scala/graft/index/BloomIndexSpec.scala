@@ -99,6 +99,29 @@ class BloomIndexSpec extends SparkSpec {
     assert(pruned == Set(137L, 9999L))
   }
 
+  test("incremental update indexes only unseen files and restores pruning") {
+    import spark.implicits._
+    val tmp = mkTable()
+    Seq((5000L, "vanishing", "brand new doc", "/svc/new/op", 7))
+      .toDF("id", "level", "msg", "uri", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(tmp)
+    // before update: the new file is unknown → kept for ANY probe
+    val before = TokenBloomIndex.candidateFiles(spark, tmp,
+      Map("level" -> Seq("rare"))).get
+    val n = TokenBloomIndex.update(spark, tmp, mapping, Seq("level", "msg", "uri"),
+      numBits = 1 << 12, numHashes = 4)
+    assert(n == 1)
+    // after update: a 'rare' probe drops the new file, a 'vanishing'
+    // probe finds it, and re-running update is a no-op
+    val after = TokenBloomIndex.candidateFiles(spark, tmp,
+      Map("level" -> Seq("rare"))).get
+    assert(after.size < before.size)
+    val hit = TokenBloomIndex.prunedRead(spark, tmp, "level:vanishing", mapping)
+      .where(col("level") === "vanishing").select("id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(5000L))
+    assert(TokenBloomIndex.update(spark, tmp, mapping, Seq("level")) == 0)
+  }
+
   test("path prefixes: exact prefix probe hits files with docs under it") {
     val tmp = mkTable()
     val cand = TokenBloomIndex.candidateFiles(spark, tmp,
