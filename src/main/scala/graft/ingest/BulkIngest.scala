@@ -247,11 +247,22 @@ object BulkIngest {
       .parquet(path)
 
   /** End-to-end ingest in the at-scale order: stamp thin (mid, rid,
-    * _raw) rows, range-exchange + sort THOSE (a fraction of the bytes
-    * the projected table would move through the shuffle), then run the
+    * _raw) rows, exchange + sort THOSE (a fraction of the bytes the
+    * projected table would move through the shuffle), then run the
     * full mapping projection map-side after the exchange — narrow, so
     * it preserves the (date, mid) clustering and (mid, rid) order —
     * and write day-partitioned sorted parquet.
+    *
+    * The range exchange SAMPLES its child to pick bounds, so the stamp
+    * projection runs twice per batch — an accepted cost, measured
+    * cheaper than both alternatives: persisting the thin rows across
+    * the exchange (serialize ≈ recompute now that stamp is a fused
+    * kernel, plus a batch-sized cache), and a sampling-free hash
+    * exchange on time windows (4× slower end-to-end: every task then
+    * holds every day → file-per-(task, date) explosion at the writer
+    * and whole-day file stats). Contiguous (date, mid) ranges per task
+    * are what keep the output file count at tasks-per-day and the
+    * per-file mid min/max tight.
     */
   def ingestPartitioned(
       lines: DataFrame,
