@@ -48,11 +48,12 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // only when the source is under-parallel (small table in few
-    // splits); at corpus scale the input already has plenty of
-    // partitions and the exchange would be pure overhead. inputFiles is
-    // a file-index lookup — unlike df.rdd it triggers no codegen.
-    if (df.inputFiles.length >= n) df else df.repartition(n)
+    // unconditional: file count is NOT split count (many small files
+    // pack into few input splits and huge files split into many), so
+    // any cheap skip heuristic misfires in both directions. AQE
+    // coalesces the exchange's output when it is overkill, and pair
+    // generation downstream dwarfs its cost.
+    df.repartition(n)
   }
 
   // Set operations run on sorted xxhash64 mirrors of the shingle sets
@@ -221,6 +222,9 @@ object Dedup {
     * Output: (id, rep) for every id in `ids` — rep = min id of the
     * component, singletons map to themselves. Deterministic and
     * engine-independent: min over a set has no order dependence.
+    * The returned frame is persisted (it IS the converged state;
+    * recomputing it would replay every round) — callers should
+    * unpersist it when done.
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
@@ -228,6 +232,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var cached: Option[DataFrame] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -243,11 +248,20 @@ object Dedup {
         .select("id", "rep")
         .persist()
       next.count()
+      cached.foreach(_.unpersist()) // superseded round — release its cache
+      cached = Some(next)
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }
     edges.unpersist()
+    // silent partial convergence would hand dropNearDuplicates multiple
+    // "survivors" per group — refuse instead; callers with genuinely
+    // deep components raise maxIters (rounds needed = component
+    // diameter, and near-dup components are shallow in practice)
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds; " +
+      "raise maxIters (component diameter exceeds it)")
     labels
   }
 

@@ -151,9 +151,11 @@ object Similarity {
       trainIters: Int = 2): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     // training re-reads the points once per Lloyd step — cache the
-    // decoded vectors instead of re-scanning parquet each iteration
+    // decoded vectors for the loop, then release (the final assignment
+    // pays one re-scan instead of pinning the table for the session)
     val points = df.select(col(idCol).as("neighbor_id"), v.as("v")).persist()
     val centroids = trainIvfCentroids(points, nCells, trainIters)
+    points.unpersist()
     val assigned = assignCells(points, centroids)
     // queries probe their nProbe nearest cells — again a pure
     // projection over the driver-held centroids, then explode

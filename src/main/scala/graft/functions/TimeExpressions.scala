@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Jackson and DateTimeFormatter. This kernel replaces it with one
   * scan of the raw document:
   *
-  *  - a top-level JSON walk that stops at the first highest-priority
-  *    time key (for shipper-shaped docs, `timestamp` is among the
-  *    first fields, so the scan touches a few dozen bytes);
+  *  - a top-level JSON walk that collects the highest-priority time
+  *    key (last occurrence wins on duplicates, like Jackson), skipping
+  *    other values with a cheap depth walk;
   *  - a strict hand-rolled parser for the two published formats
   *    (`yyyy-MM-dd['T'| ]HH:mm:ss[.fff...][zone]`).
   *
@@ -68,6 +68,7 @@ object TimeKernels {
     if (n - i < 19) return null
 
     def dig(p: Int): Int = {
+      if (p >= n) return -1
       val c = b.charAt(p)
       if (c < '0' || c > '9') -1 else c - '0'
     }
@@ -85,8 +86,11 @@ object TimeKernels {
     val mo = num2(i + 5); if (mo < 1 || mo > 12) return null
     if (b.charAt(i + 7) != '-') return null
     val dd = num2(i + 8); if (dd < 1 || dd > daysInMonth(y, mo)) return null
+    // strict separators, matching the DateTimeFormatter patterns the
+    // slow chain uses (lowercase 't'/'z' fall back to the general
+    // parser rather than being decided here)
     val sep = b.charAt(i + 10)
-    if (sep != 'T' && sep != ' ' && sep != 't') return null
+    if (sep != 'T' && sep != ' ') return null
     val hh = num2(i + 11); if (hh < 0 || hh > 23) return null
     if (b.charAt(i + 13) != ':') return null
     val mi = num2(i + 14); if (mi < 0 || mi > 59) return null
@@ -112,7 +116,7 @@ object TimeKernels {
       if (!noZoneIsUtc) return null
     } else {
       val c = b.charAt(p)
-      if (c == 'Z' || c == 'z') {
+      if (c == 'Z') {
         p += 1
         if (p != n) return null
       } else if (c == '+' || c == '-') {
@@ -252,7 +256,11 @@ object TimeKernels {
           else {
             i += 1
             skipWs()
-            if (prio >= 0 && (best < 0 || prio < best)) {
+            // prio <= best: a repeated key overrides its earlier
+            // occurrence (Jackson/from_json last-wins semantics) —
+            // which also rules out stopping the scan early at the
+            // first `timestamp`
+            if (prio >= 0 && (best < 0 || prio <= best)) {
               // capture this value
               if (i < n && b.charAt(i) == '"') {
                 val vStart = i + 1
@@ -279,8 +287,6 @@ object TimeKernels {
                   else { bestIsNull = false; bestVal = UTF8String.fromString(txt) }
                 }
               }
-              // `timestamp` (priority 0) found — nothing can override it
-              if (ok && best == 0) done = true
             } else {
               if (!skipValue()) ok = false
             }

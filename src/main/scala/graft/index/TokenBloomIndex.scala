@@ -225,8 +225,11 @@ object TokenBloomIndex {
           tokens.forall(t => maybeContains(bits, m, k, t))
         }.map(_.getString(0)).toSet
         val covered = rows.map(_.getString(0)).toSet
+        // a file may be pruned only when EVERY consulted sidecar has
+        // examined it AND some test failed — so coverage intersects
+        // (a file one sidecar never saw must stay "unknown" → kept)
         if (first) { indexed = covered; surviving = pass; first = false }
-        else { indexed = indexed ++ covered; surviving = surviving intersect pass }
+        else { indexed = indexed intersect covered; surviving = surviving intersect pass }
       }
     }
     if (!anySidecar) return None

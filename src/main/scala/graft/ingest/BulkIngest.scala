@@ -140,11 +140,12 @@ object BulkIngest {
       futureDriftMs: Long = 5L * 60 * 1000,
       rawCol: String = "value"): DataFrame = {
     // One fused scan of the raw doc (graft.functions.DocTimeExpr)
-    // replaces from_json + try_to_timestamp on the hot path: it stops
-    // at the first `timestamp` key and fast-parses the two published
-    // formats. Rows it cannot decide surface the extracted string and
-    // take Spark's general parser below — identical outcomes, but
-    // Jackson/DateTimeFormatter run only on the rare residue.
+    // replaces from_json + try_to_timestamp on the hot path: one
+    // top-level walk extracts the time field, then a strict parser
+    // decides the two published formats. Rows it cannot decide surface
+    // the extracted string and take Spark's general parser below —
+    // identical outcomes, but Jackson/DateTimeFormatter run only on
+    // the rare residue.
     val utcSession = {
       val tz = lines.sparkSession.sessionState.conf.sessionLocalTimeZone
       java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC

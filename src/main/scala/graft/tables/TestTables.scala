@@ -73,7 +73,12 @@ object TestTables {
     * needle query touches only the files that can contain it.
     */
   def eventsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
-    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}"
+    // fingerprint the source in the cache key so a regenerated (or
+    // same-named but different) dataset never reuses a stale copy
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val fp = java.lang.Long.toHexString(
+      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
+    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}_$fp"
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_bloom/field=user_id/_SUCCESS").exists()) {
         eventsDocs(spark, sfDir).df

@@ -26,7 +26,6 @@ class TimeExpressionsSpec extends SparkSpec {
     assert(extract("""{"ts":"a","time":"b","timestamp":"c"}""") == "c")
     assert(extract("""{"ts":"a","time":"b"}""") == "b")
     assert(extract("""{"ts":"a"}""") == "a")
-    // early stop at timestamp: later fields ignored even if malformed-ish values follow
     assert(extract("""{"timestamp":"c","ts":"a"}""") == "c")
     // non-time keys skipped, nested objects do not leak inner keys
     assert(extract("""{"level":"x","inner":{"timestamp":"no"},"ts":"yes"}""") == "yes")
@@ -36,6 +35,11 @@ class TimeExpressionsSpec extends SparkSpec {
     assert(extract("""{"time":null,"ts":"x"}""") == null)
     // escaped content in values and keys
     assert(extract("""{"note":"say \"hi\"","ts":"2024-01-01"}""") == "2024-01-01")
+    // duplicate keys: last occurrence wins (Jackson/from_json parity)
+    assert(extract("""{"ts":"garbage","ts":"2024-01-01T00:00:00Z"}""") == "2024-01-01T00:00:00Z")
+    assert(extract("""{"timestamp":"a","timestamp":"b"}""") == "b")
+    // ...but a lower-priority dup never overrides a higher-priority key
+    assert(extract("""{"timestamp":"a","ts":"x","ts":"y"}""") == "a")
     // malformed JSON → null (from_json PERMISSIVE null-row behavior)
     assert(extract("""{"ts":"x"""") == null)
     assert(extract("""not json""") == null)
@@ -52,6 +56,16 @@ class TimeExpressionsSpec extends SparkSpec {
     assert(fast("  2024-03-10T11:30:00Z  ") == 1710070200000L)
     assert(fast("1970-01-01T00:00:00Z") == 0L)
     assert(fast("1969-12-31T23:59:59.5Z") == -500L)
+    // truncated zone offsets must return null, never index out of range
+    assert(fast("2024-01-01T00:00:00+") == null)
+    assert(fast("2024-01-01T00:00:00+0") == null)
+    assert(fast("2024-01-01T00:00:00+05:") == null)
+    assert(fast("2024-01-01T00:00:00+05:3") == null)
+    assert(fast("2024-01-01T00:00:00-1") == null)
+    // lowercase separators are NOT decided here (strict patterns; the
+    // general parser owns them)
+    assert(fast("2024-03-10t11:30:00Z") == null)
+    assert(fast("2024-03-10T11:30:00z") == null)
     // rejected → null (fall back to the general parser)
     assert(fast("2024-13-01T00:00:00Z") == null)
     assert(fast("2024-02-30T00:00:00Z") == null)
@@ -78,8 +92,12 @@ class TimeExpressionsSpec extends SparkSpec {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
       if (rnd.nextBoolean()) parts += s""""level":"l${rnd.nextInt(5)}""""
       if (rnd.nextBoolean()) parts += s""""nested":{"ts":"2001-01-01T00:00:00Z","n":${rnd.nextInt(100)}}"""
-      for (k <- Seq("timestamp", "time", "ts") if rnd.nextInt(3) == 0)
+      for (k <- Seq("timestamp", "time", "ts") if rnd.nextInt(3) == 0) {
         parts += s""""$k":"${times(rnd.nextInt(times.length))}""""
+        // occasional duplicate key — both engines must agree last-wins
+        if (rnd.nextInt(4) == 0)
+          parts += s""""$k":"${times(rnd.nextInt(times.length))}""""
+      }
       if (rnd.nextBoolean()) parts += s""""msg":"m \\"q\\" ${rnd.nextInt(10)}""""
       s"{${rnd.shuffle(parts).mkString(",")}}"
     } :+ """{"ts":1710070200}""" :+ """{"time":null}""" :+ "broken{"

@@ -122,6 +122,24 @@ class BloomIndexSpec extends SparkSpec {
     assert(TokenBloomIndex.update(spark, tmp, mapping, Seq("level")) == 0)
   }
 
+  test("a file covered by only SOME sidecars is never pruned") {
+    import spark.implicits._
+    val tmp = mkTable()
+    Seq((7777L, "rare", "partial coverage doc", "/svc/p/x", 8))
+      .toDF("id", "level", "msg", "uri", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(tmp)
+    // update only the 'level' sidecar: 'msg' has never seen the file
+    TokenBloomIndex.update(spark, tmp, mapping, Seq("level"),
+      numBits = 1 << 12, numHashes = 4)
+    // a query requiring tokens of BOTH fields must keep the file
+    // ('msg' couldn't examine it) even though 'level' examined it
+    val got = TokenBloomIndex.prunedRead(spark, tmp,
+      "level:rare and msg:'partial coverage'", mapping)
+      .where(col("level") === "rare").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(7777L))
+  }
+
   test("path prefixes: exact prefix probe hits files with docs under it") {
     val tmp = mkTable()
     val cand = TokenBloomIndex.candidateFiles(spark, tmp,
