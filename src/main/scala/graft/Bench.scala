@@ -29,6 +29,9 @@ object Bench {
     try graft.tables.TestTables.eventsDocsBloom(
       spark, sfDir, "user_id:42 and event_type:error").df.limit(1).count()
     catch { case _: Throwable => () }
+    try graft.tables.TestTables.documentsDocsBloom(
+      spark, sfDir, "text:'key order' and src_path:/src7").df.limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

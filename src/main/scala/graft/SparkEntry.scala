@@ -178,6 +178,15 @@ object SparkEntry {
       docs(s, dir).search(SearchRequest("text:'key order'", 0L, Long.MaxValue, size = 1000))
         .select("mid", "rid", "doc_id", "lang")),
 
+    // ---- S4 analogue over the corpus table: text-token + path-prefix
+    //      Bloom pruning under a conjunctive phrase query ----
+    "seq_text_bloom" -> ((s, dir) => {
+      val q = "text:'key order' and src_path:/src7"
+      new SeqEngine(TestTables.documentsDocsBloom(s, dir, q))
+        .search(SearchRequest(q, 0L, Long.MaxValue, size = 1000))
+        .select("mid", "rid", "doc_id", "lang")
+    }),
+
     // ---- F4 lexicographic range over TEXT TOKENS (dictionary walk) ----
     "seq_text_range" -> ((s, dir) =>
       docs(s, dir).search(SearchRequest("text:[q, r]", 0L, Long.MaxValue, size = 1000))
@@ -722,6 +731,14 @@ object SparkEntry {
       s"""SELECT $M AS mid, event_id AS rid, event_type FROM events
           WHERE $M BETWEEN $T02 AND $T15 AND event_type = 'purchase'
           ORDER BY mid DESC, rid DESC LIMIT 120""",
+
+    "seq_text_bloom" ->
+      s"""SELECT doc_id AS mid, doc_id AS rid, doc_id, lang FROM documents
+          WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9_*\\p{L}\\p{N}]+'), 'key')
+            AND list_contains(string_split_regex(lower(text), '[^a-z0-9_*\\p{L}\\p{N}]+'), 'order')
+            AND (('/' || source || '/' || lang) = '/src7'
+                 OR ('/' || source || '/' || lang) LIKE '/src7/%')
+          ORDER BY mid DESC, rid DESC LIMIT 1000""",
 
     "seq_text_phrase" ->
       s"""SELECT doc_id AS mid, doc_id AS rid, doc_id, lang FROM documents

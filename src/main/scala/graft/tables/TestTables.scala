@@ -93,6 +93,30 @@ object TestTables {
       timePredicate = Some(tsPredicate))
   }
 
+  /** documents docs table materialized with Bloom sidecars over the
+    * text tokens, source path prefixes and language — the sealed-index
+    * analogue for the corpus table (see [[eventsDocsBloom]]).
+    */
+  def documentsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
+    val base = documentsDocs(spark, sfDir)
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val fp = java.lang.Long.toHexString(
+      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
+    val path = s"/tmp/graft_bloom_docs_${new java.io.File(sfDir).getName}_$fp"
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/_bloom/field=text/_SUCCESS").exists()) {
+        // doc_id-ranged files so per-file token sets differ and the
+        // sidecar has something to discriminate
+        base.df.repartitionByRange(8, col("doc_id"))
+          .write.mode("overwrite").parquet(path)
+        graft.index.TokenBloomIndex.build(spark, path, base.mapping,
+          Seq("text", "src_path", "lang"))
+      }
+    }
+    val df = graft.index.TokenBloomIndex.prunedRead(spark, path, query, base.mapping)
+    DocsTable(df, base.mapping)
+  }
+
   /** documents → docs: no natural event time, so mid = doc_id (stable,
     * unique); `text` is text-indexed with precomputed tokens; `src_path`
     * synthesizes a path-indexed field `/source/lang`.
