@@ -23,13 +23,21 @@ object StreamingIngest {
     * `requestTimeMs` supplies the deterministic "arrival time" for
     * drift clamping in tests; pass None for wall clock per batch.
     */
+  /** `bloomFields` (optional): after each batch lands, incrementally
+    * index its new files into the token-Bloom sidecars
+    * (graft.index.TokenBloomIndex.update — only unseen files are
+    * touched, so the per-batch cost is one pass over the batch's own
+    * output). Leaving it empty keeps the write path minimal; the
+    * sidecar can always be caught up out-of-band.
+    */
   def start(
       lines: DataFrame,
       mapping: SeqMapping,
       outPath: String,
       checkpointPath: String,
       requestTimeMs: Option[Long] = None,
-      triggerMs: Long = 1000): StreamingQuery = {
+      triggerMs: Long = 1000,
+      bloomFields: Seq[String] = Nil): StreamingQuery = {
     lines.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointPath)
@@ -39,6 +47,10 @@ object StreamingIngest {
         docs
           .withColumn("date", to_date(timestamp_millis(col("mid"))))
           .write.mode("append").partitionBy("date").parquet(outPath)
+        if (bloomFields.nonEmpty)
+          graft.index.TokenBloomIndex.update(
+            batch.sparkSession, outPath, mapping, bloomFields)
+        ()
       }
       .start()
   }
@@ -55,7 +67,14 @@ object StreamingIngest {
     * few large files sorted by (mid, rid) — the "sealing" analogue
     * (frac/active_sealer.go), run out-of-band per closed day.
     */
-  def compactDay(spark: SparkSession, outPath: String, date: String, targetFiles: Int = 1): Unit = {
+  /** `bloomFields`: sidecars to catch up after the swap — the
+    * compacted files are new to the index (update only touches those);
+    * rows for the replaced small files dangle harmlessly (candidate
+    * selection intersects with the live file list).
+    */
+  def compactDay(spark: SparkSession, outPath: String, date: String,
+      targetFiles: Int = 1, bloomFields: Seq[String] = Nil,
+      mapping: Option[SeqMapping] = None): Unit = {
     val day = spark.read.parquet(s"$outPath/date=$date")
     // range-partition by mid so compacted files carry disjoint time
     // ranges (tight min/max stats), not random row hashes
@@ -70,6 +89,10 @@ object StreamingIngest {
     val tmpPath = new org.apache.hadoop.fs.Path(s"$outPath/.compact_tmp_$date")
     fs.delete(dayPath, true)
     fs.rename(tmpPath, dayPath)
+    if (bloomFields.nonEmpty) {
+      require(mapping.isDefined, "compactDay bloom update needs the mapping")
+      graft.index.TokenBloomIndex.update(spark, outPath, mapping.get, bloomFields)
+    }
   }
 
   /** Retention: drop day partitions older than `keepDays` relative to
