@@ -53,6 +53,16 @@ object SparkEntry {
         .select("mid", "rid", "user_id", "event_type")
     }),
 
+    // ---- S5 + S4: point-lookup fetch with DISJUNCTIVE bloom pruning
+    //      (a batch of ids is an OR — union of per-id survivor files) ----
+    "seq_fetch_ids_bloom" -> ((s, dir) => {
+      val rids = Seq(5L, 105L, 205L, 305L, 405L)
+      val t = TestTables.eventsDocsFetchBloom(s, dir, rids)
+      val ids = t.df.where(col("rid").isin(rids: _*)).select("mid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+      new SeqEngine(t).fetch(ids).select("mid", "rid", "event_type", "value")
+    }),
+
     // ---- F8 boolean algebra (and/or/not) ----
     "seq_search_bool" -> ((s, dir) =>
       ev(s, dir).search(SearchRequest(
@@ -724,6 +734,10 @@ object SparkEntry {
           GROUP BY 1, 2 ORDER BY bucket_ms ASC, value DESC, name ASC""",
 
     "seq_fetch_ids" ->
+      s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
+          WHERE event_id IN (5, 105, 205, 305, 405) ORDER BY rid ASC""",
+
+    "seq_fetch_ids_bloom" ->
       s"""SELECT $M AS mid, event_id AS rid, event_type, value FROM events
           WHERE event_id IN (5, 105, 205, 305, 405) ORDER BY rid ASC""",
 

@@ -238,6 +238,44 @@ object TokenBloomIndex {
     Some((allFiles.filter(surviving.contains) ++ unknown).sorted)
   }
 
+  /** Disjunctive variant for point lookups (Fetch, S5): a batch of ids
+    * is an OR, so a file survives when ANY probed token passes its
+    * Bloom — the union of per-token survivor sets, plus files the
+    * sidecar never saw. This is the reference's "token dict → LID list"
+    * narrowing for _mget-style access: a k-id fetch over a million-file
+    * table touches ≈ k files (those whose token set can contain an id)
+    * instead of every file the time bounds admit. Returns None when the
+    * field has no sidecar.
+    */
+  def candidateFilesAny(spark: SparkSession, tablePath: String,
+      field: String, tokens: Seq[String]): Option[Seq[String]] = {
+    if (tokens.isEmpty) return None
+    val rowsOpt = try {
+      Some(spark.read.parquet(sidecarPath(tablePath, field))
+        .select("file", "bits", "num_bits", "num_hashes").collect())
+    } catch { case _: Exception => return None }
+    val rows = rowsOpt.get
+    val pass = rows.filter { r =>
+      val bits = r.getSeq[Long](1).toArray
+      val m = r.getInt(2); val k = r.getInt(3)
+      tokens.exists(t => maybeContains(bits, m, k, t))
+    }.map(_.getString(0)).toSet
+    val covered = rows.map(_.getString(0)).toSet
+    val allFiles = spark.read.parquet(tablePath).inputFiles.toSeq
+    Some((allFiles.filter(pass.contains) ++ allFiles.filterNot(covered.contains)).sorted)
+  }
+
+  /** Read `tablePath` restricted to files that can contain ANY of the
+    * probed tokens in `field` (see [[candidateFilesAny]]). */
+  def prunedReadAny(spark: SparkSession, tablePath: String,
+      field: String, tokens: Seq[String]): DataFrame =
+    candidateFilesAny(spark, tablePath, field, tokens) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", tablePath).parquet(files: _*)
+      case Some(_) => spark.read.parquet(tablePath).limit(0)
+      case None    => spark.read.parquet(tablePath)
+    }
+
   /** Read `tablePath` restricted to the files a query's required tokens
     * can match (partition columns preserved via basePath). Falls back
     * to the plain read when pruning cannot apply.

@@ -72,7 +72,12 @@ object TestTables {
     * required tokens then prune the FILE LIST before the scan, so a
     * needle query touches only the files that can contain it.
     */
-  def eventsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
+  /** Materialize the day-partitioned events copy once per (SF, source
+    * fingerprint) and make sure each requested field has a Bloom
+    * sidecar (fields are added lazily as queries need them).
+    */
+  private def ensureEventsBloomTable(spark: SparkSession, sfDir: String,
+      fields: Seq[String]): String = {
     // fingerprint the source in the cache key so a regenerated (or
     // same-named but different) dataset never reuses a stale copy
     val src = new java.io.File(s"$sfDir/events.parquet")
@@ -80,17 +85,37 @@ object TestTables {
       src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
     val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}_$fp"
     TestTables.synchronized {
-      if (!new java.io.File(s"$path/_bloom/field=user_id/_SUCCESS").exists()) {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         eventsDocs(spark, sfDir).df
           .withColumn("date", to_date(timestamp_millis(col("mid"))))
           .write.mode("overwrite").partitionBy("date").parquet(path)
-        graft.index.TokenBloomIndex.build(spark, path, eventsMapping,
-          Seq("user_id", "event_type"))
       }
+      val missing = fields.filterNot(f =>
+        new java.io.File(s"$path/_bloom/field=$f/_SUCCESS").exists())
+      if (missing.nonEmpty)
+        graft.index.TokenBloomIndex.build(spark, path, eventsMapping, missing)
     }
-    val df = graft.index.TokenBloomIndex.prunedRead(spark, path, query, eventsMapping)
+    path
+  }
+
+  private def eventsTableOver(df: org.apache.spark.sql.DataFrame): DocsTable =
     DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
       timePredicate = Some(tsPredicate))
+
+  def eventsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
+    val path = ensureEventsBloomTable(spark, sfDir, Seq("user_id", "event_type"))
+    eventsTableOver(
+      graft.index.TokenBloomIndex.prunedRead(spark, path, query, eventsMapping))
+  }
+
+  /** Point-lookup (Fetch) variant: disjunctive Bloom pruning on the
+    * event_id — a batch of ids touches only the files whose id token
+    * set can contain one of them (S5's "ids → fraction" narrowing).
+    */
+  def eventsDocsFetchBloom(spark: SparkSession, sfDir: String, rids: Seq[Long]): DocsTable = {
+    val path = ensureEventsBloomTable(spark, sfDir, Seq("event_id"))
+    eventsTableOver(graft.index.TokenBloomIndex.prunedReadAny(
+      spark, path, "event_id", rids.map(_.toString)))
   }
 
   /** documents docs table materialized with Bloom sidecars over the

@@ -122,6 +122,23 @@ class BloomIndexSpec extends SparkSpec {
     assert(TokenBloomIndex.update(spark, tmp, mapping, Seq("level")) == 0)
   }
 
+  test("disjunctive (any-of) pruning: union of survivors, lookups never miss") {
+    val tmp = mkTable()
+    val all = spark.read.parquet(tmp).inputFiles.toSet
+    // ids 7 and 137 live in buckets 3 and 1 — kept files must cover
+    // both, pruning the remaining buckets (keyword 'level' field holds
+    // common{0,1,2}/rare; use msg tokens which carry the unique doc id)
+    val cand = TokenBloomIndex.candidateFilesAny(spark, tmp, "msg", Seq("7", "137")).get
+    assert(cand.size < all.size)
+    val got = TokenBloomIndex.prunedReadAny(spark, tmp, "msg", Seq("7", "137"))
+      .where(col("id").isin(7L, 137L)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(7L, 137L))
+    // unknown field → no pruning, full read
+    assert(TokenBloomIndex.prunedReadAny(spark, tmp, "nope", Seq("x"))
+      .inputFiles.toSet == all)
+  }
+
   test("a file covered by only SOME sidecars is never pruned") {
     import spark.implicits._
     val tmp = mkTable()
