@@ -153,8 +153,8 @@ object SparkEntry {
         AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
           groupBy = Some("event_type")))),
 
-    // ---- A4 via the deterministic bottom-k sketch (complete sample
-    // below the cap ⇒ exact — same oracle as the window-rank path) ----
+    // ---- A4 via the deterministic bottom-k sketch (the oracle replays
+    // the sample selection itself — exact above AND below the cap) ----
     "seq_agg_quantile_sketch" -> ((s, dir) =>
       ev(s, dir).aggregateQuantileSketch("*", T0, T31,
         AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
@@ -712,20 +712,39 @@ object SparkEntry {
 
     // below the sample cap the bottom-k sketch's sample is complete,
     // so the exact window-rank oracle applies verbatim
-    "seq_agg_quantile_sketch" ->
-      s"""WITH m AS (
-            SELECT coalesce(event_type, '_not_exists') AS name, value FROM events
-            WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL
+    // The bottom-k sketch is deterministic BY CONSTRUCTION (priority =
+    // splitmix64(mid XOR rid), keep the ReservoirCap smallest (prio,
+    // value) pairs) — so the oracle replays the very same sample
+    // selection instead of assuming the sample is complete. Exact at
+    // ANY scale factor, above or below the cap.
+    "seq_agg_quantile_sketch" -> {
+      val cap = graft.functions.SeqAggregates.ReservoirCap
+      s"""WITH ${mix64Ctes(
+            s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
+                       xor($M, event_id) AS uid FROM events
+                WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""")},
+          pr AS (
+            SELECT name, value,
+                   CAST(u5 - CASE WHEN u5 >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS prio
+            FROM mh
+          ), sel AS (
+            SELECT name, value,
+                   row_number() OVER (PARTITION BY name ORDER BY prio ASC, value ASC) AS k
+            FROM pr
+          ), samp AS (
+            SELECT name, value FROM sel WHERE k <= $cap
           ), r AS (
             SELECT name, value,
                    row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
                    count(*) OVER (PARTITION BY name) AS n
-            FROM m
+            FROM samp
           )
           SELECT name, q, value FROM r
           JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
             ON rn = CAST(round(q * (n - 1)) AS BIGINT)
-          ORDER BY name ASC, q ASC""",
+          ORDER BY name ASC, q ASC"""
+    },
 
     "seq_agg_timeseries_day" ->
       s"""SELECT $M - $M % 86400000 AS bucket_ms,

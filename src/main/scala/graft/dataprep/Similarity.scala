@@ -173,6 +173,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted IVF index: deterministic k-means centroids plus the
+    * corpus laid out cell-partitioned on disk. [[ivfTopK]] retrains per
+    * call — right for exploration, wrong at corpus scale, where the
+    * index is built once (amortized over every query) and a query
+    * reads ONLY its probed cells via hive partition pruning: nProbe /
+    * nCells of the data moves, the rest is never opened. This is the
+    * IVF file layout every ANN system converges on, expressed as a
+    * partitioned parquet table.
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, nCells: Int = 16, trainIters: Int = 2): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(vecCol).cast("array<double>")
+    val points = df.select(col(idCol).as("neighbor_id"), v.as("v")).persist()
+    val centroids = trainIvfCentroids(points, nCells, trainIters)
+    centroids.toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignCells(points, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/points")
+    points.unpersist()
+  }
+
+  /** Query the persisted index: same semantics and bit-identical
+    * results as [[ivfTopK]] with equal parameters (same training), but
+    * the scan touches only the probed cell partitions. Query vectors
+    * and their probe cells are driver-computed over the KB-sized
+    * centroid table, so the filter is a literal IN list the planner
+    * prunes partitions with.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queryIds: Seq[Long], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val cmat = new graft.functions.IvfCentroids(
+      centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray)
+    val pts = spark.read.parquet(s"$indexPath/points")
+    val qRows = pts.where(col("neighbor_id").isin(queryIds: _*))
+      .select(col("neighbor_id"), col("v")).collect()
+    val probes = qRows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Double](1)
+      val cells = graft.functions.IvfCells.nearestCells(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qv.toArray), cmat)
+      (0 until math.min(nProbe, cells.numElements()))
+        .map(i => (r.getLong(0), qv, cells.getLong(i)))
+    }
+    val probedCells = probes.map(_._3).distinct.sorted
+    val probesDf = probes.toDF("query_id", "q", "cell")
+    val cands = pts.where(col("cell").isin(probedCells: _*)) // partition prune
+      .join(broadcast(probesDf), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Approximate top-k: LSH-bucket the corpus, probe only buckets
     * within `probeHamming` bits of the query's bucket (explode of
     * nearby buckets — multi-probe LSH), exact-rank the candidates.

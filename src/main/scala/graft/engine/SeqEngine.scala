@@ -313,9 +313,14 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     val spark = table.df.sparkSession
     import spark.implicits._
     import graft.functions.SeqAggregates
+    // row identity for the sample priority: mid XOR rid — one bitwise
+    // op both Spark and a SQL oracle compute identically (an xxhash64
+    // here would be Spark-private arithmetic), then DetSamplesAgg
+    // scrambles it through splitmix64, so structured ids still sample
+    // uniformly
     val ds = m.select(
         bucket.as("b"), nameC.as("n"), v.as("v"),
-        xxhash64(mid, rid).as("u"))
+        mid.bitwiseXOR(rid).as("u"))
       .as[(Long, String, Option[Double], Long)]
     val agged = ds.groupByKey(t => (t._1, t._2))
       .mapValues(t => SeqAggregates.DetIn(t._3, t._4))
