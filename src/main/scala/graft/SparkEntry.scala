@@ -360,6 +360,11 @@ object SparkEntry {
       dataprep.Similarity.ivfTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- ANN: persisted cell-partitioned IVF index (build once,
+    //      queries read only probed cell partitions) ----
+    "dp_ann_ivf_indexed" -> ((s, dir) =>
+      TestTables.embeddingsIvfTopK(s, dir, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // ---- A4 + A5: per-day quantiles (time-series) ----
     "seq_agg_quantile_ts" -> ((s, dir) =>
       ev(s, dir).aggregate("event_type:purchase", T0, T31,
@@ -551,6 +556,9 @@ object SparkEntry {
           FROM r WHERE rn <= 20 ORDER BY lang, sample_rank""",
 
     "dp_ann_ivf" -> ivfOracleSql(nCells = 16, nProbe = 4, iters = 2, k = 10),
+    // the persisted index replays the same deterministic training, so
+    // the same oracle applies verbatim
+    "dp_ann_ivf_indexed" -> ivfOracleSql(nCells = 16, nProbe = 4, iters = 2, k = 10),
 
     "dp_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -118,6 +118,26 @@ object TestTables {
       spark, path, "event_id", rids.map(_.toString)))
   }
 
+  /** Query the persisted cell-partitioned IVF index over the
+    * embeddings table (built once per (SF, source fingerprint) —
+    * Similarity.buildIvfIndex); identical results to the retrain-per-
+    * call ivfTopK, but the scan opens only the probed cell partitions.
+    */
+  def embeddingsIvfTopK(spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val fp = java.lang.Long.toHexString(
+      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
+    val path = s"/tmp/graft_ivf_${new java.io.File(sfDir).getName}_$fp"
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/points/_SUCCESS").exists())
+        graft.dataprep.Similarity.buildIvfIndex(
+          embeddings(spark, sfDir), "vec_id", "embedding", path,
+          nCells = 16, trainIters = 2)
+    }
+    graft.dataprep.Similarity.ivfTopKIndexed(spark, path, queryIds, k, nProbe = 4)
+  }
+
   /** documents docs table materialized with Bloom sidecars over the
     * text tokens, source path prefixes and language — the sealed-index
     * analogue for the corpus table (see [[eventsDocsBloom]]).
