@@ -35,6 +35,9 @@ object Bench {
     // IVF index build is amortized write-path cost, same as the blooms
     try graft.tables.TestTables.embeddingsIvfTopK(spark, sfDir, Seq(0L), 1).count()
     catch { case _: Throwable => () }
+    try graft.tables.TestTables.eventsDocsFetchBloom(spark, sfDir, Seq(0L))
+      .df.limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
