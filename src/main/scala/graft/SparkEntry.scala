@@ -519,7 +519,9 @@ object SparkEntry {
     * `h63` (the unsigned hash shifted right once — compare with plain
     * signed <).
     */
-  private def mix64Ctes(baseSelect: String): String = {
+  /** `p` prefixes both CTE and computed-column names so two chains can
+    * compose in one WITH (e.g. prio = mix64(xor(mix64(mid), rid))). */
+  private def mix64Ctes(baseSelect: String, p: String = ""): String = {
     val M = "18446744073709551616"
     def u64(x: String) = s"(((CAST($x AS HUGEINT)) % $M + $M) % $M)"
     def tos64(u: String) = s"CAST($u - CASE WHEN $u >= 9223372036854775808 THEN $M ELSE 0 END AS BIGINT)"
@@ -528,14 +530,14 @@ object SparkEntry {
     val C = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L + graft.functions.SeqAggregates.Seed)
     val B1 = java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L)
     val B2 = java.lang.Long.toUnsignedString(0x94D049BB133111EBL)
-    s"""b AS ($baseSelect),
-       m0 AS (SELECT *, ${u64(s"CAST(uid AS HUGEINT) + $C")} AS u0 FROM b),
-       m1 AS (SELECT *, ${u64(s"xor(${tos64("u0")}, ${tos64("(u0 // 1073741824)")})")} AS u1 FROM m0),
-       m2 AS (SELECT *, ${mul("u1", B1)} AS u2 FROM m1),
-       m3 AS (SELECT *, ${u64(s"xor(${tos64("u2")}, ${tos64("(u2 // 134217728)")})")} AS u3 FROM m2),
-       m4 AS (SELECT *, ${mul("u3", B2)} AS u4 FROM m3),
-       m5 AS (SELECT *, ${u64(s"xor(${tos64("u4")}, ${tos64("(u4 // 2147483648)")})")} AS u5 FROM m4),
-       mh AS (SELECT *, CAST(u5 // 2 AS BIGINT) AS h63 FROM m5)"""
+    s"""${p}b AS ($baseSelect),
+       ${p}m0 AS (SELECT *, ${u64(s"CAST(uid AS HUGEINT) + $C")} AS ${p}u0 FROM ${p}b),
+       ${p}m1 AS (SELECT * EXCLUDE (uid), ${u64(s"xor(${tos64(s"${p}u0")}, ${tos64(s"(${p}u0 // 1073741824)")})")} AS ${p}u1 FROM ${p}m0),
+       ${p}m2 AS (SELECT *, ${mul(s"${p}u1", B1)} AS ${p}u2 FROM ${p}m1),
+       ${p}m3 AS (SELECT *, ${u64(s"xor(${tos64(s"${p}u2")}, ${tos64(s"(${p}u2 // 134217728)")})")} AS ${p}u3 FROM ${p}m2),
+       ${p}m4 AS (SELECT *, ${mul(s"${p}u3", B2)} AS ${p}u4 FROM ${p}m3),
+       ${p}m5 AS (SELECT *, ${u64(s"xor(${tos64(s"${p}u4")}, ${tos64(s"(${p}u4 // 2147483648)")})")} AS ${p}u5 FROM ${p}m4),
+       ${p}mh AS (SELECT *, CAST(${p}u5 // 2 AS BIGINT) AS ${p}h63 FROM ${p}m5)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -727,15 +729,21 @@ object SparkEntry {
     // ANY scale factor, above or below the cap.
     "seq_agg_quantile_sketch" -> {
       val cap = graft.functions.SeqAggregates.ReservoirCap
+      def signed(u: String) =
+        s"""CAST($u - CASE WHEN $u >= 9223372036854775808
+             THEN 18446744073709551616 ELSE 0 END AS BIGINT)"""
+      // uid = mix64(mid) XOR rid (two chained mix64 stages): XOR of the
+      // raw ids alone degenerates when mid == rid (uid = 0 for every
+      // row), so the engine pre-scrambles mid — mirrored here chain A
+      // (mix64 of mid) then chain B (DetSamplesAgg's own mix64 of uid)
       s"""WITH ${mix64Ctes(
             s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
-                       xor($M, event_id) AS uid FROM events
-                WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""")},
+                       event_id AS rid, $M AS uid FROM events
+                WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""", "a")},
+          ${mix64Ctes(
+            s"""SELECT name, value, xor(${signed("au5")}, rid) AS uid FROM amh""", "b")},
           pr AS (
-            SELECT name, value,
-                   CAST(u5 - CASE WHEN u5 >= 9223372036854775808
-                        THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS prio
-            FROM mh
+            SELECT name, value, ${signed("bu5")} AS prio FROM bmh
           ), sel AS (
             SELECT name, value,
                    row_number() OVER (PARTITION BY name ORDER BY prio ASC, value ASC) AS k

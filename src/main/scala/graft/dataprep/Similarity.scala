@@ -192,16 +192,23 @@ object Similarity {
     centroids.toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignCells(points, centroids)
+      // id-sorted within each cell partition: the by-id lookup path
+      // (fetching query vectors) then prunes row groups via parquet
+      // min/max id stats instead of decoding whole cells
+      .sortWithinPartitions(col("neighbor_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/points")
     points.unpersist()
   }
 
   /** Query the persisted index: same semantics and bit-identical
     * results as [[ivfTopK]] with equal parameters (same training), but
-    * the scan touches only the probed cell partitions. Query vectors
-    * and their probe cells are driver-computed over the KB-sized
-    * centroid table, so the filter is a literal IN list the planner
-    * prunes partitions with.
+    * the CANDIDATE scan — the data-proportional cost — touches only
+    * the probed cell partitions (probe cells are driver-computed over
+    * the KB-sized centroid table, so the filter is a literal IN list
+    * the planner prunes partitions with). The by-id query-vector
+    * lookup has no cell predicate; it relies on the per-partition id
+    * sort\'s row-group stats, and a serving deployment would hand the
+    * vectors in directly instead of looking them up here.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queryIds: Seq[Long], k: Int, nProbe: Int = 4): DataFrame = {

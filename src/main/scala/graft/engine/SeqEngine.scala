@@ -313,14 +313,14 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     val spark = table.df.sparkSession
     import spark.implicits._
     import graft.functions.SeqAggregates
-    // row identity for the sample priority: mid XOR rid — one bitwise
-    // op both Spark and a SQL oracle compute identically (an xxhash64
-    // here would be Spark-private arithmetic), then DetSamplesAgg
-    // scrambles it through splitmix64, so structured ids still sample
-    // uniformly
+    // row identity for the sample priority: mix64(mid) XOR rid — SQL-
+    // replayable (unlike Spark-private xxhash64) yet non-degenerate for
+    // tables where mid == rid (a raw mid XOR rid would be 0 on every
+    // row there, collapsing the sample to the smallest values);
+    // DetSamplesAgg applies its own mix64 on top
     val ds = m.select(
         bucket.as("b"), nameC.as("n"), v.as("v"),
-        mid.bitwiseXOR(rid).as("u"))
+        graft.functions.VectorExpressions.mix64(mid).bitwiseXOR(rid).as("u"))
       .as[(Long, String, Option[Double], Long)]
     val agged = ds.groupByKey(t => (t._1, t._2))
       .mapValues(t => SeqAggregates.DetIn(t._3, t._4))

@@ -47,9 +47,16 @@ object StreamingIngest {
         docs
           .withColumn("date", to_date(timestamp_millis(col("mid"))))
           .write.mode("append").partitionBy("date").parquet(outPath)
+        // advisory-only index maintenance MUST NOT fail the epoch: the
+        // parquet append above is not idempotent, so a failure here
+        // would replay the batch and duplicate its rows. Unindexed
+        // files are merely unprunable until the next catch-up.
         if (bloomFields.nonEmpty)
-          graft.index.TokenBloomIndex.update(
+          try graft.index.TokenBloomIndex.update(
             batch.sparkSession, outPath, mapping, bloomFields)
+          catch { case e: Exception =>
+            System.err.println(s"[StreamingIngest] bloom update skipped: $e")
+          }
         ()
       }
       .start()

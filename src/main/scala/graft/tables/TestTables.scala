@@ -65,25 +65,24 @@ object TestTables {
       timePredicate = Some(tsPredicate))
   }
 
-  /** The events docs table in the at-scale layout: a day-partitioned
-    * parquet copy with a token-Bloom sidecar over the selective lookup
-    * fields (graft.index.TokenBloomIndex — the sealed-index analogue).
-    * Materialized once per SF under /tmp; `query`'s conjunctively
-    * required tokens then prune the FILE LIST before the scan, so a
-    * needle query touches only the files that can contain it.
+  /** Cache key for /tmp materializations: identity + size + mtime of
+    * the source parquet, so a regenerated (or same-named but
+    * different) dataset never reuses a stale copy.
     */
+  private def sourceFingerprint(sfDir: String, table: String): String = {
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    java.lang.Long.toHexString(
+      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
+  }
+
   /** Materialize the day-partitioned events copy once per (SF, source
     * fingerprint) and make sure each requested field has a Bloom
     * sidecar (fields are added lazily as queries need them).
     */
   private def ensureEventsBloomTable(spark: SparkSession, sfDir: String,
       fields: Seq[String]): String = {
-    // fingerprint the source in the cache key so a regenerated (or
-    // same-named but different) dataset never reuses a stale copy
-    val src = new java.io.File(s"$sfDir/events.parquet")
-    val fp = java.lang.Long.toHexString(
-      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
-    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}_$fp"
+    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "events")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         eventsDocs(spark, sfDir).df
@@ -102,6 +101,13 @@ object TestTables {
     DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
       timePredicate = Some(tsPredicate))
 
+  /** The events docs table in the at-scale layout: a day-partitioned
+    * parquet copy with a token-Bloom sidecar over the selective lookup
+    * fields (graft.index.TokenBloomIndex — the sealed-index analogue).
+    * Materialized once per SF under /tmp; `query`'s conjunctively
+    * required tokens then prune the FILE LIST before the scan, so a
+    * needle query touches only the files that can contain it.
+    */
   def eventsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
     val path = ensureEventsBloomTable(spark, sfDir, Seq("user_id", "event_type"))
     eventsTableOver(
@@ -125,10 +131,8 @@ object TestTables {
     */
   def embeddingsIvfTopK(spark: SparkSession, sfDir: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val fp = java.lang.Long.toHexString(
-      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
-    val path = s"/tmp/graft_ivf_${new java.io.File(sfDir).getName}_$fp"
+    val path = s"/tmp/graft_ivf_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "embeddings")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/points/_SUCCESS").exists())
         graft.dataprep.Similarity.buildIvfIndex(
@@ -144,10 +148,8 @@ object TestTables {
     */
   def documentsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
     val base = documentsDocs(spark, sfDir)
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val fp = java.lang.Long.toHexString(
-      src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())
-    val path = s"/tmp/graft_bloom_docs_${new java.io.File(sfDir).getName}_$fp"
+    val path = s"/tmp/graft_bloom_docs_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_bloom/field=text/_SUCCESS").exists()) {
         // doc_id-ranged files so per-file token sets differ and the
