@@ -309,6 +309,28 @@ object SparkEntry {
       dataprep.Sessionize.sessions(
         TestTables.eventsDocs(s, dir).df, "user_id", "mid", "rid", gapMs = 1800000L)),
 
+    // ---- as-of join: each purchase enriched with the user's latest
+    //      prior click (union + running window — one shuffle, no
+    //      inequality join; see AsofJoin scaladoc) ----
+    "events_asof" -> ((s, dir) => {
+      val ev = TestTables.eventsDocs(s, dir).df
+      dataprep.AsofJoin.asofLatestWithTime(
+        left = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("mid"), col("user_id"), col("value_cents")),
+        right = ev.where(col("event_type") === "click"),
+        keyCol = "user_id", leftTime = "mid", rightTime = "mid",
+        rightTieCol = "event_id",
+        payload = Seq("value_cents" -> "click_cents"),
+        matchedTimeCol = "click_mid")
+        .orderBy(col("event_id").asc)
+    }),
+
+    // ---- ordered conversion funnel: view → click → purchase ----
+    "events_funnel" -> ((s, dir) =>
+      dataprep.Sessionize.funnel(
+        TestTables.eventsDocs(s, dir).df, "user_id", "mid", "event_type",
+        Seq("view", "click", "purchase"))),
+
     // ==== training-data pipeline operators (dataprep package) ====
 
     // ---- exact dedup: hash-groupBy ----
@@ -425,6 +447,28 @@ object SparkEntry {
       dataprep.Multimodal.extractFeatures(
         dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
         "doc_id", "payload")),
+
+    // ---- sequence packing into fixed-token-budget shards
+    //      (two-phase distributed prefix sum, no global window) ----
+    "dp_pack" -> ((s, dir) =>
+      dataprep.Packing.packShards(
+        TestTables.documents(s, dir)
+          .select(col("doc_id"),
+            size(dataprep.TextPrep.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1024L)),
+
+    // ---- Gopher-style repetition quality signals ----
+    "dp_repetition" -> ((s, dir) =>
+      dataprep.TextAnalysis.repetitionStats(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- corpus vocabulary: top-50 word bigrams ----
+    "dp_ngram_freq" -> ((s, dir) =>
+      dataprep.CorpusStats.ngramFreq(TestTables.documents(s, dir), "text", n = 2, topK = 50)),
+
+    // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
+    "dp_bm25" -> ((s, dir) =>
+      dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "window", "merge"))),
   )
 
   // Shared DuckDB fragments mirroring TextPrep (same regex / shingle
@@ -1083,5 +1127,131 @@ object SparkEntry {
                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
                CAST(3 AS BIGINT) AS fake_channels
         FROM documents ORDER BY id ASC""",
+
+    // The oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely different
+    // algorithm from the Spark union+running-window implementation, so
+    // this checks semantics, not implementation echoes. Clicks are
+    // deduped to one row per (user, ms) by max event_id first, matching
+    // the Spark side's tiebreak.
+    "events_asof" ->
+      s"""WITH e AS (
+            SELECT event_id, $M AS mid, user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events
+          ), c AS (
+            SELECT user_id, mid AS click_mid,
+                   arg_max(value_cents, event_id) AS click_cents
+            FROM e WHERE event_type = 'click' GROUP BY user_id, mid
+          ), p AS (
+            SELECT event_id, mid, user_id, value_cents
+            FROM e WHERE event_type = 'purchase'
+          )
+          SELECT p.event_id, p.mid, p.user_id, p.value_cents,
+                 c.click_mid, c.click_cents
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.mid >= c.click_mid
+          ORDER BY p.event_id ASC""",
+
+    "events_funnel" ->
+      s"""WITH e AS (
+            SELECT user_id, $M AS mid, event_type FROM events
+          ), s1 AS (
+            SELECT user_id, min(mid) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+          ), s2 AS (
+            SELECT e.user_id, min(e.mid) AS t2 FROM e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.mid > s1.t1 GROUP BY e.user_id
+          ), s3 AS (
+            SELECT e.user_id, min(e.mid) AS t3 FROM e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.mid > s2.t2 GROUP BY e.user_id
+          )
+          SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+          FROM s1
+          LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+          ORDER BY s1.user_id ASC""",
+
+    // Plain global windowed SUM — the textbook formulation the Spark
+    // side deliberately avoids (two-phase distributed prefix sum).
+    "dp_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(len($DTOKS) AS BIGINT) AS n_tokens FROM documents
+          ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t)
+          SELECT doc_id, n_tokens, cum,
+                 CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS shard
+          FROM c ORDER BY doc_id ASC""",
+
+    "dp_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          b AS (
+            SELECT doc_id, toks,
+              list_filter(list_transform(range(1, greatest(len(toks), 2)),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]),
+                x -> x IS NOT NULL) AS bi
+            FROM t
+          ), c AS (
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, t -> t = w)))), 0) AS BIGINT) AS top_word_n,
+              CAST(len(bi) AS BIGINT) AS n_bigrams,
+              CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS dup_bigram_n
+            FROM b)
+          SELECT doc_id, n_words, n_distinct, top_word_n, n_bigrams, dup_bigram_n,
+                 CAST(n_words - n_distinct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS dup_word_frac,
+                 CAST(top_word_n AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac,
+                 CAST(dup_bigram_n AS DOUBLE) / CAST(greatest(n_bigrams, 1) AS DOUBLE) AS dup_bigram_frac
+          FROM c ORDER BY doc_id ASC""",
+
+    "dp_ngram_freq" ->
+      s"""WITH t AS (SELECT $DTOKS AS toks FROM documents),
+          b AS (
+            SELECT list_filter(list_transform(range(1, greatest(len(toks), 2)),
+              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]),
+              x -> x IS NOT NULL) AS bi
+            FROM t
+          ), u AS (SELECT unnest(bi) AS ngram FROM b)
+          SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM u
+          GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""",
+
+    // Same rational-idf BM25 the Spark side computes (see
+    // CorpusStats.bm25Rank scaladoc): every factor is +,-,*,/ on
+    // doubles in the same evaluation order, so scores are bit-equal.
+    "dp_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+              CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2,
+              CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf3,
+              CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS h1,
+              CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END AS h2,
+              CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END AS h3
+            FROM t
+          ), st AS (
+            SELECT count(*) AS n, sum(dl) AS sumdl,
+                   sum(h1) AS df1, sum(h2) AS df2, sum(h3) AS df3
+            FROM d
+          ), sc AS (
+            SELECT doc_id, dl,
+              (tf1 * ((((n - df1) + 0.5) / (df1 + 0.5)) * (1.2 + 1.0)))
+                / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              + (tf2 * ((((n - df2) + 0.5) / (df2 + 0.5)) * (1.2 + 1.0)))
+                / (tf2 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              + (tf3 * ((((n - df3) + 0.5) / (df3 + 0.5)) * (1.2 + 1.0)))
+                / (tf3 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              AS score
+            FROM d, st)
+          SELECT doc_id, dl, score FROM sc WHERE score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT 20""",
   )
 }

@@ -1,0 +1,89 @@
+package graft.dataprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and relevance ranking over the documents
+  * table: n-gram vocabulary frequencies and BM25-style scoring. Both
+  * are beyond-reference operators a training-data pipeline needs
+  * (vocabulary audits, near-duplicate boilerplate detection, relevance
+  * sampling of a corpus against probe queries).
+  */
+object CorpusStats {
+
+  /** Top-k word n-grams by corpus frequency (count desc, n-gram asc —
+    * a total order, so the limit is deterministic).
+    *
+    * Scale: explode → partial+final hash aggregation — the map-side
+    * combine collapses each task's n-grams before the single shuffle,
+    * and the top-k is a TakeOrderedAndProject (no global sort).
+    */
+  def ngramFreq(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 1 && topK >= 1, "n and topK must be positive")
+    val toks = TextPrep.tokens(col(textCol))
+    // n-grams with multiplicity: positions 1 .. len-n+1
+    val grams =
+      if (n == 1) toks
+      else filter(
+        transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + o)): _*)),
+        x => size(split(x, " ")) === n)
+    df.select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
+  /** BM25-style relevance of every document against a bag of query
+    * terms, top-k by score.
+    *
+    * Formula: per term t,
+    *   idf(t)  = (N - df_t + 0.5) / (df_t + 0.5)
+    *   s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    * summed over terms in the fixed given order. This is BM25 with the
+    * textbook `ln(1 + idf)` replaced by the raw Robertson idf ratio —
+    * deliberately: the ratio is a rational function of integer corpus
+    * counts, so two engines computing it with IEEE doubles agree bit
+    * for bit, while `ln` may differ in the last ulp between libms.
+    * Ranking behavior is the same shape (rare terms weigh more).
+    *
+    * Scale: corpus stats (N, Σdl, df per term) reduce to ONE tiny
+    * aggregate row collected to the driver and inlined as literals —
+    * the scoring pass is then a narrow map over the scan followed by a
+    * top-k. No joins, no second shuffle.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = TextPrep.tokens(col(textCol))
+    val withToks = df.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("long").as("__dl"))
+
+    // one aggregate pass: N, total length, per-term document frequency
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl")) ++
+      terms.map(t =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val statsRow = withToks.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = statsRow.getLong(2 + i)
+      val idf = (nDocs - dfT + 0.5) / (dfT + 0.5)
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      tf * lit(idf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+
+    withToks
+      .select(col(idCol), col("__dl").as("dl"), score.as("score"))
+      .where(col("score") > 0d)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+}

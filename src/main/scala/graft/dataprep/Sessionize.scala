@@ -33,4 +33,38 @@ object Sessionize {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
       .orderBy(col(userCol).asc, col("session_no").asc)
   }
+
+  /** Ordered funnel: per user, the earliest time each step of
+    * `steps` was reached, where step k must happen strictly AFTER the
+    * user's step-(k-1) time (the classic conversion funnel:
+    * view → click → purchase). Output: one row per user that reached
+    * step 1, with nullable `t1..tn` millisecond columns.
+    *
+    * Scale design: each stage is a filtered partial aggregation on the
+    * user key; stage k joins the (already user-keyed, shrinking) stage
+    * k-1 result — Spark reuses the hash partitioning, and AQE turns
+    * the later (small) sides into broadcasts. No windows over raw
+    * events, no per-user event arrays (a `collect_list` funnel dies on
+    * skewed power users at 100 TB).
+    */
+  def funnel(df: DataFrame, userCol: String, timeMs: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val first = df.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(timeMs)).as("t1"))
+    val out = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tCur = s"t${i + 1}"
+        val reached = df.where(col(typeCol) === step)
+          .select(col(userCol), col(timeMs).as("__t"))
+          .join(prev.select(col(userCol), col(tPrev)), Seq(userCol))
+          .where(col("__t") > col(tPrev))
+          .groupBy(col(userCol))
+          .agg(min(col("__t")).as(tCur))
+        prev.join(reached, Seq(userCol), "left")
+    }
+    out.orderBy(col(userCol).asc)
+  }
 }

@@ -129,4 +129,56 @@ object TextAnalysis {
           "[\\s\\p{Z}]+", " ")).as("norm"))
       .withColumn("n_chars_norm", length(col("norm")).cast("long"))
       .orderBy(col(idCol).asc)
+
+  /** Gopher-style repetition signals: duplicate-word fraction, most
+    * frequent word's share, duplicate word-bigram fraction. Documents
+    * dominated by repeated words/n-grams are low-quality training data
+    * (boilerplate, keyword stuffing, generation loops).
+    *
+    * Scale design: everything here is a per-row array expression — no
+    * explode, no shuffle, the whole operator stays inside one narrow
+    * codegen stage over the scan. The per-row top-word count is
+    * O(distinct × tokens) but documents are bounded (quality filters
+    * run on already length-capped docs), which beats an
+    * explode→groupBy→join-back (two shuffles of corpus-sized
+    * intermediates) at any scale.
+    *
+    * Fractions use only integer counts and one IEEE division each, so
+    * any ANSI engine reproduces them bit for bit.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextPrep.tokens(col(textCol))
+    // bigrams WITH multiplicity (TextPrep.bigramShingles dedups; the
+    // duplicate fraction needs the raw sequence)
+    val bigrams = filter(
+      transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => concat(try_element_at(toks, i), lit(" "), try_element_at(toks, i + 1))),
+      x => x.isNotNull)
+    df.withColumn("__toks", toks)
+      .withColumn("__bi", bigrams)
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("top_word_n",
+        coalesce(
+          array_max(transform(array_distinct(col("__toks")),
+            w => size(filter(col("__toks"), t => t === w)))),
+          lit(0)).cast("long"))
+      .withColumn("n_bigrams", size(col("__bi")).cast("long"))
+      .withColumn("dup_bigram_n",
+        (size(col("__bi")) - size(array_distinct(col("__bi")))).cast("long"))
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_distinct")).cast("double")
+          / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("top_word_frac",
+        col("top_word_n").cast("double")
+          / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("dup_bigram_frac",
+        col("dup_bigram_n").cast("double")
+          / greatest(col("n_bigrams"), lit(1L)).cast("double"))
+      .select(col(idCol), col("n_words"), col("n_distinct"), col("top_word_n"),
+        col("n_bigrams"), col("dup_bigram_n"), col("dup_word_frac"),
+        col("top_word_frac"), col("dup_bigram_frac"))
+      .orderBy(col(idCol).asc)
+  }
 }

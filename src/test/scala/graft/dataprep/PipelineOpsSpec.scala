@@ -1,0 +1,164 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Edge cases for the round-3 pipeline operators: as-of join, sequence
+  * packing, funnel, repetition stats, n-gram frequency, BM25.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- as-of join ----
+
+  private lazy val trades = Seq(
+    (1L, 100L, 10L), // user 1, t=100
+    (1L, 50L, 11L),
+    (2L, 100L, 12L), // user 2 has no quotes at all
+    (3L, 5L, 13L)    // before any quote of user 3
+  ).toDF("u", "t", "trade_id")
+
+  private lazy val quotes = Seq(
+    (1L, 100L, 1L, 111L), // equal-time quote (<= matches, < does not)
+    (1L, 90L, 2L, 222L),
+    (1L, 90L, 3L, 333L),  // same time as above — max tie id wins
+    (3L, 10L, 4L, 444L)
+  ).toDF("u", "t", "qid", "px")
+
+  test("asofLatest: <= semantics, tie by largest id, unmatched → null") {
+    val out = AsofJoin.asofLatest(trades, quotes, "u", "t", "t", "qid",
+        Seq("px" -> "last_px"))
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // trade 10 (u1,t100): equal-time quote px=111 wins over t=90
+    // trade 11 (u1,t50): no quote <= 50 → null
+    // trade 12 (u2): no quotes for the user → null
+    // trade 13 (u3,t5): quote at t=10 is later → null
+    assert(out.toSeq == Seq((10L, 111L), (11L, -1L), (12L, -1L), (13L, -1L)))
+  }
+
+  test("asofLatest strict mode skips equal-time rows") {
+    val out = AsofJoin.asofLatest(trades, quotes, "u", "t", "t", "qid",
+        Seq("px" -> "last_px"), strict = true)
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // trade 10 at t=100: equal-time quote excluded → falls back to t=90,
+    // where the larger qid (3, px=333) wins the tie
+    assert(out.head == (10L, 333L))
+  }
+
+  test("asofLatest ties between right rows resolve to the largest tie id") {
+    val lone = Seq((1L, 95L, 99L)).toDF("u", "t", "trade_id")
+    val out = AsofJoin.asofLatest(lone, quotes, "u", "t", "t", "qid",
+      Seq("px" -> "last_px")).collect()
+    assert(out.head.getLong(3) == 333L)
+  }
+
+  test("asofLatest is partition-independent") {
+    val a = AsofJoin.asofLatest(trades, quotes, "u", "t", "t", "qid",
+      Seq("px" -> "last_px")).orderBy("trade_id").collect().toSeq
+    val b = AsofJoin.asofLatest(trades.repartition(7), quotes.repartition(3),
+      "u", "t", "t", "qid", Seq("px" -> "last_px"))
+      .orderBy("trade_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- sequence packing ----
+
+  test("packShards: exclusive-prefix shard assignment, exact boundaries") {
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (5L, 8L))
+      .toDF("id", "sz")
+    val out = Packing.packShards(df, "id", "sz", budget = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // cum: 4, 8, 12, 13, 21 → excl: 0, 4, 8, 12, 13 → shard: 0,0,1,1,1
+    assert(out.toSeq == Seq((1L, 4L, 0L), (2L, 8L, 0L), (3L, 12L, 1L),
+      (4L, 13L, 1L), (5L, 21L, 1L)))
+  }
+
+  test("packShards matches a single-partition global window at any parallelism") {
+    val n = 5000
+    val df = (1 to n).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "sz")
+      .repartition(16)
+    val out = Packing.packShards(df, "id", "sz", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    var cum = 0L
+    val expect = (1 to n).map { i =>
+      cum += (i % 7 + 1); (i.toLong, cum)
+    }
+    assert(out.toSeq == expect)
+  }
+
+  // ---- funnel ----
+
+  test("funnel: steps must be strictly ordered in time per user") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 10L, "click"),   // click NOT after view
+      (3L, 10L, "click"), (3L, 20L, "view"),   // wrong order, no click after
+      (4L, 5L, "purchase")                     // never viewed → absent
+    ).toDF("u", "t", "typ")
+    val out = Sessionize.funnel(ev, "u", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 20L, 30L),
+      (2L, 10L, -1L, -1L),
+      (3L, 20L, -1L, -1L)))
+  }
+
+  // ---- repetition stats ----
+
+  test("repetitionStats counts duplicates, top word, duplicate bigrams") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(df, "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // doc1: words=4 distinct=2 top=3 bigrams=3 ("a a","a a","a b") dup=1
+    assert(out(0) == (1L, 4L, 2L, 3L, 3L, 1L))
+    assert(out(1) == (2L, 3L, 3L, 1L, 2L, 0L))
+    assert(out(2) == (3L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  // ---- n-gram frequency ----
+
+  test("ngramFreq: multiplicity counted, deterministic tie order") {
+    val df = Seq("a b a b", "a b c", "c a").toDF("text")
+    val out = CorpusStats.ngramFreq(df, "text", n = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // bigrams: "a b"×3 ("a b a b" has 2: "a b","b a","a b"): a b, b a, a b / a b, b c / c a
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L), ("c a", 1L)))
+  }
+
+  test("ngramFreq supports unigrams and trigrams") {
+    val df = Seq("a b c d", "a b c").toDF("text")
+    val uni = CorpusStats.ngramFreq(df, "text", n = 1, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(uni.toSeq == Seq(("a", 2L), ("b", 2L)))
+    val tri = CorpusStats.ngramFreq(df, "text", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tri.toSeq == Seq(("a b c", 2L), ("b c d", 1L)))
+  }
+
+  // ---- BM25 ----
+
+  test("bm25Rank: rarer terms dominate, longer docs penalized, zero-score dropped") {
+    val df = Seq(
+      (1L, "spark spark spark common common common common"),
+      (2L, "spark common"),
+      (3L, "rare common"),
+      (4L, "common common")
+    ).toDF("id", "text")
+    val out = CorpusStats.bm25Rank(df, "id", "text", Seq("spark", "rare"))
+      .collect().map(_.getLong(0))
+    // doc 4 has no query terms → excluded; doc 3 holds the rarest term
+    assert(!out.contains(4L))
+    assert(out.head == 3L)
+    assert(out.toSet == Set(1L, 2L, 3L))
+  }
+}
