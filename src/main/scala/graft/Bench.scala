@@ -39,6 +39,13 @@ object Bench {
       .df.limit(1).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // several operators persist() intermediates they never get to
+      // unpersist (their result DataFrame is consumed by exactly one
+      // action here); left in place those blocks pile up across the
+      // sweep and evict/spill under later queries — clear between
+      // queries (outside the timed window) so each line measures the
+      // query, not its predecessors' leftovers
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -58,6 +65,7 @@ object Bench {
       "seq_text_phrase", "seq_agg_count_by_type", "seq_agg_min_by_type",
       "seq_search_range_numeric")
     val baseline = baselineQs.filter(SparkEntry.queries.contains).map { n =>
+      spark.catalog.clearCache() // same hygiene as the main sweep
       val t0 = System.nanoTime()
       try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
       s"\"" + n + "\":" + ((System.nanoTime() - t0) / 1e6).round
@@ -71,6 +79,9 @@ object Bench {
     val ingest = try {
       import org.apache.spark.sql.functions._
       import graft.model.IndexType
+      // the read sweep's leftover cache blocks would otherwise compete
+      // with the write path's shuffles for unified memory
+      spark.catalog.clearCache()
       val base = spark.read.parquet(s"$sfDir/events.parquet").select(to_json(struct(
           date_format(timestamp_millis(expr("ts div 1000000")),
             "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),

@@ -20,16 +20,24 @@ object CorpusStats {
     */
   def ngramFreq(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
     require(n >= 1 && topK >= 1, "n and topK must be positive")
-    val toks = TextPrep.tokens(col(textCol))
-    // n-grams with multiplicity: positions 1 .. len-n+1
+    // Tokenize into a projection FIRST: higher-order-function lambdas
+    // evaluate captured child expressions per array element, so a
+    // lambda over the raw tokenizer expression would re-tokenize the
+    // document once per gram — O(tokens²) per doc. Captured as a bound
+    // attribute the per-element access is O(1).
+    val withToks = df.select(TextPrep.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    // n-grams with multiplicity, positions 1 .. len-n+1, built only at
+    // valid positions (guarded sequence) — no null slots to filter out
+    // and no per-gram re-tokenization to validate arity
     val grams =
       if (n == 1) toks
-      else filter(
+      else when(size(toks) >= n,
         transform(
-          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-          i => concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + o)): _*)),
-        x => size(split(x, " ")) === n)
-    df.select(explode(grams).as("ngram"))
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    withToks.select(explode(grams).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)

@@ -228,8 +228,15 @@ object Dedup {
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from ONE scan of the pairs pipeline: a
+    // union(pairs, pairs.swapped) would evaluate the (potentially
+    // expensive — e.g. full MinHash+LSH) pairs plan once per branch
+    // when the persist below first materializes
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // round 0 fused into initialization: rep = min(id, min direct
     // neighbor) is exactly one propagation step from the identity

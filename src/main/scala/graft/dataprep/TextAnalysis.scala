@@ -28,8 +28,13 @@ object TextAnalysis {
     * CJK presence wins, otherwise argmax of per-language stopword hit
     * counts with a fixed tie order (en > de > es > fr). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextPrep.tokens(col(textCol))
+    // tokenize once into a projection; the four stopword counters then
+    // read the bound attribute instead of re-running the tokenizer
+    // (CollapseProject keeps multi-referenced non-trivial aliases
+    // materialized, so this is one tokenizer pass per row, not four)
+    val toks = col("__toks")
     val out = df
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
       .withColumn("s_en", stopCount(toks, enStop))
       .withColumn("s_de", stopCount(toks, deStop))
       .withColumn("s_es", stopCount(toks, esStop))
@@ -51,8 +56,11 @@ object TextAnalysis {
     * composite score using only +,*,/ on exact integers (bit-stable).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextPrep.tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    // one tokenizer pass per row (see langId) — size / distinct / stop
+    // counters all read the bound attribute
+    val toks = col("__toks")
+    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
       .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("[\\.,;:!\\?]"), lit(0))).cast("long"))
       .withColumn("n_digit", size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0))).cast("long"))
@@ -147,15 +155,19 @@ object TextAnalysis {
     * any ANSI engine reproduces them bit for bit.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextPrep.tokens(col(textCol))
+    // Tokenize into the projection FIRST, build bigrams from the bound
+    // attribute: a transform-lambda over the raw tokenizer expression
+    // re-evaluates it per element (captured children are not CSE'd
+    // inside interpreted HOFs) — O(tokens²) per doc
+    val tokAttr = col("__toks")
     // bigrams WITH multiplicity (TextPrep.bigramShingles dedups; the
     // duplicate fraction needs the raw sequence)
     val bigrams = filter(
       transform(
-        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-        i => concat(try_element_at(toks, i), lit(" "), try_element_at(toks, i + 1))),
+        sequence(lit(1), greatest(size(tokAttr) - 1, lit(1))),
+        i => concat(try_element_at(tokAttr, i), lit(" "), try_element_at(tokAttr, i + 1))),
       x => x.isNotNull)
-    df.withColumn("__toks", toks)
+    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
       .withColumn("__bi", bigrams)
       .withColumn("n_words", size(col("__toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
