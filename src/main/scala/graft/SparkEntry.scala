@@ -430,6 +430,13 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // ---- domain mixing: deterministic per-source keep rates ----
+    "dp_weighted_mix" -> ((s, dir) =>
+      dataprep.Sampling.weightedMix(
+          TestTables.documents(s, dir).select("doc_id", "source"), "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .orderBy("doc_id")),
+
     // ---- deterministic stratified sample (k smallest priorities per group) ----
     "dp_sample_stratified" -> ((s, dir) =>
       dataprep.Sampling.stratifiedSample(
@@ -591,6 +598,20 @@ object SparkEntry {
       s"""WITH ${mix64Ctes("SELECT doc_id, CAST(doc_id AS BIGINT) AS uid FROM documents")}
           SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
           FROM mh ORDER BY doc_id"""
+    },
+
+    "dp_weighted_mix" -> {
+      // same thresholds the Spark side derives (rate 1.0 → keep all)
+      def t(r: Double) = dataprep.Sampling.rateThreshold(r)
+      val cases = Seq("src1" -> t(0.5), "src2" -> t(0.25)).map {
+        case (g, Some(th)) => s"WHEN source = '$g' THEN h63 < $th"
+        case (g, None)     => s"WHEN source = '$g' THEN TRUE"
+      }.mkString(" ")
+      s"""WITH ${mix64Ctes("SELECT doc_id, source, CAST(doc_id AS BIGINT) AS uid FROM documents")}
+          SELECT doc_id, source FROM mh
+          WHERE CASE WHEN source = 'src0' THEN TRUE $cases
+                     ELSE h63 < ${t(0.1).get} END
+          ORDER BY doc_id"""
     },
 
     "dp_sample_stratified" ->

@@ -83,6 +83,39 @@ object Sampling {
     df.withColumn(asCol, expr)
   }
 
+  /** Threshold on the 63-bit priority domain for a keep-rate in
+    * [0, 1] — exact BigDecimal, same contract as [[thresholds]].
+    * Returns None for rate >= 1 (keep everything: 2^63 itself is not
+    * representable as a signed threshold).
+    */
+  def rateThreshold(rate: Double): Option[Long] = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val scale = BigDecimal(2).pow(63)
+    val t = (scale * BigDecimal(rate)).setScale(0, BigDecimal.RoundingMode.FLOOR)
+    if (t >= scale) None else Some(t.toLongExact)
+  }
+
+  /** Domain mixing: deterministic per-group downsampling. Keeps each
+    * row iff its hash priority falls below its group's rate threshold
+    * — so "sample web at 10%, books at 100%, code at 50%" is one
+    * narrow map-side filter (no shuffle, no count pass, no RNG), a
+    * row's fate never changes as the corpus grows, and a row kept at
+    * rate r stays kept at any rate >= r (nested samples — raising a
+    * domain's weight only ADDS documents, it never churns the ones
+    * already selected, which keeps training-data diffs reviewable).
+    */
+  def weightedMix(df: DataFrame, uidCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    requireIntegralUid(df, uidCol)
+    val h = priority63(col(uidCol).cast("long"))
+    def keep(rate: Double): Column =
+      rateThreshold(rate).map(t => h < lit(t)).getOrElse(lit(true))
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((g, r), acc) => when(col(groupCol) === lit(g), keep(r)).otherwise(acc)
+    }
+    df.where(cond)
+  }
+
   /** Exactly-k-per-group deterministic sample: the k rows with the
     * smallest hash priorities in each group (ties broken by uid). A
     * uniform without-replacement sample per group — and, like

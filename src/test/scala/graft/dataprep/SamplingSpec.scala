@@ -24,6 +24,29 @@ class SamplingSpec extends SparkSpec {
     assert(sub.forall { case (id, s) => a(id) == s })
   }
 
+  test("weightedMix: per-group rates, nested samples, keep-all and default paths") {
+    def kept(rates: Map[String, Double], default: Double): Set[Long] =
+      Sampling.weightedMix(df, "id", "grp", rates, default)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val all = kept(Map("g0" -> 1.0), 1.0)
+    assert(all.size == 1000) // rate 1.0 keeps everything (no threshold edge)
+    val half = kept(Map("g0" -> 0.5), 0.0)
+    val quarter = kept(Map("g0" -> 0.25), 0.0)
+    // only g0 survives a 0.0 default
+    assert(half.forall(_ % 3 == 0) && quarter.forall(_ % 3 == 0))
+    // nested: raising the rate only adds rows, never swaps them
+    assert(quarter.subsetOf(half))
+    assert(math.abs(half.size - 334 / 2) < 40)
+    // partition-independence: same selection on a reshuffled frame
+    val again = Sampling.weightedMix(df.repartition(11, col("grp")),
+      "id", "grp", Map("g0" -> 0.5), 0.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == half)
+    // groups without an explicit rate use the default
+    val mixed = kept(Map("g1" -> 1.0), 0.5)
+    assert(mixed.count(_ % 3 == 1) == 333) // every g1 row (ids 1,4,...,997)
+    assert(mixed.filter(_ % 3 == 0) == half.filter(_ % 3 == 0)) // g0 at default 0.5 = explicit 0.5
+  }
+
   test("stratifiedSample keeps exactly k smallest priorities per group") {
     val s = Sampling.stratifiedSample(df, "grp", "id", k = 10)
       .select("grp", "sample_rank", "id").collect()
