@@ -476,6 +476,10 @@ object SparkEntry {
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "window", "merge"))),
+
+    // ---- token-rarity curation signal (vocabulary join) ----
+    "dp_rarity" -> ((s, dir) =>
+      dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
   )
 
   // Shared DuckDB fragments mirroring TextPrep (same regex / shingle
@@ -1274,5 +1278,16 @@ object SparkEntry {
             FROM d, st)
           SELECT doc_id, dl, score FROM sc WHERE score > 0
           ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    "dp_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          v AS (SELECT tok, count(*) AS freq FROM u GROUP BY tok),
+          d AS (SELECT u.doc_id, count(*) AS n_tokens, sum(v.freq) AS sum_freq
+                FROM u JOIN v USING (tok) GROUP BY u.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(sum_freq AS BIGINT) AS sum_freq,
+                 CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_freq
+          FROM d ORDER BY doc_id ASC""",
   )
 }

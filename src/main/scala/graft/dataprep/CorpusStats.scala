@@ -44,6 +44,34 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Token-rarity signal for corpus curation: per document, the mean
+    * corpus frequency of its tokens (with multiplicity). Documents
+    * dominated by rare tokens (low mean_freq) are gibberish/noise
+    * candidates; boilerplate-dominated ones score very high. The
+    * complement of [[bm25Rank]]'s idf, as a per-document statistic.
+    *
+    * Arithmetic: integer token counts, one BIGINT sum per doc, one
+    * IEEE division — bit-stable across engines.
+    *
+    * Scale: pass 1 builds the vocabulary (explode → map-side-combined
+    * count per token: output is vocabulary-sized, Zipf-bounded, far
+    * smaller than the corpus); pass 2 re-explodes and joins tokens to
+    * it — vocabulary-sized build side, so AQE broadcasts it while it
+    * fits and falls back to a token-partitioned shuffle join beyond
+    * that — then one groupBy(doc) to re-reduce. No driver-side state.
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = df.select(col(idCol), TextPrep.tokens(col(textCol)).as("__toks"))
+    val tokens = withToks.select(col(idCol), explode(col("__toks")).as("tok"))
+    val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("freq"))
+    tokens.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col(idCol).asc)
+  }
+
   /** BM25-style relevance of every document against a bag of query
     * terms, top-k by score.
     *
