@@ -480,6 +480,21 @@ object SparkEntry {
     // ---- token-rarity curation signal (vocabulary join) ----
     "dp_rarity" -> ((s, dir) =>
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- end-to-end curation pipeline (quality → lang → exact dedup →
+    //      near-dup drop → decontaminate → mix → split); every stage is
+    //      oracle-verified by its own query above, the composition is
+    //      invariant-checked in CurateSpec (no oracleSql: rows-only) ----
+    "dp_curate" -> ((s, dir) =>
+      dataprep.Curate.pipeline(TestTables.documents(s, dir), "doc_id", "text", "source",
+          benchPred = col("doc_id") % 20 === 0,
+          // minQuality/minOverlap tuned to the synthetic corpus's tiny
+          // vocabulary (median composite score ≈0.44; median bench
+          // bigram overlap ≈42): selective gates, not degenerate ones
+          cfg = dataprep.Curate.Config(minQuality = 0.3, minOverlap = 60,
+            rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25))
+        .select("doc_id", "source", "pred_lang", "quality_score", "split")
+        .orderBy("doc_id")),
   )
 
   // Shared DuckDB fragments mirroring TextPrep (same regex / shingle
@@ -611,7 +626,9 @@ object SparkEntry {
         case (g, Some(th)) => s"WHEN source = '$g' THEN h63 < $th"
         case (g, None)     => s"WHEN source = '$g' THEN TRUE"
       }.mkString(" ")
-      s"""WITH ${mix64Ctes("SELECT doc_id, source, CAST(doc_id AS BIGINT) AS uid FROM documents")}
+      s"""WITH ${mix64Ctes("SELECT doc_id, source, " +
+            s"CAST(xor(CAST(doc_id AS BIGINT), ${dataprep.Sampling.WeightedMixSalt}) AS BIGINT) AS uid " +
+            "FROM documents")}
           SELECT doc_id, source FROM mh
           WHERE CASE WHEN source = 'src0' THEN TRUE $cases
                      ELSE h63 < ${t(0.1).get} END

@@ -19,10 +19,24 @@ object Sampling {
   /** 63-bit non-negative hash of the uid (top bit shifted out so plain
     * signed comparisons work on both engines). Null uids hash as 0 so
     * rows with a missing id still land deterministically — and
-    * identically on an oracle engine, where null ordering differs. */
-  def priority63(uid: Column): Column =
+    * identically on an oracle engine, where null ordering differs.
+    *
+    * `salt` decorrelates INDEPENDENT sampling decisions over the same
+    * uids: composing two hash-range filters with the same salt keeps
+    * exactly the rows below the smaller threshold (e.g. a 25% mix
+    * feeding an 80/10/10 split would land everything in 'train').
+    * Decisions that must cohere (nested samples at different rates)
+    * share a salt; decisions that must be independent use distinct
+    * ones. */
+  def priority63(uid: Column, salt: Long = 0L): Column =
     shiftrightunsigned(
-      graft.functions.VectorExpressions.mix64(coalesce(uid, lit(0L))), 1)
+      graft.functions.VectorExpressions.mix64(
+        coalesce(uid, lit(0L)).bitwiseXOR(lit(salt))), 1)
+
+  /** Default salt for [[weightedMix]] ("mix_salt" in ASCII): distinct
+    * from [[split]]'s 0, so mixing then splitting is independent out
+    * of the box. */
+  val WeightedMixSalt: Long = 0x6D69785F73616C74L
 
   /** The mix64 priority domain is the raw 64-bit integer value of the
     * uid; a non-integral uid (e.g. a string doc id) would cast to NULL
@@ -105,9 +119,10 @@ object Sampling {
     * already selected, which keeps training-data diffs reviewable).
     */
   def weightedMix(df: DataFrame, uidCol: String, groupCol: String,
-      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double,
+      salt: Long = WeightedMixSalt): DataFrame = {
     requireIntegralUid(df, uidCol)
-    val h = priority63(col(uidCol).cast("long"))
+    val h = priority63(col(uidCol).cast("long"), salt)
     def keep(rate: Double): Column =
       rateThreshold(rate).map(t => h < lit(t)).getOrElse(lit(true))
     val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {

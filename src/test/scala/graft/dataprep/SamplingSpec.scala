@@ -47,6 +47,19 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.filter(_ % 3 == 0) == half.filter(_ % 3 == 0)) // g0 at default 0.5 = explicit 0.5
   }
 
+  test("weightedMix composes independently with split (distinct salts)") {
+    // with a shared hash this degenerates: 25% mix survivors all have
+    // h63 < 0.25*2^63 < train's 0.8*2^63 bound → everything 'train'
+    val mixed = Sampling.weightedMix(df, "id", "grp", Map.empty, 0.25)
+    val counts = Sampling.split(mixed, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0,
+      s"mix survivors must still split three ways, got $counts")
+    val n = counts.values.sum
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1)
+  }
+
   test("stratifiedSample keeps exactly k smallest priorities per group") {
     val s = Sampling.stratifiedSample(df, "grp", "id", k = 10)
       .select("grp", "sample_rank", "id").collect()
