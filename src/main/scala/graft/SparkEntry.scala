@@ -399,6 +399,13 @@ object SparkEntry {
         AggRequest(AggFunc.Unique, groupBy = Some("event_type"),
           intervalMs = 604800000L))),
 
+    // ---- A2 at scale: deterministic KMV distinct-count sketch
+    //      (exact below cap, integer-replayable estimate above) ----
+    "seq_agg_unique_sketch" -> ((s, dir) =>
+      ev(s, dir).aggregateUniqueSketch("*", T0, T31,
+        AggRequest(AggFunc.Unique, groupBy = Some("user_id"),
+          intervalMs = 604800000L), k = 64)),
+
     // ---- language ID ----
     "dp_lang_id" -> ((s, dir) =>
       dataprep.TextAnalysis.langId(TestTables.documents(s, dir), "doc_id", "text")),
@@ -974,6 +981,30 @@ object SparkEntry {
           FROM events
           WHERE $M BETWEEN $T0 AND $T31 AND value >= 200 AND event_type IS NOT NULL
           ORDER BY bucket_ms ASC, name ASC""",
+
+    // KMV sketch replay: distinct (bucket, value) → poly-31 of the
+    // value string → the same mix64 chain → distinct h63 → bottom-64
+    // per bucket → exact-or-estimate in HUGEINT integer arithmetic
+    "seq_agg_unique_sketch" ->
+      s"""WITH ${mix64Ctes(
+            s"""SELECT DISTINCT $M - $M % 604800000 AS bucket_ms,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    [CAST(unicode(v[i]) AS BIGINT) for i in range(1, len(v)+1)]),
+                    (acc, c) -> (acc * 31 + c) % 2147483647) AS uid
+                FROM (SELECT ts, CAST(user_id AS VARCHAR) AS v FROM events
+                      WHERE $M BETWEEN $T0 AND $T31 AND user_id IS NOT NULL)""")},
+          dd AS (SELECT DISTINCT bucket_ms, h63 FROM mh),
+          r AS (SELECT bucket_ms, h63,
+                       row_number() OVER (PARTITION BY bucket_ms ORDER BY h63 ASC) AS rn
+                FROM dd),
+          s AS (SELECT bucket_ms, count(*) AS n,
+                       max(h63) FILTER (WHERE rn <= 64) AS kth
+                FROM r GROUP BY bucket_ms)
+          SELECT bucket_ms,
+                 CASE WHEN n < 64 THEN n
+                      ELSE CAST((CAST(63 AS HUGEINT) * 9223372036854775807)
+                                // CAST(kth AS HUGEINT) AS BIGINT) END AS est_unique
+          FROM s ORDER BY bucket_ms ASC""",
 
     "seq_agg_filtered" ->
       s"""SELECT coalesce(event_type, '_not_exists') AS name,

@@ -338,6 +338,46 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       .orderBy(keyNames.map(c => col(c).asc) :+ col("q").asc: _*)
   }
 
+  /** A2 UNIQUE cardinality via the deterministic KMV bottom-k sketch
+    * (graft.functions.SeqAggregates.KmvAgg) — the at-scale companion
+    * to the exact-distinct Unique branch of [[aggregateOver]], same
+    * role the bottom-k sample plays for quantiles: memory per bucket
+    * is O(k) no matter how many distinct values the bucket holds,
+    * partials merge associatively, and the result is independent of
+    * partitioning/merge order. Exact below the cap; above it the
+    * classic KMV estimate `(k-1)·(2^63−1)/h_k` — computed in exact
+    * integer arithmetic over a REPLAYABLE hash (poly-31 → mix64), so
+    * an external engine verifies the estimate bit-for-bit (impossible
+    * with HLL-family sketches). Output: (bucket_ms?, est_unique).
+    */
+  def aggregateUniqueSketch(query: String, fromMs: Long, toMs: Long,
+      agg: AggRequest, k: Int = 64): DataFrame = {
+    val field = agg.groupBy.getOrElse(
+      throw new SeqQlError("unique sketch needs a group_by field"))
+    if (!table.mapping.isIndexed(field))
+      throw new SeqQlError(s"field '$field' is not indexed")
+    val m = matches(query, fromMs, toMs)
+    val hasBucket = agg.intervalMs > 0
+    val bucket = if (hasBucket) mid - mid % lit(agg.intervalMs) else lit(0L)
+    val nameC = table.fieldCol(field).cast(StringType)
+    import graft.functions.{SeqAggregates, VectorExpressions}
+    // priority = mix64(poly31(value)) >>> 1 — uniform on [0, 2^63),
+    // dedup happens inside the sketch on the shifted value (the oracle
+    // mirrors the same distinct-after-shift order)
+    val h63 = shiftrightunsigned(
+      VectorExpressions.mix64(VectorExpressions.portableHash(nameC)), 1)
+    val spark = table.df.sparkSession
+    import spark.implicits._
+    val ds = m.where(nameC.isNotNull)
+      .select(bucket.as("b"), h63.as("h")).as[(Long, Long)]
+    val rows = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(SeqAggregates.kmvAgg(k).toColumn)
+      .map { case (b, est) => (b, est) }
+      .toDF("bucket_ms", "est_unique")
+    if (hasBucket) rows.orderBy(col("bucket_ms").asc)
+    else rows.select(col("est_unique"))
+  }
+
   /** Histogram with a promql-style interval string (`"1h"`, `"30s"`,
     * proto seq_proxy_api.proto:185-188). */
   def histogram(query: String, fromMs: Long, toMs: Long, interval: String): DataFrame =

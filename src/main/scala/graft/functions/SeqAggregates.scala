@@ -216,4 +216,75 @@ object SeqAggregates {
   }
 
   def detSamplesAgg(quantiles: Seq[Double]): DetSamplesAgg = new DetSamplesAgg(quantiles)
+
+  /** KMV (k-minimum-values) distinct-count sketch buffer: the k
+    * smallest DISTINCT 63-bit hash priorities seen so far. `used` is
+    * the fill pointer; the array may hold duplicates/overflow between
+    * compactions (sort + dedup + take-k restores the invariant — an
+    * idempotent, order-independent rule, so partials merge
+    * associatively and any partitioning reproduces the same sketch).
+    */
+  final case class KmvBuf(var used: Int, var hs: Array[Long])
+
+  /** Deterministic KMV distinct-count estimator: input rows are 63-bit
+    * hash priorities (mix64 of a portable value hash, top bit shifted
+    * out); the estimate is EXACT below the cap (the sketch then holds
+    * every distinct hash) and `(k-1) * (2^63-1) / h_k` at or above it
+    * (h_k = k-th smallest distinct hash; standard KMV, bottom-k over a
+    * uniform [0, 2^63) domain). All-integer arithmetic — an external
+    * engine replaying the same hashes computes the identical estimate,
+    * unlike HLL-family sketches whose registers are implementation
+    * internals. Memory per group is O(k) regardless of group size —
+    * the at-scale path for UNIQUE cardinality over huge buckets.
+    */
+  final class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, Long] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    override def zero: KmvBuf = KmvBuf(0, Array.empty[Long])
+
+    private def compact(b: KmvBuf): Unit = {
+      if (b.used <= k) return
+      val distinct = b.hs.take(b.used).sorted.distinct
+      b.hs = distinct.take(k)
+      b.used = b.hs.length
+    }
+
+    private def ensureRoom(b: KmvBuf): Unit = {
+      if (b.used < b.hs.length) return
+      if (b.used >= 2 * math.max(k, 64)) compact(b)
+      if (b.used >= b.hs.length) {
+        val cap = math.max(64, math.max(b.used * 2, b.used + 1))
+        b.hs = java.util.Arrays.copyOf(b.hs, cap)
+      }
+    }
+
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      ensureRoom(b)
+      b.hs(b.used) = h
+      b.used += 1
+      b
+    }
+
+    override def merge(a: KmvBuf, c: KmvBuf): KmvBuf = {
+      a.hs = a.hs.take(a.used) ++ c.hs.take(c.used)
+      a.used = a.hs.length
+      compact(a)
+      a
+    }
+
+    override def finish(b: KmvBuf): Long = {
+      val s = b.hs.take(b.used).sorted.distinct
+      if (s.length < k) s.length.toLong
+      else {
+        val kth = s(k - 1)
+        if (kth <= 0L) s.length.toLong // degenerate: all mass at hash 0
+        else ((BigInt(k - 1) * BigInt(Long.MaxValue)) / BigInt(kth)).toLong
+      }
+    }
+
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def kmvAgg(k: Int): KmvAgg = new KmvAgg(k)
 }

@@ -368,6 +368,28 @@ case class SimHashPortable64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** The SQL-portable string base hash on its own: polynomial-31 over
+  * Unicode code points mod P = 2^31−1, seed 7 — the same
+  * [[PortableSimHash.hashToken]] the simhash uses, exposed for
+  * operators that need a replayable per-value hash (KMV distinct
+  * sketch). Input: string, output: long in [0, P).
+  */
+case class PortableHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PortableSimHash.hashToken(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PortableSimHash.hashToken($x.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PortableSimHash {
   val P = 2147483647L
   private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
@@ -674,6 +696,9 @@ object VectorExpressions {
 
   def simhashPortable64(tokens: Column): Column =
     ColumnBridge.column(SimHashPortable64Expr(ColumnBridge.expression(tokens)))
+
+  def portableHash(s: Column): Column =
+    ColumnBridge.column(PortableHashExpr(ColumnBridge.expression(s)))
 
   def nearestCells(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(vec),
