@@ -406,6 +406,13 @@ object SparkEntry {
         AggRequest(AggFunc.Unique, groupBy = Some("user_id"),
           intervalMs = 604800000L), k = 64)),
 
+    // ---- cohort retention triangle (weekly) ----
+    "events_retention" -> ((s, dir) =>
+      dataprep.Retention.cohorts(
+        TestTables.raw(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000000").as("mid")),
+        "user_id", "mid", intervalMs = 604800000L)),
+
     // ---- language ID ----
     "dp_lang_id" -> ((s, dir) =>
       dataprep.TextAnalysis.langId(TestTables.documents(s, dir), "doc_id", "text")),
@@ -1005,6 +1012,13 @@ object SparkEntry {
                       ELSE CAST((CAST(63 AS HUGEINT) * 9223372036854775807)
                                 // CAST(kth AS HUGEINT) AS BIGINT) END AS est_unique
           FROM s ORDER BY bucket_ms ASC""",
+
+    "events_retention" ->
+      s"""WITH a AS (SELECT DISTINCT user_id AS u, $M - $M % 604800000 AS period_ms FROM events),
+          c AS (SELECT u, min(period_ms) AS cohort_ms FROM a GROUP BY u)
+          SELECT c.cohort_ms, a.period_ms, CAST(count(*) AS BIGINT) AS n_users
+          FROM a JOIN c USING (u)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "seq_agg_filtered" ->
       s"""SELECT coalesce(event_type, '_not_exists') AS name,
