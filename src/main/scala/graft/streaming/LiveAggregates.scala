@@ -39,4 +39,29 @@ object LiveAggregates {
         coalesce(col(field).cast("string"), lit("_not_exists")).as("name"))
       .agg(count(lit(1)).as("value"))
       .select(unix_millis(col("window.start")).as("bucket_ms"), col("name"), col("value"))
+
+  /** Live distinct-cardinality time-series via the deterministic KMV
+    * sketch (A2 as a stream — the streaming twin of
+    * [[graft.engine.SeqEngine.aggregateUniqueSketch]]): per window the
+    * state is the O(k) sketch buffer, NOT the distinct value set, so
+    * state size is bounded no matter how many distinct values a window
+    * sees — exact below k, the integer KMV estimate above it, and the
+    * same numbers the batch path computes over the same rows (the
+    * sketch is order- and partitioning-independent by construction).
+    */
+  def liveUniqueSketch(docs: DataFrame, field: String, intervalMs: Long,
+      lateness: String, k: Int = 64): DataFrame = {
+    import graft.functions.{SeqAggregates, VectorExpressions}
+    val kmv = org.apache.spark.sql.functions.udaf(
+      SeqAggregates.kmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .withColumn("__ts", timestamp_millis(col("mid")))
+      .withWatermark("__ts", lateness)
+      .where(col(field).isNotNull)
+      .select(col("__ts"), shiftrightunsigned(VectorExpressions.mix64(
+        VectorExpressions.portableHash(col(field).cast("string"))), 1).as("__h"))
+      .groupBy(window(col("__ts"), s"$intervalMs milliseconds"))
+      .agg(kmv(col("__h")).as("est_unique"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("est_unique"))
+  }
 }
