@@ -496,9 +496,9 @@ object SparkEntry {
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
 
     // ---- end-to-end curation pipeline (quality → lang → exact dedup →
-    //      near-dup drop → decontaminate → mix → split); every stage is
-    //      oracle-verified by its own query above, the composition is
-    //      invariant-checked in CurateSpec (no oracleSql: rows-only) ----
+    //      near-dup drop → decontaminate → mix → split); oracle replays
+    //      the WHOLE composition stage for stage, and CurateSpec checks
+    //      the invariants on adversarial inputs ----
     "dp_curate" -> ((s, dir) =>
       dataprep.Curate.pipeline(TestTables.documents(s, dir), "doc_id", "text", "source",
           benchPred = col("doc_id") % 20 === 0,
@@ -1340,6 +1340,88 @@ object SparkEntry {
             FROM d, st)
           SELECT doc_id, dl, score FROM sc WHERE score > 0
           ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // The whole curation pipeline replayed stage for stage: quality +
+    // lang gates (dp_quality / dp_lang_id expressions verbatim), md5
+    // exact dedup, brute-force-Jaccard near-dup components (equal to
+    // the Spark side's LSH at these settings — dp_dedup_minhash_lsh
+    // proves the equality on the same corpus), decontamination over
+    // the SURVIVING bench docs, then the two salted hash chains for
+    // mix and split.
+    "dp_curate" -> {
+      def rt(r: Double) = dataprep.Sampling.rateThreshold(r)
+      val ts = dataprep.Sampling.thresholds(dataprep.Sampling.DefaultWeights)
+      val splitCases = ts.init.map { case (n, t) => s"WHEN sph63 < $t THEN '$n'" }.mkString(" ")
+      val stopAll = "('the','and','of','to','is','a','der','die','und','das'," +
+        "'nicht','ein','que','los','las','una','por','el','le','les','des','une','est','dans')"
+      s"""WITH RECURSIVE
+          t0 AS (SELECT doc_id, text, source, $DTOKS AS toks FROM documents),
+          q0 AS (
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              CAST(len(list_filter(toks, x -> x IN $stopAll)) AS BIGINT) AS n_stop,
+              CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS BIGINT) AS s_en,
+              CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','nicht','ein'))) AS BIGINT) AS s_de,
+              CAST(len(list_filter(toks, x -> x IN ('que','los','las','una','por','el'))) AS BIGINT) AS s_es,
+              CAST(len(list_filter(toks, x -> x IN ('le','les','des','une','est','dans'))) AS BIGINT) AS s_fr,
+              CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
+            FROM t0),
+          q1 AS (
+            SELECT doc_id,
+              CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                + CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * CAST(0.3 AS DOUBLE)
+                + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                AS quality_score,
+              CASE WHEN s_zh > 0 THEN 'zh'
+                   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+            FROM q0),
+          g AS (SELECT t0.doc_id, t0.text, t0.source, t0.toks, q1.quality_score, q1.pred_lang
+                FROM t0 JOIN q1 USING (doc_id)
+                WHERE q1.quality_score >= CAST(0.3 AS DOUBLE)
+                  AND q1.pred_lang IN ('en','de','es','fr')),
+          keepx AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+          g2 AS (SELECT g.* FROM g JOIN keepx USING (doc_id)),
+          sh2 AS (SELECT doc_id, $DSHINGLES AS sh FROM g2),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh2 a, sh2 b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT doc_id, doc_id FROM g2
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+          reps AS (SELECT v AS doc_id, min(u) AS rep FROM reach GROUP BY v),
+          g3 AS (SELECT g2.* FROM g2 JOIN reps ON g2.doc_id = reps.doc_id
+                 WHERE reps.rep = g2.doc_id),
+          s3 AS (SELECT sh2.* FROM sh2 JOIN g3 USING (doc_id)),
+          bsh AS (SELECT list(DISTINCT sx) AS bsh
+                  FROM (SELECT unnest(sh) AS sx FROM s3 WHERE doc_id % 20 = 0)),
+          cont AS (SELECT s3.doc_id FROM s3, bsh
+                   WHERE s3.doc_id % 20 <> 0
+                     AND len(list_intersect(s3.sh, bsh.bsh)) >= 60),
+          g4 AS (SELECT g3.* FROM g3
+                 WHERE g3.doc_id % 20 <> 0
+                   AND g3.doc_id NOT IN (SELECT doc_id FROM cont)),
+          ${mix64Ctes("SELECT doc_id, CAST(xor(CAST(doc_id AS BIGINT), " +
+            s"${dataprep.Sampling.WeightedMixSalt}) AS BIGINT) AS uid FROM g4", "mx")},
+          g5 AS (SELECT g4.* FROM g4 JOIN mxmh ON g4.doc_id = mxmh.doc_id
+                 WHERE CASE WHEN g4.source = 'src0' THEN TRUE
+                            WHEN g4.source = 'src1' THEN mxmh.mxh63 < ${rt(0.5).get}
+                            ELSE mxmh.mxh63 < ${rt(0.25).get} END),
+          ${mix64Ctes("SELECT doc_id, CAST(doc_id AS BIGINT) AS uid FROM g5", "sp")}
+          SELECT g5.doc_id, g5.source, g5.pred_lang, g5.quality_score,
+                 CASE $splitCases ELSE '${ts.last._1}' END AS split
+          FROM g5 JOIN spmh ON g5.doc_id = spmh.doc_id
+          ORDER BY g5.doc_id"""
+    },
 
     "dp_rarity" ->
       s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
