@@ -236,6 +236,21 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ---- TPC-H Q6: the pure predicate-pushdown scan (every filter
+    //      reaches the parquet reader; one partial+final agg, no
+    //      shuffle of row data) ----
+    "tpch_q6" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01 00:00:00")) &&
+          // integer-cent bounds, not BETWEEN on doubles: 0.05 has no
+          // exact binary representation, so compare the e2 mirror
+          expr("CAST(round(l_discount * 100) AS BIGINT)").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)"))
+          .as("revenue_e4"))),
+
     // ---- TPC-H Q3-style join + top-k (broadcast dimension) ----
     "tpch_q3_topk" -> ((s, dir) => {
       val cust = TestTables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
@@ -908,6 +923,15 @@ object SparkEntry {
           WHERE '/' || source || '/' || lang = '/src1'
              OR ('/' || source || '/' || lang) LIKE '/src1/%'
           ORDER BY mid DESC, rid DESC LIMIT 1000""",
+
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24""",
 
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
