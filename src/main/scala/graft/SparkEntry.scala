@@ -484,6 +484,19 @@ object SparkEntry {
         dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
         "doc_id", "payload")),
 
+    // ---- multimodal: frame sampling (decimated fixed-record framing,
+    //      bounded output per doc, partition-preserving flatMap) ----
+    "dp_frames" -> ((s, dir) =>
+      dataprep.Multimodal.sampleFrames(
+        dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
+        "doc_id", "payload", frameLen = 64, everyNth = 2, maxFrames = 5)),
+
+    // ---- multimodal: integer-rational resize planning ----
+    "dp_resize" -> ((s, dir) =>
+      dataprep.Multimodal.resizePlan(
+        dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
+        "doc_id", "payload", maxW = 320, maxH = 240)),
+
     // ---- sequence packing into fixed-token-budget shards
     //      (two-phase distributed prefix sum, no global window) ----
     "dp_pack" -> ((s, dir) =>
@@ -1229,6 +1242,35 @@ object SparkEntry {
           FROM s, b
           WHERE doc_id % 20 <> 0 AND len(list_intersect(s.sh, b.bsh)) >= 5
           ORDER BY doc_id""",
+
+    "dp_frames" ->
+      """WITH p AS (SELECT doc_id AS id, encode(text) AS b FROM documents),
+         f AS (SELECT id, b, CAST(octet_length(b) AS BIGINT) AS n FROM p),
+         x AS (SELECT id, b, n, unnest(range(0, (n + 63) // 64, 2)) AS i FROM f)
+         SELECT CAST(id AS BIGINT) AS id, CAST(i AS BIGINT) AS frame_idx,
+                CAST(i * 64 AS BIGINT) AS off,
+                CAST(least(64, n - i * 64) AS BIGINT) AS frame_len,
+                substring(hex(b), CAST(i * 64 * 2 + 1 AS INT),
+                          CAST(least(4, n - i * 64) * 2 AS INT)) AS head_hex
+         FROM x WHERE i // 2 < 5
+         ORDER BY id, frame_idx""",
+
+    "dp_resize" ->
+      """WITH p AS (SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         d AS (SELECT id, CAST(n % 640 + 1 AS BIGINT) AS src_w,
+                      CAST((n * 7) % 480 + 1 AS BIGINT) AS src_h FROM p),
+         r AS (SELECT id, src_w, src_h,
+                 CASE WHEN src_w * 240 <= src_h * 320
+                      THEN least(240, src_h) ELSE least(320, src_w) END AS num,
+                 CASE WHEN src_w * 240 <= src_h * 320
+                      THEN src_h ELSE src_w END AS den
+               FROM d)
+         SELECT CAST(id AS BIGINT) AS id, src_w, src_h,
+                CAST(greatest(1, src_w * num // den) AS BIGINT) AS dst_w,
+                CAST(greatest(1, src_h * num // den) AS BIGINT) AS dst_h,
+                CAST(greatest(1, src_w * num // den)
+                     * greatest(1, src_h * num // den) * 3 AS BIGINT) AS est_bytes
+         FROM r ORDER BY id""",
 
     "dp_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

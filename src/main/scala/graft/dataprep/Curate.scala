@@ -45,16 +45,17 @@ object Curate {
     */
   def pipeline(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, benchPred: Column, cfg: Config = Config()): DataFrame = {
-    // 1-2: row-local gates (narrow; Catalyst fuses them into the scan)
-    val quality = TextAnalysis.qualityScore(df, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val lang = TextAnalysis.langId(df, idCol, textCol)
-      .select(col(idCol), col("pred_lang"))
-    val gated = df
-      .join(quality, Seq(idCol))
-      .join(lang, Seq(idCol))
+    // 1-2: row-local gates appended IN PLACE (withQualityScore /
+    // withLangId) — score, predict and filter fuse into one pass over
+    // the scan; the join-per-gate formulation would re-scan the corpus
+    // three times and shuffle it twice for columns that are pure
+    // functions of the row
+    val gated = TextAnalysis.withLangId(
+        TextAnalysis.withQualityScore(df, textCol), textCol)
       .where(col("quality_score") >= cfg.minQuality &&
         col("pred_lang").isin(cfg.keepLangs: _*))
+      .drop("n_tokens", "n_distinct", "n_punct", "n_digit", "n_stop",
+        "text_len", "s_en", "s_de", "s_es", "s_fr", "s_zh")
 
     // 3: exact dedup — keep the min-id representative per content hash
     val keepExact = gated

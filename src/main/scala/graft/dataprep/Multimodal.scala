@@ -76,4 +76,75 @@ object Multimodal {
     * real media; UTF-8 bytes stand in for the opaque blob). */
   def withTextPayload(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, encode(col(textCol), "UTF-8"))
+
+  final case class FrameRow(
+      id: Long, frame_idx: Long, off: Long, frame_len: Long, head_hex: String)
+
+  /** Frame sampling over a "video" payload: treat the blob as a
+    * sequence of fixed-`frameLen` frame records, emit every
+    * `everyNth` frame up to `maxFrames` per document — the classic
+    * decimation a vision pipeline runs before feature extraction. One
+    * row per sampled frame (id, frame_idx, byte offset/length, head
+    * bytes), produced by a partition-preserving typed flatMap: no
+    * shuffle, output size bounded by maxFrames × docs regardless of
+    * payload size. A real container parser replaces the fixed-length
+    * framing; the row shape, bounds and batching are the production
+    * plumbing.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int = 256, everyNth: Int = 4, maxFrames: Int = 8): DataFrame = {
+    require(frameLen > 0 && everyNth > 0 && maxFrames > 0, "positive params")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = df
+      .select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.bytes.length
+        val frameCount = (n + frameLen - 1) / frameLen
+        Iterator.range(0, frameCount, everyNth).take(maxFrames).map { i =>
+          val off = i.toLong * frameLen
+          val len = math.min(frameLen.toLong, n - off)
+          FrameRow(r.id, i.toLong, off, len,
+            hex(r.bytes.slice(off.toInt, off.toInt + math.min(4L, len).toInt)))
+        }
+      }
+    }.toDF()
+      .orderBy(col("id").asc, col("frame_idx").asc)
+  }
+
+  final case class ResizedMeta(
+      id: Long, src_w: Long, src_h: Long, dst_w: Long, dst_h: Long,
+      est_bytes: Long)
+
+  /** Resize planning for image payloads: fit (src_w, src_h) inside
+    * (maxW, maxH) preserving aspect ratio, all in integer rational
+    * arithmetic (floor(src·num/den), min 1) so the plan is bit-stable
+    * and oracle-checkable. Upscaling is never planned (scale capped at
+    * 1). The stub decode supplies source dims; a real decoder slots in
+    * behind [[MediaStub.decode]] without touching the dataflow.
+    */
+  def resizePlan(df: DataFrame, idCol: String, binCol: String,
+      maxW: Long, maxH: Long): DataFrame = {
+    require(maxW > 0 && maxH > 0, "positive bounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = df
+      .select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c) = MediaStub.decode(r.bytes)
+        // the binding constraint picks the rational scale; cap at 1:1
+        val (num, den) =
+          if (w * maxH <= h * maxW) (math.min(maxH, h), h)
+          else (math.min(maxW, w), w)
+        val dw = math.max(1L, w * num / den)
+        val dh = math.max(1L, h * num / den)
+        ResizedMeta(r.id, w, h, dw, dh, dw * dh * c)
+      }
+    }.toDF()
+      .orderBy(col("id").asc)
+  }
 }

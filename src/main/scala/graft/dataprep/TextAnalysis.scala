@@ -27,14 +27,18 @@ object TextAnalysis {
   /** n-gram/stopword-heuristic language ID over {en,de,es,fr,zh}:
     * CJK presence wins, otherwise argmax of per-language stopword hit
     * counts with a fixed tie order (en > de > es > fr). */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokenize once into a projection; the four stopword counters then
-    // read the bound attribute instead of re-running the tokenizer
-    // (CollapseProject keeps multi-referenced non-trivial aliases
-    // materialized, so this is one tokenizer pass per row, not four)
-    val toks = col("__toks")
-    val out = df
-      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+  /** Append the language-ID columns (s_en..s_zh, pred_lang) to the
+    * frame WITHOUT projecting the input away — the composable form a
+    * pipeline wants (row-local, fuses into the scan, no join back).
+    * Tokenizes once into an internal column, dropped on exit; the
+    * four stopword counters read the bound attribute instead of
+    * re-running the tokenizer (CollapseProject keeps multi-referenced
+    * non-trivial aliases materialized, so this is one tokenizer pass
+    * per row, not four).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__ltoks")
+    df.withColumn("__ltoks", TextPrep.tokens(col(textCol)))
       .withColumn("s_en", stopCount(toks, enStop))
       .withColumn("s_de", stopCount(toks, deStop))
       .withColumn("s_es", stopCount(toks, esStop))
@@ -46,20 +50,26 @@ object TextAnalysis {
           .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr"))
-    out.select(col(idCol), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+      .drop("__ltoks")
+  }
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLangId(df, textCol)
+      .select(col(idCol), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
         col("s_zh"), col("pred_lang"))
       .orderBy(col(idCol).asc)
-  }
 
   /** Quality signals: token count, distinct-token ratio, mean token
     * length, punctuation & digit counts, stopword ratio, and a
     * composite score using only +,*,/ on exact integers (bit-stable).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one tokenizer pass per row (see langId) — size / distinct / stop
-    // counters all read the bound attribute
-    val toks = col("__toks")
-    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
+  /** Append the quality columns (counts + composite quality_score) to
+    * the frame without projecting the input away — composable twin of
+    * [[withLangId]]; one tokenizer pass per row.
+    */
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__qtoks")
+    df.withColumn("__qtoks", TextPrep.tokens(col(textCol)))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
       .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("[\\.,;:!\\?]"), lit(0))).cast("long"))
@@ -70,10 +80,14 @@ object TextAnalysis {
         col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * lit(0.5)
           + col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * lit(0.3)
           + when(col("n_tokens").between(20, 1000), lit(0.2)).otherwise(lit(0.0)))
+      .drop("__qtoks")
+  }
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQualityScore(df, textCol)
       .select(col(idCol), col("text_len"), col("n_tokens"), col("n_distinct"),
         col("n_punct"), col("n_digit"), col("n_stop"), col("quality_score"))
       .orderBy(col(idCol).asc)
-  }
 
   /** Token counting: whitespace split vs a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-space symbol) vs distinct

@@ -1,0 +1,45 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, ""),                  // empty payload → no frames
+    (1L, "a" * 10),            // single partial frame
+    (2L, "b" * 300),           // several frames, partial tail
+    (3L, "c" * 5000),          // hits the maxFrames cap
+  ).toDF("doc_id", "text")
+
+  private lazy val withPayload =
+    Multimodal.withTextPayload(docs, "text", "payload")
+
+  test("sampleFrames: decimation, cap, partial tail, empty payload") {
+    val rows = Multimodal.sampleFrames(withPayload, "doc_id", "payload",
+      frameLen = 64, everyNth = 2, maxFrames = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!rows.exists(_._1 == 0L), "empty payload emits no frames")
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 10L)), "one partial frame")
+    // 300 bytes → frames 0..4, sampled 0,2,4; tail frame 4 holds 300-256=44 bytes
+    assert(rows.filter(_._1 == 2L).map(t => (t._2, t._4)).toSeq ==
+      Seq((0L, 64L), (2L, 64L), (4L, 44L)))
+    // 5000 bytes → 79 frames, sampled 0,2,4,... capped at 5
+    assert(rows.count(_._1 == 3L) == 5)
+    assert(rows.filter(_._1 == 3L).map(_._2).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("resizePlan: aspect-preserving integer fit, never upscales") {
+    val rows = Multimodal.resizePlan(withPayload, "doc_id", "payload",
+      maxW = 320, maxH = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, sw, sh, dw, dh) =>
+      assert(dw <= 320 && dh <= 240, "fits the bounding box")
+      assert(dw <= sw && dh <= sh, "never upscales")
+      // aspect preserved within integer-floor tolerance
+      assert(math.abs(dw.toDouble / dh - sw.toDouble / sh) <
+        1.0 / math.min(dh, sh) * 2 + 0.02)
+    }
+  }
+}
