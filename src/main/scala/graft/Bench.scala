@@ -38,6 +38,10 @@ object Bench {
     try graft.tables.TestTables.eventsDocsFetchBloom(spark, sfDir, Seq(0L))
       .df.limit(1).count()
     catch { case _: Throwable => () }
+    // Z-ordered copy + zone-map sidecar: amortized write-path cost,
+    // same rationale as the blooms
+    try graft.tables.TestTables.eventsZOrderedPath(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // several operators persist() intermediates they never get to
       // unpersist (their result DataFrame is consumed by exactly one
@@ -63,7 +67,10 @@ object Bench {
     // cached), in milliseconds. Mapping: COVERAGE.md scenario table.
     val baselineQs = Seq("seq_search_page_offset", "seq_search_in_wildcard",
       "seq_text_phrase", "seq_agg_count_by_type", "seq_agg_min_by_type",
-      "seq_search_range_numeric")
+      "seq_search_range_numeric",
+      // not a published scenario, but the comparable (entity, time)
+      // needle: zone-map-pruned read over the Z-ordered copy
+      "events_zorder_lookup")
     val baseline = baselineQs.filter(SparkEntry.queries.contains).map { n =>
       spark.catalog.clearCache() // same hygiene as the main sweep
       val t0 = System.nanoTime()

@@ -324,6 +324,14 @@ object SparkEntry {
       dataprep.Sessionize.sessions(
         TestTables.eventsDocs(s, dir).df, "user_id", "mid", "rid", gapMs = 1800000L)),
 
+    // ---- (entity, time) needle over the Z-ordered events copy: the
+    //      zone-map sidecar prunes files on user_id AND mid before the
+    //      scan (ZOrder + ZoneMapIndex scaladoc) ----
+    "events_zorder_lookup" -> ((s, dir) =>
+      TestTables.eventsZOrderLookup(s, dir, 42L, T0, T15)
+        .select(col("event_id"), col("mid"), col("event_type"), col("value_cents"))
+        .orderBy(col("mid").asc, col("event_id").asc)),
+
     // ---- as-of join: each purchase enriched with the user's latest
     //      prior click (union + running window — one shuffle, no
     //      inequality join; see AsofJoin scaladoc) ----
@@ -1078,6 +1086,13 @@ object SparkEntry {
           e AS (SELECT unnest(toks) AS name FROM t)
           SELECT name, count(*) AS value FROM e
           GROUP BY 1 ORDER BY value DESC, name ASC""",
+
+    "events_zorder_lookup" ->
+      s"""SELECT event_id, $M AS mid, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events
+          WHERE user_id = 42 AND $M BETWEEN $T0 AND $T15
+          ORDER BY mid ASC, event_id ASC""",
 
     "events_sessionize" ->
       s"""WITH g AS (

@@ -185,6 +185,41 @@ object TestTables {
     DocsTable(df, mapping)
   }
 
+  /** Z-ordered (user_id, mid) events copy with a zone-map sidecar
+    * (graft.ingest.ZOrder + graft.index.ZoneMapIndex): the multi-dim
+    * data-skipping layout for the (entity, time) needle pattern the
+    * reference cannot prune (its fractions bound only time).
+    * Materialized once per (SF, source fingerprint), like the Bloom
+    * copies.
+    */
+  def eventsZOrderedPath(spark: SparkSession, sfDir: String): String = {
+    val path = s"/tmp/graft_zorder_events_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "events")
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        // explicit file count: the test SFs are small enough that AQE
+        // would coalesce to one file and leave nothing to prune
+        graft.ingest.ZOrder.writeClustered(
+          eventsDocs(spark, sfDir).df, "user_id", "mid", path,
+          numFiles = Some(32))
+    }
+    path
+  }
+
+  /** (entity, time) needle over the Z-ordered copy: the zone-map
+    * sidecar prunes the file list on BOTH user_id and mid before the
+    * scan; the row-level predicate is applied on top (pruning is an
+    * over-approximation, same contract as fraction time bounds).
+    */
+  def eventsZOrderLookup(spark: SparkSession, sfDir: String,
+      userId: Long, fromMs: Long, toMs: Long): DataFrame = {
+    val path = eventsZOrderedPath(spark, sfDir)
+    graft.index.ZoneMapIndex.prunedRead(spark, path, Map(
+        "user_id" -> (Some(userId), Some(userId)),
+        "mid"     -> (Some(fromMs), Some(toMs))))
+      .where(col("user_id") === userId && col("mid").between(fromMs, toMs))
+  }
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     raw(spark, sfDir, "embeddings")
 
