@@ -87,8 +87,11 @@ object Bench {
       import org.apache.spark.sql.functions._
       import graft.model.IndexType
       // the read sweep's leftover cache blocks would otherwise compete
-      // with the write path's shuffles for unified memory
+      // with the write path's shuffles for unified memory; the explicit
+      // GC turns the sweep's garbage into free heap up front instead of
+      // mid-write collection pauses
       spark.catalog.clearCache()
+      System.gc()
       val base = spark.read.parquet(s"$sfDir/events.parquet").select(to_json(struct(
           date_format(timestamp_millis(expr("ts div 1000000")),
             "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),

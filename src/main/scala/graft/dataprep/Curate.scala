@@ -72,7 +72,16 @@ object Curate {
     val pairs = Dedup.minhashLshPairs(survivors, idCol, textCol,
       cfg.numHashes, cfg.bands, cfg.thresholdNum, cfg.thresholdDen)
       .select("id_a", "id_b")
-    val nearDeduped = Dedup.dropNearDuplicates(survivors, idCol, pairs)
+    // decontamination reads its input THREE times (bench shingles,
+    // corpus shingles, the outer anti-join base) and the final split
+    // once more — persist the near-deduped survivors so each traversal
+    // is a cache read, not a survivors⋈labels join replay. Eager
+    // materialization is consistent with this stage's shape: the
+    // clusters fixpoint inside dropNearDuplicates already runs jobs at
+    // call time. With it materialized, the stage-3 cache can go.
+    val nearDeduped = Dedup.dropNearDuplicates(survivors, idCol, pairs).persist()
+    nearDeduped.count()
+    survivors.unpersist()
 
     // 5: decontamination vs the benchmark subset
     val cleaned = Decontaminate.clean(nearDeduped, idCol, textCol,

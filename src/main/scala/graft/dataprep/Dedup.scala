@@ -269,6 +269,8 @@ object Dedup {
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
+        println(s"[clusters] round $it changed=${obs.get("changed")}")
     }
     edges.unpersist()
     // silent partial convergence would hand dropNearDuplicates multiple

@@ -32,6 +32,69 @@ object ZoneMapIndex {
 
   private def sidecarPath(tablePath: String): String = s"$tablePath/_zonemap"
 
+  /** Driver-side sidecar cache — the analogue of the reference keeping
+    * every fraction's From/To bounds in memory (fracmanager): a zone
+    * probe on a warm engine must not pay a Spark job to re-read KBs of
+    * stats. Keyed by table path, invalidated by the sidecar directory's
+    * fingerprint (file names + sizes + mtimes), so build()/update()
+    * runs — even from another process — are picked up.
+    */
+  private final case class ZoneRow(file: String, col: String,
+    minV: Option[Long], maxV: Option[Long])
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[ZoneRow])]()
+
+  private def sidecarFingerprint(path: String): String = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    files.sortBy(_.getName).map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+  }
+
+  /** Live data-file listing, cached by a recursive directory
+    * fingerprint (underscore-prefixed sidecars/markers excluded): the
+    * per-probe `spark.read...inputFiles` job is pure overhead on a
+    * warm engine. Invalidation is the same contract as the sidecar
+    * cache — any data file added/removed/rewritten changes the
+    * fingerprint.
+    */
+  private val filesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+  private def dataFingerprint(dir: java.io.File): String = {
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    entries.sortBy(_.getName).map { f =>
+      if (f.isDirectory) s"${f.getName}/(${dataFingerprint(f)})"
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    }.mkString("|")
+  }
+
+  private def liveFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val fp = dataFingerprint(new java.io.File(tablePath))
+    val hit = filesCache.get(tablePath)
+    if (hit != null && hit._1 == fp) return hit._2
+    val files = spark.read.parquet(tablePath).inputFiles.toSeq
+    filesCache.put(tablePath, (fp, files))
+    files
+  }
+
+  private def loadSidecar(spark: SparkSession, tablePath: String): Option[Array[ZoneRow]] = {
+    val sc = sidecarPath(tablePath)
+    val fp = sidecarFingerprint(sc)
+    if (fp.isEmpty) return None
+    val hit = cache.get(tablePath)
+    if (hit != null && hit._1 == fp) return Some(hit._2)
+    val rows = try {
+      spark.read.parquet(sc).select("file", "col", "min_v", "max_v").collect().map { r =>
+        ZoneRow(r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }
+    } catch { case _: Exception => return None }
+    cache.put(tablePath, (fp, rows))
+    Some(rows)
+  }
+
   /** (file, col, min_v, max_v) rows for `cols` of `df` — one
     * distributed pass over the data for all columns together.
     */
@@ -89,26 +152,24 @@ object ZoneMapIndex {
       bounds: Map[String, (Option[Long], Option[Long])]): Option[Seq[String]] = {
     val probes = bounds.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
     if (probes.isEmpty) return None
-    val rows = try {
-      spark.read.parquet(sidecarPath(tablePath))
-        .where(col("col").isin(probes.keys.toSeq: _*))
-        .select("file", "col", "min_v", "max_v").collect()
-    } catch { case _: Exception => return None }
-    if (rows.isEmpty) return None
-    val allFiles = spark.read.parquet(tablePath).inputFiles.toSeq
+    val rows = loadSidecar(spark, tablePath) match {
+      case Some(rs) if rs.nonEmpty => rs
+      case _ => return None
+    }
+    val allFiles = liveFiles(spark, tablePath)
     // per column: the set of files it covered, and of those the ones
     // whose interval overlaps the probe
     var indexed = Set.empty[String]
     var surviving = Set.empty[String]
     var first = true
     for ((c, (lo, hi)) <- probes) {
-      val colRows = rows.filter(_.getString(1) == c)
+      val colRows = rows.filter(_.col == c)
       if (colRows.nonEmpty) {
-        val covered = colRows.map(_.getString(0)).toSet
+        val covered = colRows.map(_.file).toSet
         val pass = colRows.filter { r =>
-          !r.isNullAt(2) && !r.isNullAt(3) &&
-            lo.forall(_ <= r.getLong(3)) && hi.forall(_ >= r.getLong(2))
-        }.map(_.getString(0)).toSet
+          r.minV.isDefined && r.maxV.isDefined &&
+            lo.forall(_ <= r.maxV.get) && hi.forall(_ >= r.minV.get)
+        }.map(_.file).toSet
         if (first) { indexed = covered; surviving = pass; first = false }
         else { indexed = indexed intersect covered; surviving = surviving intersect pass }
       }

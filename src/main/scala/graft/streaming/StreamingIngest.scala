@@ -37,7 +37,8 @@ object StreamingIngest {
       checkpointPath: String,
       requestTimeMs: Option[Long] = None,
       triggerMs: Long = 1000,
-      bloomFields: Seq[String] = Nil): StreamingQuery = {
+      bloomFields: Seq[String] = Nil,
+      zoneCols: Seq[String] = Nil): StreamingQuery = {
     lines.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointPath)
@@ -56,6 +57,12 @@ object StreamingIngest {
             batch.sparkSession, outPath, mapping, bloomFields)
           catch { case e: Exception =>
             System.err.println(s"[StreamingIngest] bloom update skipped: $e")
+          }
+        // zone-map maintenance: same advisory-only contract
+        if (zoneCols.nonEmpty)
+          try graft.index.ZoneMapIndex.update(batch.sparkSession, outPath, zoneCols)
+          catch { case e: Exception =>
+            System.err.println(s"[StreamingIngest] zonemap update skipped: $e")
           }
         ()
       }
@@ -81,7 +88,8 @@ object StreamingIngest {
     */
   def compactDay(spark: SparkSession, outPath: String, date: String,
       targetFiles: Int = 1, bloomFields: Seq[String] = Nil,
-      mapping: Option[SeqMapping] = None): Unit = {
+      mapping: Option[SeqMapping] = None,
+      zoneCols: Seq[String] = Nil): Unit = {
     val day = spark.read.parquet(s"$outPath/date=$date")
     // range-partition by mid so compacted files carry disjoint time
     // ranges (tight min/max stats), not random row hashes
@@ -100,6 +108,8 @@ object StreamingIngest {
       require(mapping.isDefined, "compactDay bloom update needs the mapping")
       graft.index.TokenBloomIndex.update(spark, outPath, mapping.get, bloomFields)
     }
+    if (zoneCols.nonEmpty)
+      graft.index.ZoneMapIndex.update(spark, outPath, zoneCols)
   }
 
   /** Retention: drop day partitions older than `keepDays` relative to
