@@ -309,6 +309,12 @@ object SparkEntry {
     "seq_histogram_6h" -> ((s, dir) =>
       ev(s, dir).histogram("event_type:view", T0, T31, "6h")),
 
+    // ---- H1 multi-resolution: 6h summaries + 1h bins, ONE scan
+    //      (ROLLUP; the reference re-runs GetHistogram per interval) ----
+    "seq_histogram_rollup" -> ((s, dir) =>
+      ev(s, dir).histogramMultiRes("event_type:error", T0, T31,
+        coarseMs = 21600000L, fineMs = 3600000L)),
+
     // ---- S6 export: full ordered result stream (no top-k) ----
     "seq_export" -> ((s, dir) =>
       ev(s, dir).export("user_id:[140, *]", T0, T31, asc = true)
@@ -394,6 +400,17 @@ object SparkEntry {
     "dp_ann_topk" -> ((s, dir) =>
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- ANN: hybrid filtered search (metadata pre-filter + top-k) ----
+    "dp_ann_filtered" -> ((s, dir) =>
+      dataprep.Similarity.filteredTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        pred = col("label") === 2)),
+
+    // ---- per-label embedding centroids (integer micro-unit sums) ----
+    "dp_centroids" -> ((s, dir) =>
+      dataprep.Similarity.groupCentroids(TestTables.embeddings(s, dir),
+        "label", "embedding")),
 
     // ---- ANN: random-hyperplane LSH-bucketed variant (oracle mirrors planes) ----
     "dp_ann_lsh" -> ((s, dir) =>
@@ -521,6 +538,11 @@ object SparkEntry {
     // ---- corpus vocabulary: top-50 word bigrams ----
     "dp_ngram_freq" -> ((s, dir) =>
       dataprep.CorpusStats.ngramFreq(TestTables.documents(s, dir), "text", n = 2, topK = 50)),
+
+    // ---- cross-doc duplicate trigram fraction (boilerplate signal) ----
+    "dp_dup_ngram_frac" -> ((s, dir) =>
+      dataprep.CorpusStats.dupNgramFraction(TestTables.documents(s, dir),
+        "doc_id", "text", n = 3, minDf = 2)),
 
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
@@ -1076,6 +1098,18 @@ object SparkEntry {
           WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'view'
           GROUP BY 1 ORDER BY 1""",
 
+    "seq_histogram_rollup" ->
+      s"""WITH b AS (
+            SELECT $M - $M % 21600000 AS bucket_coarse,
+                   $M - $M % 3600000 AS bucket_fine
+            FROM events
+            WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'error')
+          SELECT bucket_coarse, bucket_fine, count(*) AS cnt,
+                 CAST(GROUPING(bucket_fine) AS BIGINT) AS lvl
+          FROM b GROUP BY ROLLUP(bucket_coarse, bucket_fine)
+          HAVING GROUPING(bucket_coarse) = 0
+          ORDER BY bucket_coarse ASC, lvl DESC, bucket_fine ASC""",
+
     "seq_export" ->
       s"""SELECT $M AS mid, event_id AS rid, user_id FROM events
           WHERE $M BETWEEN $T0 AND $T31 AND user_id >= 140
@@ -1183,6 +1217,40 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
                 CAST(round(d * 1000000) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // Hybrid search: the metadata predicate restricts the corpus side
+    // only — queries are taken from the unfiltered table.
+    "dp_ann_filtered" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+         ), scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+           FROM q, embeddings e
+           WHERE e.vec_id <> q.query_id AND e.label = 2
+         ), r AS (
+           SELECT query_id, neighbor_id, d,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // Integer micro-unit sums per (label, dimension); the mean is one
+    // IEEE division of exact integers — see Similarity.groupCentroids.
+    "dp_centroids" ->
+      """WITH u AS (
+           SELECT label AS grp,
+                  unnest(range(1, len(embedding)+1)) - 1 AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings)
+         SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                sum(CAST(round(v * 1000000) AS BIGINT)) AS sum_e6,
+                CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_e6
+         FROM u GROUP BY grp, dim ORDER BY grp, dim""",
 
     "dp_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
@@ -1387,6 +1455,28 @@ object SparkEntry {
           ), u AS (SELECT unnest(bi) AS ngram FROM b)
           SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM u
           GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""",
+
+    // Trigrams with multiplicity (guarded range — no null slots), df
+    // per gram, then the per-doc duplicate-occurrence share.
+    "dp_dup_ngram_frac" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          b AS (
+            SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+                       || ' ' || toks[CAST(i AS INT)+2])
+              ELSE [] END AS gi
+            FROM t
+          ), u AS (SELECT doc_id, unnest(gi) AS g FROM b),
+          d AS (SELECT g, count(DISTINCT doc_id) AS df FROM u GROUP BY g),
+          j AS (
+            SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM u JOIN d USING (g) GROUP BY u.doc_id)
+          SELECT doc_id, n_grams, n_dup,
+                 CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+          FROM j ORDER BY doc_id ASC""",
 
     // Same rational-idf BM25 the Spark side computes (see
     // CorpusStats.bm25Rank scaladoc): every factor is +,-,*,/ on

@@ -122,4 +122,48 @@ object CorpusStats {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Cross-document duplicate n-gram fraction (the RefinedWeb /
+    * Gopher-style repetition family's corpus-level member): per
+    * document, the share of its n-gram OCCURRENCES whose n-gram also
+    * appears in at least `minDf` distinct documents. High values flag
+    * boilerplate and template spam that exact/near dedup misses
+    * because the documents differ globally while sharing most local
+    * word sequences. Complements [[TextAnalysis.repetitionStats]]
+    * (within-doc repetition) with the cross-doc signal.
+    *
+    * Documents with fewer than n tokens have no n-grams and drop out.
+    * `dup_frac` is one IEEE division of two exact integers —
+    * engine-portable.
+    *
+    * Scale: occurrences explode once; document frequency is a
+    * map-side-combined two-phase aggregate on the gram key; the join
+    * back is gram-partitioned on BOTH sides (the groupBy's exchange is
+    * reused, no extra shuffle beyond the unavoidable gram shuffle),
+    * then one groupBy(doc) re-reduces. Zipf bounds the vocabulary side;
+    * no driver-side state.
+    */
+  def dupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Int = 2): DataFrame = {
+    require(n >= 1 && minDf >= 1, "n and minDf must be positive")
+    // bound-attribute capture, same O(tokens) rationale as ngramFreq
+    val withToks = df.select(col(idCol), TextPrep.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val occ = withToks.select(col(idCol), explode(grams).as("g"))
+    val dfreq = occ.groupBy("g").agg(count_distinct(col(idCol)).as("df"))
+    occ.join(dfreq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col(idCol).asc)
+  }
 }

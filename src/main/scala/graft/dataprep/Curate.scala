@@ -77,10 +77,16 @@ object Curate {
     // once more — persist the near-deduped survivors so each traversal
     // is a cache read, not a survivors⋈labels join replay. Eager
     // materialization is consistent with this stage's shape: the
-    // clusters fixpoint inside dropNearDuplicates already runs jobs at
-    // call time. With it materialized, the stage-3 cache can go.
-    val nearDeduped = Dedup.dropNearDuplicates(survivors, idCol, pairs).persist()
+    // clusters fixpoint already runs jobs at call time. With it
+    // materialized, both upstream caches (stage-3 survivors AND the
+    // fixpoint's converged label frame — which dropNearDuplicates
+    // would leave pinned) can go.
+    val labels = Dedup.clusters(survivors, idCol, pairs)
+    val nearDeduped = survivors.join(
+      labels.where(col("id") === col("rep")).select(col("id").as(idCol)),
+      Seq(idCol)).persist()
     nearDeduped.count()
+    labels.unpersist()
     survivors.unpersist()
 
     // 5: decontamination vs the benchmark subset

@@ -285,6 +285,13 @@ object Dedup {
 
   /** The canonical doc set implied by [[clusters]]: rows whose id IS
     * the component representative (one survivor per duplicate group).
+    *
+    * Cache note: the converged label frame [[clusters]] returns stays
+    * persisted (the returned join reads it lazily; unpersisting here
+    * would make every downstream action replay the whole fixpoint
+    * lineage). Long-lived sessions that materialize the result should
+    * call [[clusters]] directly and unpersist the labels afterwards,
+    * as [[Curate.pipeline]] does.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(clusters(df, idCol, pairs).where(col("id") === col("rep"))

@@ -34,8 +34,22 @@ object Similarity {
     * Output: query_id, neighbor_id, rank (1-based), dot_e6.
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int): DataFrame = {
-    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
+      queryIds: Seq[Long], k: Int): DataFrame =
+    filteredTopK(df, idCol, vecCol, queryIds, k, lit(true))
+
+  /** Filtered (hybrid) vector search: brute-force top-k restricted to
+    * corpus rows satisfying `pred` — metadata filter + similarity in
+    * one plan. The predicate applies BEFORE ranking (pre-filtering),
+    * so every query returns k true survivors instead of post-filtering
+    * holes, and it pushes down to the scan: at 100 TB the filter
+    * prunes row groups before a single dot product runs. Queries are
+    * looked up in the UNFILTERED table (a query vector need not
+    * itself satisfy the predicate).
+    */
+  def filteredTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, pred: Column): DataFrame = {
+    val corpus = df.where(pred)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
     val queries = df.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
@@ -274,4 +288,28 @@ object Similarity {
         expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
       .orderBy("query_id", "rank")
   }
+
+  /** Per-group centroid of an embedding column, in integer micro-units:
+    * per (group, dimension), n, Σ round(v·1e6) and their IEEE-division
+    * mean. Integer summation is associative, so the result is
+    * partitioning-independent and engine-portable — a float mean would
+    * depend on reduction order. The training-data uses: per-source /
+    * per-cluster corpus fingerprints, drift monitoring between corpus
+    * versions, and seeding k-means (the IVF trainer bootstraps from
+    * exactly this shape).
+    *
+    * Scale: posexplode fans each vector into (group, dim) rows that
+    * partial-aggregate map-side BEFORE the shuffle — the exchange
+    * carries at most |groups|·|dims| rows per task, not the corpus.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("grp"), col("pos").cast("long").as("dim"),
+        expr("CAST(round(col * 1000000) AS BIGINT)").as("v_e6"))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
+      .withColumn("mean_e6",
+        col("sum_e6").cast("double") / col("n").cast("double"))
+      .orderBy("grp", "dim")
 }

@@ -383,6 +383,31 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def histogram(query: String, fromMs: Long, toMs: Long, interval: String): DataFrame =
     histogram(query, fromMs, toMs, graft.model.Intervals.parseMs(interval))
 
+  /** Multi-resolution date histogram: coarse and fine buckets from ONE
+    * scan via ROLLUP (Expand + the same partial/final aggregation as
+    * [[histogram]] — the reference would run GetHistogram once per
+    * interval, re-walking the matching LID set each time;
+    * frac/processor/search.go:169-179). Rows with `lvl` = 1 are the
+    * coarse summaries (`bucket_fine` null), `lvl` = 0 the fine bins,
+    * so a UI zoom renders both without a second query.
+    */
+  def histogramMultiRes(query: String, fromMs: Long, toMs: Long,
+      coarseMs: Long, fineMs: Long): DataFrame = {
+    require(fineMs > 0 && coarseMs > fineMs && coarseMs % fineMs == 0,
+      "need fineMs > 0 and coarseMs a multiple of fineMs")
+    matches(query, fromMs, toMs)
+      .select((mid - mid % lit(coarseMs)).as("bucket_coarse"),
+        (mid - mid % lit(fineMs)).as("bucket_fine"))
+      .rollup(col("bucket_coarse"), col("bucket_fine"))
+      .agg(count(lit(1)).as("cnt"),
+        grouping(col("bucket_fine")).cast("long").as("lvl"),
+        grouping(col("bucket_coarse")).as("__grand"))
+      // mid is never null, so the only all-null row is the rollup's
+      // grand total — not part of the histogram contract
+      .where(col("__grand") === 0).drop("__grand")
+      .orderBy(col("bucket_coarse").asc, col("lvl").desc, col("bucket_fine").asc)
+  }
+
   /** A3 strict semantics: the reference fails the whole query when any
     * token of the aggregated field doesn't parse as a number
     * (frac/processor/aggregator.go:150-157). Spark's cast yields null

@@ -72,6 +72,9 @@ object ProfileCurate {
     done.clear()
     t("full pipeline, caches cleared")(
       Curate.pipeline(df, idCol, textCol, "source", benchPred, cfg).count())
+    spark.catalog.clearCache()
+    t("full pipeline, second run (codegen warm)")(
+      Curate.pipeline(df, idCol, textCol, "source", benchPred, cfg).count())
     import scala.jdk.CollectionConverters._
     val byJob = done.asScala.toSeq.sortBy(-_._2).take(20)
     byJob.foreach { case (id, ms, d) =>

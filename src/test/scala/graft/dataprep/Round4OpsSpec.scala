@@ -1,0 +1,92 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-4 additions: cross-doc duplicate n-gram fraction, hybrid
+  * filtered vector search, per-group embedding centroids, and the
+  * multi-resolution rollup histogram.
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- dupNgramFraction ----
+
+  test("dupNgramFraction: shared vs unique n-gram occurrences") {
+    // docs 1 and 2 share every bigram; doc 3 shares none; doc 4 is
+    // too short for bigrams and must drop out
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b c"),
+      (3L, "x y z"),
+      (4L, "q")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.dupNgramFraction(df, "doc_id", "text", n = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), // "a b","b c" both appear in 2 docs
+      (2L, 2L, 2L, 1.0),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("dupNgramFraction counts occurrences, not distinct grams") {
+    // "a b" occurs twice in doc 1 (multiplicity) and once in doc 2;
+    // doc 1's "b a" bridge bigram is unique to it
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusStats.dupNgramFraction(df, "doc_id", "text", n = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: grams = a b, b a, a b → 3 occurrences, 2 duplicated
+    assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
+  // ---- filteredTopK ----
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.8f, 0.2f), 1),
+    (3L, Array(0.0f, 1.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("filteredTopK restricts the corpus side only") {
+    val out = Similarity.filteredTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 10, pred = col("label") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // query 0 has label 0 (still usable as query); neighbors only 2, 3
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("filteredTopK with a true predicate equals bruteForceTopK") {
+    val a = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L, 3L), 2)
+      .collect().toSeq
+    val b = Similarity.filteredTopK(vecs, "vec_id", "embedding", Seq(0L, 3L), 2, lit(true))
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- groupCentroids ----
+
+  test("groupCentroids: exact integer sums and IEEE mean") {
+    val df = Seq(
+      ("a", Array(1.0f, -2.0f)),
+      ("a", Array(3.0f, 4.0f)),
+      ("b", Array(0.5f, 0.25f))
+    ).toDF("src", "embedding")
+    val out = Similarity.groupCentroids(df, "src", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 4000000L, 2000000.0),
+      ("a", 1L, 2L, 2000000L, 1000000.0),
+      ("b", 0L, 1L, 500000L, 500000.0),
+      ("b", 1L, 1L, 250000L, 250000.0)))
+  }
+
+  test("groupCentroids is partition-independent") {
+    val base = (0L until 97L).map(i => (s"g${i % 3}", Array.tabulate(4)(d => (i * 7 + d).toFloat / 13f)))
+    val df1 = base.toDF("src", "embedding").repartition(1)
+    val df8 = base.toDF("src", "embedding").repartition(8)
+    val a = Similarity.groupCentroids(df1, "src", "embedding").collect().toSeq
+    val b = Similarity.groupCentroids(df8, "src", "embedding").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -74,6 +74,22 @@ class EngineSpec extends SparkSpec {
     assert(hist == total)
   }
 
+  test("multi-res histogram: coarse rows are exact sums of their fine bins") {
+    val out = eng.histogramMultiRes("event_type:click", T0, T31,
+      coarseMs = 21600000L, fineMs = 3600000L).collect()
+    val fine = out.filter(_.getLong(3) == 0)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val coarse = out.filter(_.getLong(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(coarse.nonEmpty && coarse == fine)
+    // fine level reproduces the single-resolution histogram exactly
+    val single = eng.histogram("event_type:click", T0, T31, 3600000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fineBins = out.filter(_.getLong(3) == 0)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fineBins == single)
+  }
+
   test("replica dedup restores exact original rows") {
     val t = TestTables.eventsDocs(spark, sfDir)
     val doubled = t.copy(df = t.df.union(t.df), dedupReplicas = true)
