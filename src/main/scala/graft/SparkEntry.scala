@@ -75,8 +75,10 @@ object SparkEntry {
         .select("mid", "rid", "event_type")),
 
     // ---- F5 in() with exact numeric values (BASELINE status:in scenario) ----
+    // literals chosen to actually hit rows at sf0.01 — a 0-row result
+    // would make the oracle compare vacuous
     "seq_search_in_numeric" -> ((s, dir) =>
-      ev(s, dir).search(SearchRequest("value:in(100, 200, 300)", T02, T15, size = 200))
+      ev(s, dir).search(SearchRequest("value:in(5.52, 1.87, 7.4)", T02, T15, size = 200))
         .select("mid", "rid", "value")),
 
     // ---- F4 numeric range on a typed column ----
@@ -777,7 +779,8 @@ object SparkEntry {
 
     "seq_search_in_numeric" ->
       s"""SELECT $M AS mid, event_id AS rid, value FROM events
-          WHERE $M BETWEEN $T02 AND $T15 AND value IN (100, 200, 300)
+          WHERE $M BETWEEN $T02 AND $T15
+            AND value IN (CAST(5.52 AS DOUBLE), CAST(1.87 AS DOUBLE), CAST(7.4 AS DOUBLE))
           ORDER BY mid DESC, rid DESC LIMIT 200""",
 
     "seq_search_range_text" ->
