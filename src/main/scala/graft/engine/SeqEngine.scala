@@ -80,6 +80,11 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
 
   def compileFilter(query: String): Column = compiler.compile(query).filter
 
+  /** Full compile (filter + pipes); StreamingSearch applies both to
+    * live streams. */
+  private[graft] def compileQuery(query: String): graft.seqql.CompiledQuery =
+    compiler.compile(query)
+
   /** `Mapping` RPC analogue (seq_proxy_api.proto:54-59, MappingResponse
     * = utf-8 mapping info): the table's mapping as a JSON object
     * field → [index types]. */
@@ -514,8 +519,9 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("rid")))))
 
   /** Fields projection pipe (P1): pure output projection; requested
-    * fields need not be indexed (storeapi/grpc_fetch.go:168-249). */
-  private def applyPipes(df: DataFrame, pipes: Seq[Pipe]): DataFrame =
+    * fields need not be indexed (storeapi/grpc_fetch.go:168-249).
+    * `private[graft]`: StreamingSearch reuses it on live streams. */
+  private[graft] def applyPipes(df: DataFrame, pipes: Seq[Pipe]): DataFrame =
     pipes.foldLeft(df) {
       case (d, FieldsPipe(fields, except)) =>
         val cols = fields.map(table.sparkColName)
