@@ -1169,16 +1169,22 @@ object SparkEntry {
     // clusters: the pair set (brute-force Jaccard — LSH at these
     // settings reproduces it exactly, see dp_dedup_minhash_lsh), then
     // transitive min-label reachability via a recursive CTE.
+    // pairs/e MATERIALIZED: DuckDB would otherwise re-evaluate the
+    // O(n²) Jaccard join on every recursion round. The size-ratio
+    // guard is a necessary condition of the J >= 1/2 predicate
+    // (i <= min, u >= max), evaluated on O(1) lengths first.
     "dp_dedup_clusters" ->
       s"""${DSH_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          pairs AS (
+          pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM s a, s b
             WHERE a.doc_id < b.doc_id
+              AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
               AND len(list_intersect(a.sh, b.sh)) * 2 >=
                   len(list_distinct(list_concat(a.sh, b.sh)))),
-          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
+          e AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
           reach(v, u) AS (
             SELECT doc_id, doc_id FROM documents
             UNION
@@ -1193,6 +1199,7 @@ object SparkEntry {
                  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_cnt
           FROM s a, s b
           WHERE a.doc_id < b.doc_id
+            AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
             AND len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))
           ORDER BY id_a, id_b""",
 
@@ -1560,14 +1567,16 @@ object SparkEntry {
           keepx AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
           g2 AS (SELECT g.* FROM g JOIN keepx USING (doc_id)),
           sh2 AS (SELECT doc_id, $DSHINGLES AS sh FROM g2),
-          pairs AS (
+          pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sh2 a, sh2 b
             WHERE a.doc_id < b.doc_id
+              AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
               AND len(list_intersect(a.sh, b.sh)) * 2 >=
                   len(list_distinct(list_concat(a.sh, b.sh)))),
-          e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
+          e AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
           reach(v, u) AS (
             SELECT doc_id, doc_id FROM g2
             UNION
