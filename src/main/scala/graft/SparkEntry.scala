@@ -546,6 +546,11 @@ object SparkEntry {
       dataprep.CorpusStats.dupNgramFraction(TestTables.documents(s, dir),
         "doc_id", "text", n = 3, minDf = 2)),
 
+    // ---- context-window chunking (overlapping token-budget slices) ----
+    "dp_chunk" -> ((s, dir) =>
+      dataprep.TextPrep.chunkTokens(TestTables.documents(s, dir),
+        "doc_id", "text", maxTokens = 20, overlap = 5)),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -1487,6 +1492,24 @@ object SparkEntry {
           SELECT doc_id, n_grams, n_dup,
                  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
           FROM j ORDER BY doc_id ASC""",
+
+    // Chunk boundaries are exact integer arithmetic; per-index
+    // list_transform avoids engine-specific slice-bound semantics.
+    "dp_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          p AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                   CAST(1 + (greatest(0, len(toks) - 20) + 14) // 15 AS BIGINT) AS n_chunks
+            FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM p),
+          o AS (
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   list_transform(range(chunk_id*15 + 1, least(chunk_id*15 + 20, n) + 1),
+                                  i -> toks[CAST(i AS INT)]) AS ctoks
+            FROM c)
+          SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+                 array_to_string(ctoks, ' ') AS chunk_text
+          FROM o ORDER BY doc_id ASC, chunk_id ASC""",
 
     // Same rational-idf BM25 the Spark side computes (see
     // CorpusStats.bm25Rank scaladoc): every factor is +,-,*,/ on

@@ -42,4 +42,40 @@ object TextPrep {
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
+
+  /** Split each document into overlapping fixed-token-budget chunks —
+    * the context-window preprocessing step of a training pipeline
+    * (long doc → N sequences of ≤ maxTokens tokens, consecutive chunks
+    * sharing `overlap` tokens so no span is split across a boundary
+    * without context). Output: one row per (doc, chunk): `chunk_id`
+    * (0-based), `n_tokens`, `chunk_text` (tokens re-joined with
+    * single spaces). Token-less documents drop out. Deterministic:
+    * chunk count and boundaries are integer arithmetic on the token
+    * count only.
+    *
+    * Scale: one narrow pass — tokenize, explode over the computed
+    * chunk index range, slice. No shuffle at all (the explode is
+    * map-side); downstream repartitioning decides chunk placement.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .where(col("__n") > 0)
+      // n_chunks = 1 + ceil(max(0, n - maxTokens) / stride), in exact
+      // integer arithmetic (mirrored by the DuckDB oracle)
+      .withColumn("__nc",
+        expr(s"1L + (greatest(0L, __n - $maxTokens) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(maxTokens)).as("__ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ctoks")).cast("long").as("n_tokens"),
+        array_join(col("__ctoks"), " ").as("chunk_text"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+  }
 }

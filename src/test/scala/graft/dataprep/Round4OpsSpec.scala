@@ -39,6 +39,38 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
   }
 
+  // ---- chunkTokens ----
+
+  test("chunkTokens: boundaries, overlap, short docs, empty docs") {
+    val df = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 toks: chunks 1-5, 4-7
+      (2L, "a b"),                                   // fits in one chunk
+      (3L, ""),                                      // no tokens → dropped
+      (4L, (1 to 8).map(i => s"u$i").mkString(" "))  // 8 toks: 1-5, 4-8
+    ).toDF("doc_id", "text")
+    val out = TextPrep.chunkTokens(df, "doc_id", "text", maxTokens = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 5L, "t1 t2 t3 t4 t5"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (2L, 0L, 2L, "a b"),
+      (4L, 0L, 5L, "u1 u2 u3 u4 u5"),
+      (4L, 1L, 5L, "u4 u5 u6 u7 u8")))
+  }
+
+  test("chunkTokens: every token appears, consecutive chunks share `overlap`") {
+    val df = Seq((1L, (1 to 103).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextPrep.chunkTokens(df, "doc_id", "text", maxTokens = 20, overlap = 5)
+      .collect().map(_.getString(3).split(" ").toSeq)
+    // full coverage in order
+    assert(chunks.map(_.drop(0)).reduce((a, b) => a ++ b.drop(5)) ==
+      (1 to 103).map(i => s"w$i"))
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(5) == b.take(5)) // shared overlap
+      case _           => ()
+    }
+  }
+
   // ---- filteredTopK ----
 
   private lazy val vecs = Seq(
