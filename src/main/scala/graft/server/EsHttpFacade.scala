@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.engine.{DocsTable, SearchRequest, SeqEngine}
+import graft.engine.{AggFunc, AggRequest, DocsTable, SearchRequest, SeqEngine}
 import graft.ingest.BulkIngest
 import graft.model.SeqMapping
 
@@ -90,6 +90,8 @@ final class EsHttpFacade(
         reply(ex, 200,
           """{"license":{"mode":"basic","status":"active","type":"basic"}}""")
       else if (path == "/search") handleSearch(ex)
+      else if (path == "/aggregate") handleAggregate(ex)
+      else if (path == "/histogram") handleHistogram(ex)
       else reply(ex, 400, """{"error":"unsupported endpoint"}""")
     } catch {
       case e: Throwable =>
@@ -145,6 +147,87 @@ final class EsHttpFacade(
       }.mkString(",")
       reply(ex, 200, s"""{"total":${page.length},"hits":[$hits]}""")
     }
+
+    /** GetAggregation analogue (seq_proxy_api.proto:175-183 shape over
+      * HTTP): {query, from, to, func, field, group_by, interval,
+      * quantiles} → the aggregation rows as JSON objects. */
+    private def handleAggregate(ex: HttpExchange): Unit = {
+      val raw = body(ex)
+      val req = parseSearch(raw)
+      val agg = parseAgg(raw)
+      val eng = new SeqEngine(table)
+      // strict A3: a value-consuming agg over a non-numeric field fails
+      // the whole request (frac/processor/aggregator.go:150-157)
+      agg.func match {
+        case AggFunc.Count | AggFunc.Unique => ()
+        case _ => eng.requireNumericField(req.query, req.fromMs, req.toMs, agg.field)
+      }
+      val rows = rowsJson(eng.aggregate(req.query, req.fromMs, req.toMs, agg))
+      reply(ex, 200, s"""{"buckets":[$rows]}""")
+    }
+
+    /** GetHistogram analogue: {query, from, to, interval} → buckets. */
+    private def handleHistogram(ex: HttpExchange): Unit = {
+      val raw = body(ex)
+      val req = parseSearch(raw)
+      val intervalMs = ("\"interval\"\\s*:\\s*\"([^\"]+)\"").r
+        .findFirstMatchIn(raw).map(m => graft.model.Intervals.parseMs(m.group(1)))
+        .orElse(("\"interval\"\\s*:\\s*(\\d+)").r
+          .findFirstMatchIn(raw).map(_.group(1).toLong))
+        .getOrElse(3600000L)
+      val eng = new SeqEngine(table)
+      val rows = rowsJson(eng.histogram(req.query, req.fromMs, req.toMs, intervalMs))
+      reply(ex, 200, s"""{"buckets":[$rows]}""")
+    }
+  }
+
+  /** Render a small result DataFrame as JSON objects, schema-driven —
+    * aggregation/histogram responses are bucket-sized (A7 caps), never
+    * corpus-sized, so a driver-side collect is the intended shape. */
+  private def rowsJson(df: org.apache.spark.sql.DataFrame): String = {
+    val fields = df.schema.fields
+    df.collect().map { r =>
+      fields.indices.map { i =>
+        val k = quote(fields(i).name)
+        val v =
+          if (r.isNullAt(i)) "null"
+          else r.get(i) match {
+            case s: String => quote(s)
+            case d: Double =>
+              if (d.isNaN || d.isInfinite) quote(d.toString) else d.toString
+            case f: Float =>
+              if (f.isNaN || f.isInfinite) quote(f.toString) else f.toString
+            case other => other.toString
+          }
+        s"$k:$v"
+      }.mkString("{", ",", "}")
+    }.mkString(",")
+  }
+
+  /** Flat aggregation-request fields, mirroring the proto names. */
+  private def parseAgg(json: String): AggRequest = {
+    def str(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(json).map(m => graft.model.Json.unescape(m.group(1)))
+    def num(k: String): Option[Long] =
+      ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val quantiles = ("\"quantiles\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(json)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
+    val func = str("func").map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("count") | None => AggFunc.Count
+      case Some("unique")       => AggFunc.Unique
+      case Some("sum")          => AggFunc.Sum
+      case Some("min")          => AggFunc.Min
+      case Some("max")          => AggFunc.Max
+      case Some("avg")          => AggFunc.Avg
+      case Some("quantile")     => AggFunc.Quantile(quantiles.getOrElse(Seq(0.5)))
+      case Some(other) => throw new graft.model.SeqQlError(s"unknown agg func '$other'")
+    }
+    AggRequest(func,
+      field = str("field").getOrElse(""),
+      groupBy = str("group_by"),
+      intervalMs = num("agg_interval").getOrElse(0L))
   }
 
   /** Minimal JSON field extraction for the flat search request —

@@ -61,6 +61,25 @@ class EsFacadeSpec extends SparkSpec {
       assert(hits.body().contains("disk is full"))
       assert(hits.body().contains("full table scan"))
       assert(!hits.body().contains("all fine"))
+
+      // GetAggregation analogue over HTTP: count by level
+      val agg = post("/aggregate",
+        s"""{"query":"*","from":0,"to":${Long.MaxValue},"func":"count","group_by":"level"}""")
+      assert(agg.statusCode() == 200)
+      assert(agg.body().contains("""{"name":"error","value":2}"""))
+      assert(agg.body().contains("""{"name":"info","value":1}"""))
+
+      // quantile agg with explicit quantiles list
+      val qagg = post("/aggregate",
+        s"""{"query":"*","from":0,"to":${Long.MaxValue},"func":"quantile","field":"level","quantiles":[0.5]}""")
+      assert(qagg.statusCode() == 500) // level is non-numeric → strict A3 error
+      assert(qagg.body().contains("error"))
+
+      // GetHistogram analogue: all three docs share one hour bucket
+      val hist = post("/histogram",
+        s"""{"query":"*","from":0,"to":${Long.MaxValue},"interval":"1h"}""")
+      assert(hist.statusCode() == 200)
+      assert(hist.body().contains("\"cnt\":3"))
     } finally facade.stop()
   }
 }
