@@ -35,6 +35,9 @@ object Bench {
     // IVF index build is amortized write-path cost, same as the blooms
     try graft.tables.TestTables.embeddingsIvfTopK(spark, sfDir, Seq(0L), 1).count()
     catch { case _: Throwable => () }
+    // MinHash band index: same amortized-build rationale
+    try graft.tables.TestTables.documentsIncrementalDedup(spark, sfDir).limit(1).count()
+    catch { case _: Throwable => () }
     try graft.tables.TestTables.eventsDocsFetchBloom(spark, sfDir, Seq(0L))
       .df.limit(1).count()
     catch { case _: Throwable => () }

@@ -403,6 +403,10 @@ object SparkEntry {
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- incremental near-dup: new batch vs persisted band index ----
+    "dp_dedup_incremental" -> ((s, dir) =>
+      TestTables.documentsIncrementalDedup(s, dir)),
+
     // ---- ANN: hybrid filtered search (metadata pre-filter + top-k) ----
     "dp_ann_filtered" -> ((s, dir) =>
       dataprep.Similarity.filteredTopK(TestTables.embeddings(s, dir),
@@ -1207,6 +1211,20 @@ object SparkEntry {
             AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
             AND len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))
           ORDER BY id_a, id_b""",
+
+    // Incremental = the cross (new, old) slice of the brute-force
+    // pair set; the Spark side reaches it through the persisted band
+    // index instead of a corpus self-join.
+    "dp_dedup_incremental" ->
+      s"""$DSH_CTE
+          SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                 CAST(len(list_intersect(n.sh, o.sh)) AS BIGINT) AS inter_cnt,
+                 CAST(len(list_distinct(list_concat(n.sh, o.sh))) AS BIGINT) AS union_cnt
+          FROM s n, s o
+          WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+            AND least(len(n.sh), len(o.sh)) * 2 >= greatest(len(n.sh), len(o.sh))
+            AND len(list_intersect(n.sh, o.sh)) * 2 >= len(list_distinct(list_concat(n.sh, o.sh)))
+          ORDER BY new_id, old_id""",
 
     "dp_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

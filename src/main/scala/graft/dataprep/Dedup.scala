@@ -164,6 +164,74 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Persisted MinHash band index for INCREMENTAL near-duplicate
+    * detection: at 100 TB a daily batch cannot re-run LSH over the
+    * whole corpus (minhashLshPairs re-bands every document), so the
+    * banded form is written ONCE and each new batch probes it. Layout:
+    * `<path>/bands` = (id, bk) band keys, bk-clustered files (range
+    * exchange + in-file sort → tight parquet min/max per file);
+    * `<path>/shingles` = (id, sh) shingle hashes, id-range-sorted, for
+    * exact verification. Append the (kept) new batch afterwards via
+    * `mode = "append"` — both file sets are append-safe (stats stay
+    * per-file).
+    */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, indexPath: String,
+      mode: String = "overwrite"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSh = df.select(col(idCol).as("id"),
+      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
+      .persist()
+    withSh
+      .select(col("id"), explode(graft.functions.VectorExpressions.minhashBandKeys(
+        col("sh"), numHashes, bands)).as("bk"))
+      .repartitionByRange(col("bk"))
+      .sortWithinPartitions(col("bk"))
+      .write.mode(mode).parquet(s"$indexPath/bands")
+    withSh
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(mode).parquet(s"$indexPath/shingles")
+    withSh.unpersist()
+  }
+
+  /** Near-dup pairs of a NEW batch against the indexed corpus — the
+    * incremental companion of [[minhashLshPairs]] (same banding, same
+    * exact verification, so a pair is reported iff the full-corpus run
+    * would report it as a cross pair). The batch side is broadcast:
+    * the candidate probe is ONE pass over the band index with no
+    * shuffle of the corpus, and verification joins shingles only for
+    * the candidate ids. Output: new_id, old_id, inter_cnt, union_cnt.
+    */
+  def dedupAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, thresholdNum: Int, thresholdDen: Int,
+      indexPath: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = newDf.sparkSession
+    val newSh = newDf.select(col(idCol).as("new_id"),
+      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh_new"))
+      .persist()
+    val newBands = newSh.select(col("new_id"),
+      explode(graft.functions.VectorExpressions.minhashBandKeys(
+        col("sh_new"), numHashes, bands)).as("bk"))
+    val cands = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(newBands), Seq("bk"))
+      // a re-ingested id is identity, not a near-dup of itself
+      .where(col("id") =!= col("new_id"))
+      .select(col("new_id"), col("id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cands
+      .join(spark.read.parquet(s"$indexPath/shingles")
+        .select(col("id").as("old_id"), col("sh").as("sh_old")), Seq("old_id"))
+      .join(newSh, Seq("new_id"))
+      .withColumn("inter_cnt", interCount(col("sh_new"), col("sh_old")))
+      .withColumn("union_cnt",
+        (size(col("sh_new")) + size(col("sh_old"))).cast("long") - col("inter_cnt"))
+      .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
+      .select("new_id", "old_id", "inter_cnt", "union_cnt")
+      .orderBy("new_id", "old_id")
+  }
+
   /** 64-bit SimHash over distinct word tokens: per bit position, sum
     * +1/-1 across token hashes and keep the sign — one native codegen
     * pass. Uses the SQL-portable hashing scheme

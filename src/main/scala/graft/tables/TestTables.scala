@@ -142,6 +142,27 @@ object TestTables {
     graft.dataprep.Similarity.ivfTopKIndexed(spark, path, queryIds, k, nProbe = 4)
   }
 
+  /** Incremental near-dup: the "old" corpus (doc_id % 5 != 0) indexed
+    * once into a persisted MinHash band index; the "new" batch
+    * (doc_id % 5 == 0) probed against it. Index build is amortized
+    * write-path cost, cached per (sf, source mtime) like the other
+    * index fixtures.
+    */
+  def documentsIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"/tmp/graft_mhidx_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "documents")
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        graft.dataprep.Dedup.buildMinhashIndex(
+          documents(spark, sfDir).where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", numHashes = 128, bands = 32, indexPath = path)
+    }
+    graft.dataprep.Dedup.dedupAgainstIndex(
+      documents(spark, sfDir).where(col("doc_id") % 5 === 0),
+      "doc_id", "text", numHashes = 128, bands = 32,
+      thresholdNum = 1, thresholdDen = 2, indexPath = path)
+  }
+
   /** documents docs table materialized with Bloom sidecars over the
     * text tokens, source path prefixes and language — the sealed-index
     * analogue for the corpus table (see [[eventsDocsBloom]]).

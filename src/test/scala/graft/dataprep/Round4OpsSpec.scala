@@ -96,6 +96,33 @@ class Round4OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- incremental minhash index ----
+
+  test("dedupAgainstIndex reproduces the cross slice of full LSH, incl. after append") {
+    val old1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val old2 = Seq(
+      (3L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (11L, "red green blue cyan magenta KEY"),     // near-dup of 3
+      (12L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.buildMinhashIndex(old1, "doc_id", "text", 128, 32, dir)
+    Dedup.buildMinhashIndex(old2, "doc_id", "text", 128, 32, dir, mode = "append")
+
+    val got = Dedup.dedupAgainstIndex(fresh, "doc_id", "text", 128, 32, 1, 2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // expected = cross (new, old) pairs of the full-corpus LSH run
+    val full = Dedup.minhashLshPairs(
+        old1.union(old2).union(fresh), "doc_id", "text", 128, 32, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if b >= 10 && a < 10 => (b, a) }
+      .sorted.toSeq
+    assert(got == full && got.contains((10L, 1L)))
+  }
+
   // ---- groupCentroids ----
 
   test("groupCentroids: exact integer sums and IEEE mean") {
