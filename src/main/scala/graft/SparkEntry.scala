@@ -537,6 +537,18 @@ object SparkEntry {
             size(dataprep.TextPrep.tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 1024L)),
 
+    // ---- chunk → pack composition: context-window slices assigned to
+    //      token-budget shards (the full sequence-prep path) ----
+    "dp_chunk_pack" -> ((s, dir) =>
+      dataprep.Packing.packShards(
+        dataprep.TextPrep.chunkTokens(TestTables.documents(s, dir),
+            "doc_id", "text", maxTokens = 20, overlap = 5)
+          // dense orderable chunk key; chunk counts are < 1000 per doc
+          // at any document length the tokenizer can produce here
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+            col("n_tokens")),
+        "cid", "n_tokens", budget = 1024L)),
+
     // ---- Gopher-style repetition quality signals ----
     "dp_repetition" -> ((s, dir) =>
       dataprep.TextAnalysis.repetitionStats(TestTables.documents(s, dir), "doc_id", "text")),
@@ -1454,6 +1466,27 @@ object SparkEntry {
           SELECT doc_id, n_tokens, cum,
                  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS shard
           FROM c ORDER BY doc_id ASC""",
+
+    // dp_chunk's chunk CTE, keyed doc_id*1000+chunk_id, then the same
+    // exclusive-prefix shard rule as dp_pack.
+    "dp_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          p AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                   CAST(1 + (greatest(0, len(toks) - 20) + 14) // 15 AS BIGINT) AS n_chunks
+            FROM t WHERE len(toks) > 0),
+          ch AS (SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM p),
+          o AS (
+            SELECT doc_id * 1000 + chunk_id AS cid,
+                   CAST(least(chunk_id*15 + 20, n) - (chunk_id*15 + 1) + 1 AS BIGINT) AS n_tokens
+            FROM ch),
+          c AS (
+            SELECT cid, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY cid) AS BIGINT) AS cum
+            FROM o)
+          SELECT cid, n_tokens, cum,
+                 CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS shard
+          FROM c ORDER BY cid ASC""",
 
     "dp_repetition" ->
       s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
