@@ -537,6 +537,12 @@ object SparkEntry {
             size(dataprep.TextPrep.tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 1024L)),
 
+    // ---- deterministic epoch shuffle (reproducible total order) ----
+    "dp_shuffle" -> ((s, dir) =>
+      dataprep.Sampling.deterministicShuffle(
+        TestTables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "shuffle_key")),
+
     // ---- chunk → pack composition: context-window slices assigned to
     //      token-budget shards (the full sequence-prep path) ----
     "dp_chunk_pack" -> ((s, dir) =>
@@ -1466,6 +1472,14 @@ object SparkEntry {
           SELECT doc_id, n_tokens, cum,
                  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS shard
           FROM c ORDER BY doc_id ASC""",
+
+    // The shuffle key is the salted mix64 chain replayed in HUGEINT
+    // arithmetic; the returned ORDER IS the contract under test.
+    "dp_shuffle" ->
+      s"""WITH ${mix64Ctes("SELECT doc_id, source, CAST(xor(CAST(doc_id AS BIGINT), " +
+           s"${dataprep.Sampling.ShuffleSalt}) AS BIGINT) AS uid FROM documents")}
+          SELECT doc_id, source, h63 AS shuffle_key FROM mh
+          ORDER BY shuffle_key ASC, doc_id ASC""",
 
     // dp_chunk's chunk CTE, keyed doc_id*1000+chunk_id, then the same
     // exclusive-prefix shard rule as dp_pack.

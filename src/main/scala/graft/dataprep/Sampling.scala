@@ -38,6 +38,31 @@ object Sampling {
     * of the box. */
   val WeightedMixSalt: Long = 0x6D69785F73616C74L
 
+  /** Default salt for [[deterministicShuffle]] ("shuffle1" in ASCII):
+    * its own hash stream, decorrelated from split and mix. Vary the
+    * salt per epoch for a fresh-but-reproducible order each epoch. */
+  val ShuffleSalt: Long = 0x73687566666C6531L
+
+  /** Deterministic global shuffle: a reproducible total order over the
+    * corpus (ORDER BY the salted hash priority of the uid, uid as the
+    * collision tiebreak) — the "shuffle the dataset identically on
+    * every run and engine" step before sharding a training export.
+    * Unlike `orderBy(rand())` the order survives retries, re-runs and
+    * engine changes, and unlike a stored permutation it needs no
+    * state.
+    *
+    * Scale: one range-exchange sort on an incompressible key — the
+    * one unavoidable full shuffle of an export pipeline; feed the
+    * result straight to [[Packing.packShards]] keyed on `shuffle_key`.
+    */
+  def deterministicShuffle(df: DataFrame, uidCol: String,
+      salt: Long = ShuffleSalt): DataFrame = {
+    requireIntegralUid(df, uidCol)
+    require(!df.columns.contains("shuffle_key"), "column 'shuffle_key' already exists")
+    df.withColumn("shuffle_key", priority63(col(uidCol).cast("long"), salt))
+      .orderBy(col("shuffle_key").asc, col(uidCol).asc)
+  }
+
   /** The mix64 priority domain is the raw 64-bit integer value of the
     * uid; a non-integral uid (e.g. a string doc id) would cast to NULL
     * for every row, collapsing all priorities to mix64(0) — split()

@@ -72,4 +72,17 @@ class SamplingSpec extends SparkSpec {
     assert(s.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
       s2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("deterministicShuffle: a permutation, stable across partitionings, salt-sensitive") {
+    val a = Sampling.deterministicShuffle(df, "id")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a.toSet == (0L until 1000L).toSet) // permutation, nothing lost
+    assert(a != (0L until 1000L).toSeq)       // actually shuffled
+    val b = Sampling.deterministicShuffle(df.repartition(17), "id")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b) // identical order regardless of physical layout
+    val c = Sampling.deterministicShuffle(df, "id", salt = 42L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a != c) // a different epoch salt is a different order
+  }
 }
