@@ -268,6 +268,33 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- TPC-H Q5 proper: 6-table join, region + order-year slice.
+    //      Dimension chain (region→nation) and supplier broadcast; the
+    //      two fact sides (lineitem ⋈ filtered orders, then customer)
+    //      stay shuffle joins — at 100 TB neither fits an executor, and
+    //      AQE upgrades them to broadcast at small SF on its own. ----
+    "tpch_q5" -> ((s, dir) => {
+      val nat = TestTables.nation(s, dir).join(
+        broadcast(TestTables.region(s, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      val ord = TestTables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      TestTables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(TestTables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(TestTables.customer(s, dir),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name").asc)
+    }),
+
     // ---- TPC-H Q5-style multi-join revenue rollup ----
     "tpch_revenue_by_nation" -> ((s, dir) => {
       val li = TestTables.lineitem(s, dir)
@@ -1029,6 +1056,21 @@ object SparkEntry {
           AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""",
+
+    "tpch_q5" ->
+      """SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name ASC""",
 
     "tpch_revenue_by_nation" ->
       """SELECT n_name,
