@@ -126,7 +126,11 @@ object Bench {
       s""","ingest":{"docs":$n,"sec":${f3(cold)},"docs_per_sec":${(n / cold).toLong}""" +
         s""","warm_sec":${f3(warm)},"warm_docs_per_sec":${(n / warm).toLong}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$baseline$ingest,"sf":"$sfDir"}""")
+    // the driver keeps only a bounded TAIL of stdout: with this many
+    // queries the line's head (metric/value) can fall outside it, so
+    // the headline numbers are REPEATED at the end of the line where
+    // the tail always preserves them
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$baseline$ingest,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
     spark.stop()
   }
 }
