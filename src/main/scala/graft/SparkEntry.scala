@@ -234,7 +234,7 @@ object SparkEntry {
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_base_cents"),
           sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")).as("sum_disc_e4"),
-          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)")).as("sum_charge_e6"),
+          sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)")).as("sum_charge_e6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -678,7 +678,7 @@ object SparkEntry {
          SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv
          FROM (SELECT cell, d, sum(xi) AS s, count(*) AS n
                FROM (SELECT cell, CAST(generate_subscripts(v, 1) AS INT) AS d,
-                            CAST(round(unnest(v) * 1000000) AS BIGINT) AS xi
+                            CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xi
                      FROM $asgName)
                GROUP BY cell, d)
          GROUP BY cell)"""
@@ -706,7 +706,7 @@ object SparkEntry {
          FROM cand)""")
     s"""WITH ${ctes.mkString(",\n")}
        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-              CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+              CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
        FROM r WHERE rn <= $k ORDER BY query_id, rank"""
   }
 
@@ -788,7 +788,7 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
             FROM cand)
           SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-                 CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+                 CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
           FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 
     "dp_dedup_simhash" ->
@@ -1038,7 +1038,7 @@ object SparkEntry {
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1288,7 +1288,7 @@ object SparkEntry {
 
     "dp_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS dot_e6
+               CAST(floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS dot_e6
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
@@ -1308,7 +1308,7 @@ object SparkEntry {
            FROM scored
          )
          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+                CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 
     // Hybrid search: the metadata predicate restricts the corpus side
@@ -1328,7 +1328,7 @@ object SparkEntry {
            FROM scored
          )
          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-                CAST(round(d * 1000000) AS BIGINT) AS dot_e6
+                CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 
     // Integer micro-unit sums per (label, dimension); the mean is one
@@ -1340,8 +1340,8 @@ object SparkEntry {
                   unnest(CAST(embedding AS DOUBLE[])) AS v
            FROM embeddings)
          SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
-                sum(CAST(round(v * 1000000) AS BIGINT)) AS sum_e6,
-                CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+                sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS sum_e6,
+                CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS mean_e6
          FROM u GROUP BY grp, dim ORDER BY grp, dim""",
 

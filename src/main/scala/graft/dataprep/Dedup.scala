@@ -78,10 +78,11 @@ object Dedup {
       .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
     val right = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"), col("bkt"))
     probes
-      // the bucketed side is one row per doc (hash arrays only) — small
-      // enough to broadcast at any bucket granularity; avoids shuffling
-      // the exploded probe side
-      .join(broadcast(right), col("probe") === col("bkt") && col("id_a") < col("id_b"))
+      // equi-join on the bucket key — shuffles on bkt at corpus scale
+      // (a forced broadcast of every doc's hash arrays would OOM once
+      // the corpus outgrows executor memory); AQE still converts to a
+      // runtime broadcast when the bucketed side is actually small
+      .join(right, col("probe") === col("bkt") && col("id_a") < col("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxLenDiff)
       // necessary condition evaluated before the intersect kernel:
       // J = i/(|A|+|B|-i) <= min/max, so a pair whose set sizes are too
@@ -198,7 +199,11 @@ object Dedup {
   /** Near-dup pairs of a NEW batch against the indexed corpus — the
     * incremental companion of [[minhashLshPairs]] (same banding, same
     * exact verification, so a pair is reported iff the full-corpus run
-    * would report it as a cross pair). The batch side is broadcast:
+    * would report it as a cross pair — "iff" is relative to the LSH
+    * run, NOT to brute force: at 128 hashes / 32 bands recall for
+    * pairs barely above the Jaccard threshold is ~0.87, so agreement
+    * with an all-pairs oracle additionally assumes the corpus's true
+    * dups are near-identical, where banding recall ≈ 1). The batch side is broadcast:
     * the candidate probe is ONE pass over the band index with no
     * shuffle of the corpus, and verification joins shingles only for
     * the candidate ids. Output: new_id, old_id, inter_cnt, union_cnt.
@@ -269,7 +274,10 @@ object Dedup {
     val firstShared = (0 until 4).foldRight(lit(-1): Column) { (b, acc) =>
       when(bandSlice(col("sim_a"), b) === bandSlice(col("sim_b"), b), lit(b)).otherwise(acc)
     }
-    left.join(broadcast(right), Seq("key")).where(col("id_a") < col("id_b"))
+    // equi-join on the numeric band key — shuffles on key at corpus
+    // scale (the banded side is 4 rows/doc; forcing a broadcast dies at
+    // 10^9 docs); AQE broadcasts at runtime when it is actually small
+    left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
       .where(call_function("shiftright", col("key"), lit(16)) === firstShared)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
@@ -366,20 +374,66 @@ object Dedup {
       .select(col("id").as(idCol)), Seq(idCol))
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with
-    * dot(a, b) >= threshold. The smaller side is broadcast (embeddings
-    * are compact), so this runs as a broadcast nested-loop join with
-    * no shuffle; at very large n switch to [[Similarity.lshBuckets]]
-    * pre-bucketing. Output: id_a, id_b, dot_e6 (dot scaled to integer
-    * micro-units for float-stable comparison).
+    * dot(a, b) >= threshold. Output: id_a, id_b, dot_e6 (dot scaled to
+    * integer micro-units for float-stable comparison).
+    *
+    * Two plans behind one call, switched on corpus size:
+    *  - n <= bruteForceMax: exact O(n²) — broadcast nested-loop, no
+    *    shuffle, every qualifying pair reported.
+    *  - n > bruteForceMax: banded random-hyperplane LSH. A 32-bit
+    *    [[Similarity.lshBuckets]] signature splits into 4 bands of
+    *    8 bits; candidates = pairs sharing at least one band (an
+    *    equi-join shuffled on the band key — no broadcast, no nested
+    *    loop), deduped map-side by first-shared-band, then verified
+    *    with the exact dot product. Any pair within 3 signature bits is
+    *    a guaranteed candidate (pigeonhole); beyond that recall is
+    *    probabilistic and rises with similarity — per band
+    *    P = (1−θ/π)^8, over 4 bands recall = 1−(1−P)^4 (≈0.97 at
+    *    cos θ = 0.95). The exact path below the cutover is what the
+    *    brute-force oracle checks; the LSH path trades bounded recall
+    *    for O(candidates) cost, the only shape that survives 10^9 docs.
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
-      .where(col("dot") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
-      .orderBy("id_a", "id_b")
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bruteForceMax: Long = 10000L): DataFrame = {
+    val pts = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    if (pts.count() <= bruteForceMax) {
+      val a = pts.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = pts.select(col("id").as("id_b"), col("v").as("v_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
+        .where(col("dot") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
+        .orderBy("id_a", "id_b")
+    } else {
+      val s = spread(pts)
+        .withColumn("sig", Similarity.lshBuckets(col("v"), 32))
+        .persist() // signature is a 32-projection pass — compute once
+      def slice(sig: Column, b: Column): Column =
+        call_function("shiftright", sig, b * 8).bitwiseAND(lit(0xFFL))
+      val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
+        .withColumn("key", shiftleft(col("band").cast("long"), 32)
+          .bitwiseOR(slice(col("sig"), col("band"))))
+      // narrow band join: (id, sig, key) only — vectors attach after
+      // the candidate pairs are deduped, one array copy per pair
+      val left = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("key"))
+      val right = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("key"))
+      // a pair sharing k bands appears under k keys — keep it only
+      // under its FIRST shared band, computable map-side from the two
+      // signatures already on the row (zero-shuffle dedup, as in
+      // [[simhashPairs]])
+      val firstShared = (0 until 4).foldRight(lit(-1): Column) { (b, acc) =>
+        when(slice(col("sig_a"), lit(b)) === slice(col("sig_b"), lit(b)), lit(b)).otherwise(acc)
+      }
+      left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
+        .where(call_function("shiftright", col("key"), lit(32)) === firstShared)
+        .join(s.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(s.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
+        .where(col("dot") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
+        .orderBy("id_a", "id_b")
+    }
   }
 }

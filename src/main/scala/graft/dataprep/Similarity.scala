@@ -58,7 +58,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
       .orderBy("query_id", "rank")
   }
 
@@ -139,7 +139,7 @@ object Similarity {
       // stage to assemble what a local groupBy does for free.
       val rows = assignCells(points, cent)
         .select(col("cell"), posexplode(col("v")))
-        .withColumn("xi", expr("CAST(round(col * 1000000) AS BIGINT)"))
+        .withColumn("xi", expr("CAST(floor(col * 1000000 + 0.5) AS BIGINT)"))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -183,7 +183,7 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
       .orderBy("query_id", "rank")
   }
 
@@ -251,7 +251,7 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
       .orderBy("query_id", "rank")
   }
 
@@ -285,7 +285,7 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        expr("CAST(round(dot * 1000000) AS BIGINT)").as("dot_e6"))
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
       .orderBy("query_id", "rank")
   }
 
@@ -306,7 +306,11 @@ object Similarity {
     df.select(col(groupCol).as("grp"),
         posexplode(col(vecCol).cast("array<double>")))
       .select(col("grp"), col("pos").cast("long").as("dim"),
-        expr("CAST(round(col * 1000000) AS BIGINT)").as("v_e6"))
+        // floor(v*1e6 + 0.5), not round(): Spark's round on DOUBLE detours
+        // through BigDecimal.valueOf (shortest-decimal re-read) while other
+        // engines round the exact binary value, so values near a .5 boundary
+        // disagree by 1 unit. floor(+0.5) is pure IEEE and engine-portable.
+        expr("CAST(floor(col * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
       .groupBy("grp", "dim")
       .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
       .withColumn("mean_e6",

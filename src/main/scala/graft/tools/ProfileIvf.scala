@@ -43,7 +43,7 @@ object ProfileIvf {
             graft.functions.VectorExpressions.nearestCells(col("v"), cent)
               .getItem(0).as("cell"))
           .select(col("cell"), posexplode(col("v")))
-          .withColumn("xi", expr("CAST(round(col * 1000000) AS BIGINT)"))
+          .withColumn("xi", expr("CAST(floor(col * 1000000 + 0.5) AS BIGINT)"))
           .groupBy(col("cell"), col("pos"))
           .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
           .collect()
