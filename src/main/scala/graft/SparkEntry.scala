@@ -162,6 +162,15 @@ object SparkEntry {
         AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
           groupBy = Some("event_type")))),
 
+    // ---- A4 auto-route forced onto the sketch plan: cap far below
+    // the sf0.01 per-type bucket sizes, so this exercises the
+    // above-threshold branch (no per-group window sort in the plan;
+    // QuantileRouteSpec asserts it) ----
+    "seq_agg_quantile_auto" -> ((s, dir) =>
+      ev(s, dir).aggregateQuantileAuto("*", T0, T31,
+        AggRequest(AggFunc.Quantile(Seq(0.5, 0.9, 0.99)), field = "value",
+          groupBy = Some("event_type")), cap = 256L)),
+
     // ---- A5 time-series bins ----
     "seq_agg_timeseries_day" -> ((s, dir) =>
       ev(s, dir).aggregate("*", T0, T31,
@@ -738,6 +747,50 @@ object SparkEntry {
        ${p}mh AS (SELECT *, CAST(${p}u5 // 2 AS BIGINT) AS ${p}h63 FROM ${p}m5)"""
   }
 
+  /** Sketch-replay quantile oracle — the UNIVERSAL form, exact at any
+    * scale factor: the bottom-k sketch is deterministic BY CONSTRUCTION
+    * (priority = splitmix64(mix64(mid) XOR rid), keep the ReservoirCap
+    * smallest (prio, value) pairs), so the oracle replays the very same
+    * sample selection. Below the cap the selection keeps every row, so
+    * this also equals the exact window-rank definition — which is why
+    * the auto-routed engine path (exact below cap, sketch above) is
+    * checkable by this ONE query regardless of which plan it picked.
+    */
+  private lazy val quantileSketchReplaySql: String = {
+    val cap = graft.functions.SeqAggregates.ReservoirCap
+    def signed(u: String) =
+      s"""CAST($u - CASE WHEN $u >= 9223372036854775808
+           THEN 18446744073709551616 ELSE 0 END AS BIGINT)"""
+    // uid = mix64(mid) XOR rid (two chained mix64 stages): XOR of the
+    // raw ids alone degenerates when mid == rid (uid = 0 for every
+    // row), so the engine pre-scrambles mid — mirrored here chain A
+    // (mix64 of mid) then chain B (DetSamplesAgg's own mix64 of uid)
+    s"""WITH ${mix64Ctes(
+          s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
+                     event_id AS rid, $M AS uid FROM events
+              WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""", "a")},
+        ${mix64Ctes(
+          s"""SELECT name, value, xor(${signed("au5")}, rid) AS uid FROM amh""", "b")},
+        pr AS (
+          SELECT name, value, ${signed("bu5")} AS prio FROM bmh
+        ), sel AS (
+          SELECT name, value,
+                 row_number() OVER (PARTITION BY name ORDER BY prio ASC, value ASC) AS k
+          FROM pr
+        ), samp AS (
+          SELECT name, value FROM sel WHERE k <= $cap
+        ), r AS (
+          SELECT name, value,
+                 row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
+                 count(*) OVER (PARTITION BY name) AS n
+          FROM samp
+        )
+        SELECT name, q, value FROM r
+        JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+          ON rn = CAST(round(q * (n - 1)) AS BIGINT)
+        ORDER BY name ASC, q ASC"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dp_split" -> {
       val ts = dataprep.Sampling.thresholds(dataprep.Sampling.DefaultWeights)
@@ -920,62 +973,15 @@ object SparkEntry {
           FROM events WHERE $M BETWEEN $T0 AND $T31
           GROUP BY 1 ORDER BY name ASC""",
 
-    "seq_agg_quantile" ->
-      s"""WITH m AS (
-            SELECT coalesce(event_type, '_not_exists') AS name, value FROM events
-            WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL
-          ), r AS (
-            SELECT name, value,
-                   row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
-                   count(*) OVER (PARTITION BY name) AS n
-            FROM m
-          )
-          SELECT name, q, value FROM r
-          JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
-            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
-          ORDER BY name ASC, q ASC""",
+    // auto-routed: exact plan below cap, sketch above — the replay
+    // oracle covers both (see quantileSketchReplaySql)
+    "seq_agg_quantile" -> quantileSketchReplaySql,
 
-    // below the sample cap the bottom-k sketch's sample is complete,
-    // so the exact window-rank oracle applies verbatim
-    // The bottom-k sketch is deterministic BY CONSTRUCTION (priority =
-    // splitmix64(mid XOR rid), keep the ReservoirCap smallest (prio,
-    // value) pairs) — so the oracle replays the very same sample
-    // selection instead of assuming the sample is complete. Exact at
-    // ANY scale factor, above or below the cap.
-    "seq_agg_quantile_sketch" -> {
-      val cap = graft.functions.SeqAggregates.ReservoirCap
-      def signed(u: String) =
-        s"""CAST($u - CASE WHEN $u >= 9223372036854775808
-             THEN 18446744073709551616 ELSE 0 END AS BIGINT)"""
-      // uid = mix64(mid) XOR rid (two chained mix64 stages): XOR of the
-      // raw ids alone degenerates when mid == rid (uid = 0 for every
-      // row), so the engine pre-scrambles mid — mirrored here chain A
-      // (mix64 of mid) then chain B (DetSamplesAgg's own mix64 of uid)
-      s"""WITH ${mix64Ctes(
-            s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
-                       event_id AS rid, $M AS uid FROM events
-                WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""", "a")},
-          ${mix64Ctes(
-            s"""SELECT name, value, xor(${signed("au5")}, rid) AS uid FROM amh""", "b")},
-          pr AS (
-            SELECT name, value, ${signed("bu5")} AS prio FROM bmh
-          ), sel AS (
-            SELECT name, value,
-                   row_number() OVER (PARTITION BY name ORDER BY prio ASC, value ASC) AS k
-            FROM pr
-          ), samp AS (
-            SELECT name, value FROM sel WHERE k <= $cap
-          ), r AS (
-            SELECT name, value,
-                   row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
-                   count(*) OVER (PARTITION BY name) AS n
-            FROM samp
-          )
-          SELECT name, q, value FROM r
-          JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
-            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
-          ORDER BY name ASC, q ASC"""
-    },
+    "seq_agg_quantile_sketch" -> quantileSketchReplaySql,
+
+    // routing cap forced below the sf0.01 bucket sizes → the sketch
+    // plan runs here, same replay oracle
+    "seq_agg_quantile_auto" -> quantileSketchReplaySql,
 
     "seq_agg_timeseries_day" ->
       s"""SELECT $M - $M % 86400000 AS bucket_ms,

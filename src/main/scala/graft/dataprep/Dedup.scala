@@ -176,23 +176,34 @@ object Dedup {
     * `mode = "append"` — both file sets are append-safe (stats stay
     * per-file).
     */
+  /** `partition`: optional `key=value` subdirectory BOTH file sets are
+    * written under (e.g. `batch=7`) — readers discover it as a
+    * partition column; a replayed writer with mode "overwrite"
+    * replaces its own partition instead of double-appending, which is
+    * what makes streaming index maintenance idempotent.
+    */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, indexPath: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", partition: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val sub = partition.map("/" + _).getOrElse("")
     val withSh = df.select(col(idCol).as("id"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
       .persist()
+    // shingles BEFORE bands: a crash between the two writes then leaves
+    // docs without band keys (merely unfindable — same as never
+    // indexed), never band keys without shingles (whose verification
+    // join would silently drop candidates)
+    withSh
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(mode).parquet(s"$indexPath/shingles$sub")
     withSh
       .select(col("id"), explode(graft.functions.VectorExpressions.minhashBandKeys(
         col("sh"), numHashes, bands)).as("bk"))
       .repartitionByRange(col("bk"))
       .sortWithinPartitions(col("bk"))
-      .write.mode(mode).parquet(s"$indexPath/bands")
-    withSh
-      .repartitionByRange(col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.mode(mode).parquet(s"$indexPath/shingles")
+      .write.mode(mode).parquet(s"$indexPath/bands$sub")
     withSh.unpersist()
   }
 

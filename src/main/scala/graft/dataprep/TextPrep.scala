@@ -53,9 +53,12 @@ object TextPrep {
     * chunk count and boundaries are integer arithmetic on the token
     * count only.
     *
-    * Scale: one narrow pass — tokenize, explode over the computed
-    * chunk index range, slice. No shuffle at all (the explode is
-    * map-side); downstream repartitioning decides chunk placement.
+    * Scale: the chunking itself is one narrow pass — tokenize, explode
+    * over the computed chunk index range, slice — all map-side. The
+    * final orderBy is a global range-exchange sort, present only for
+    * the gate's row-order-sensitive compare; a pipeline consumer that
+    * doesn't need totally-ordered output should slice it off (or
+    * repartition afterwards, which supersedes it anyway).
     */
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {

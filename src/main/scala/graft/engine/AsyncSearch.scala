@@ -101,27 +101,56 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
   private def chunkDir(id: String, startMs: Long) = s"${idDir(id)}/chunk=$startMs"
   private def marker(id: String, startMs: Long) =
     Paths.get(s"${idDir(id)}/.done_$startMs")
+  private def cancelMarker(id: String) = Paths.get(s"${idDir(id)}/.canceled")
 
   def chunkStarts(fromMs: Long, toMs: Long, chunkMs: Long): Seq[Long] =
     (fromMs / chunkMs * chunkMs) to toMs by chunkMs
 
   /** Run (or resume) search `id`: skips chunks whose done-marker
-    * exists, processes the rest newest-first. Blocking variant —
-    * submit via [[startAsync]] for fire-and-forget. */
+    * exists, processes the rest newest-first, stops between chunks
+    * when [[cancel]] has marked the id (already-persisted partials
+    * stay fetchable, matching CancelAsyncSearch semantics). Blocking
+    * variant — submit via [[startAsync]] for fire-and-forget. */
   def run(id: String, engine: SeqEngine, query: String,
       fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit = {
     Files.createDirectories(Paths.get(idDir(id)))
-    val todo = chunkStarts(fromMs, toMs, chunkMs).reverse
-      .filterNot(s => Files.exists(marker(id, s)))
-    todo.foreach { start =>
-      val lo = math.max(start, fromMs)
-      val hi = math.min(start + chunkMs - 1, toMs)
-      engine.matches(query, lo, hi)
-        .write.mode("overwrite").parquet(chunkDir(id, start))
-      Files.writeString(marker(id, start), "done")
-    }
-    Files.writeString(Paths.get(s"${idDir(id)}/.complete"), "done")
+    val spark = engine.table.df.sparkSession
+    spark.sparkContext.setJobGroup(s"async-$id", s"async search $id",
+      interruptOnCancel = true)
+    try {
+      val todo = chunkStarts(fromMs, toMs, chunkMs).reverse
+        .filterNot(s => Files.exists(marker(id, s)))
+      todo.foreach { start =>
+        if (!isCanceled(id)) {
+          val lo = math.max(start, fromMs)
+          val hi = math.min(start + chunkMs - 1, toMs)
+          engine.matches(query, lo, hi)
+            .write.mode("overwrite").parquet(chunkDir(id, start))
+          Files.writeString(marker(id, start), "done")
+        }
+      }
+      if (!isCanceled(id))
+        Files.writeString(Paths.get(s"${idDir(id)}/.complete"), "done")
+    } catch {
+      // a canceled job group surfaces as SparkException in-flight —
+      // swallow it only for canceled ids, the partials are still valid
+      case _: Throwable if isCanceled(id) => ()
+    } finally spark.sparkContext.clearJobGroup()
   }
+
+  /** Cancel `id`: no-op (false) when already complete; otherwise marks
+    * the id (the run loop stops between chunks), kills its in-flight
+    * Spark stages via the job group, and returns true. Persisted
+    * partial chunks remain fetchable. */
+  def cancel(id: String, spark: SparkSession): Boolean = {
+    if (isComplete(id)) return false
+    Files.createDirectories(Paths.get(idDir(id)))
+    Files.writeString(cancelMarker(id), "canceled")
+    spark.sparkContext.cancelJobGroup(s"async-$id")
+    true
+  }
+
+  def isCanceled(id: String): Boolean = Files.exists(cancelMarker(id))
 
   def startAsync(id: String, engine: SeqEngine, query: String,
       fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit =

@@ -176,7 +176,13 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     * others → (value desc, name asc); all after bucket_ms asc.
     */
   def aggregate(query: String, fromMs: Long, toMs: Long, agg: AggRequest): DataFrame =
-    aggregateOver(matches(query, fromMs, toMs), agg)
+    agg.func match {
+      // quantiles route on bucket size (see [[aggregateQuantileAuto]]):
+      // the exact window plan is skew-fragile at scale, the sketch is
+      // identical to it below the cap and bounded-memory above
+      case AggFunc.Quantile(_) => aggregateQuantileAuto(query, fromMs, toMs, agg)
+      case _ => aggregateOver(matches(query, fromMs, toMs), agg)
+    }
 
   /** Aggregation over an already-filtered match set (shared by
     * [[aggregate]] and [[complexSearch]]). */
@@ -280,6 +286,64 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     }
   }
 
+  /** The (b, n, v, u) quantile input frame shared by the sketch path
+    * and the auto-route probe: bucket key, group name, double value,
+    * and the row identity feeding the sample priority. The identity is
+    * mix64(mid) XOR rid — SQL-replayable (unlike Spark-private
+    * xxhash64) yet non-degenerate for tables where mid == rid (a raw
+    * mid XOR rid would be 0 on every row there, collapsing the sample
+    * to the smallest values); DetSamplesAgg applies its own mix64 on
+    * top. Text-field group_by groups per TOKEN, exactly like
+    * [[aggregateOver]].
+    */
+  private def quantileFrame(query: String, fromMs: Long, toMs: Long,
+      agg: AggRequest): DataFrame = {
+    val m0 = matches(query, fromMs, toMs)
+    val hasBucket = agg.intervalMs > 0
+    val (m, nameC): (DataFrame, Column) = agg.groupBy match {
+      case Some(g) if table.mapping.isIndexed(g) &&
+          table.mapping.typeOf(g) == graft.model.IndexType.Text =>
+        val toks = table.tokensCol(g)
+        (m0.withColumn("__gname", explode_outer(when(size(toks) > 0, toks))),
+          coalesce(col("__gname"), lit("_not_exists")))
+      case Some(g) =>
+        (m0, coalesce(table.fieldCol(g).cast(StringType), lit("_not_exists")))
+      case None => (m0, lit(""))
+    }
+    val v = table.fieldType(agg.field) match {
+      case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) =>
+        table.fieldCol(agg.field).cast(DoubleType)
+      case _ => table.fieldCol(agg.field).try_cast(DoubleType)
+    }
+    val bucket = if (hasBucket) mid - mid % lit(agg.intervalMs) else lit(0L)
+    m.select(bucket.as("b"), nameC.as("n"), v.as("v"),
+      graft.functions.VectorExpressions.mix64(mid).bitwiseXOR(rid).as("u"))
+  }
+
+  /** Auto-routed quantiles — what [[aggregate]] dispatches to: the
+    * exact window-rank path only when every bucket's value count fits
+    * the sketch cap (where the two paths return IDENTICAL rows, the
+    * bottom-k sample being complete), the deterministic sketch above
+    * it. The exact plan puts each group on one task
+    * (`row_number().over(partitionBy(name))`) — fine for small
+    * buckets, a single-task sort per group once buckets reach cluster
+    * scale, which is exactly when the sketch's O(cap)-state
+    * partial-merge aggregation is the right plan. The probe is one
+    * partial-aggregated count scan — orders of magnitude cheaper than
+    * the window sort it decides about.
+    */
+  def aggregateQuantileAuto(query: String, fromMs: Long, toMs: Long,
+      agg: AggRequest,
+      cap: Long = graft.functions.SeqAggregates.ReservoirCap.toLong): DataFrame = {
+    val maxBucket = quantileFrame(query, fromMs, toMs, agg)
+      .where(col("v").isNotNull)
+      .groupBy(col("b"), col("n")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()(0)
+    val maxN = if (maxBucket.isNullAt(0)) 0L else maxBucket.getLong(0)
+    if (maxN <= cap) aggregateOver(matches(query, fromMs, toMs), agg)
+    else aggregateQuantileSketch(query, fromMs, toMs, agg)
+  }
+
   /** Quantiles via the deterministic bottom-k sketch
     * (graft.functions.SeqAggregates.DetSamplesAgg) — the at-scale path:
     * memory per bucket is bounded by the sample cap no matter the
@@ -296,36 +360,11 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       case AggFunc.Quantile(x) => x
       case other => throw new SeqQlError(s"quantile sketch called with $other")
     }
-    val m0 = matches(query, fromMs, toMs)
-    val hasBucket = agg.intervalMs > 0
-    // text-field group_by groups per TOKEN, exactly like [[aggregateOver]]
-    val (m, nameC): (DataFrame, Column) = agg.groupBy match {
-      case Some(g) if table.mapping.isIndexed(g) &&
-          table.mapping.typeOf(g) == graft.model.IndexType.Text =>
-        val toks = table.tokensCol(g)
-        (m0.withColumn("__gname", explode_outer(when(size(toks) > 0, toks))),
-          coalesce(col("__gname"), lit("_not_exists")))
-      case Some(g) =>
-        (m0, coalesce(table.fieldCol(g).cast(StringType), lit("_not_exists")))
-      case None => (m0, lit(""))
-    }
-    val v = (table.fieldType(agg.field) match {
-      case Some(DoubleType) | Some(FloatType) | Some(LongType) | Some(IntegerType) =>
-        table.fieldCol(agg.field).cast(DoubleType)
-      case _ => table.fieldCol(agg.field).try_cast(DoubleType)
-    })
-    val bucket = if (hasBucket) mid - mid % lit(agg.intervalMs) else lit(0L)
     val spark = table.df.sparkSession
     import spark.implicits._
     import graft.functions.SeqAggregates
-    // row identity for the sample priority: mix64(mid) XOR rid — SQL-
-    // replayable (unlike Spark-private xxhash64) yet non-degenerate for
-    // tables where mid == rid (a raw mid XOR rid would be 0 on every
-    // row there, collapsing the sample to the smallest values);
-    // DetSamplesAgg applies its own mix64 on top
-    val ds = m.select(
-        bucket.as("b"), nameC.as("n"), v.as("v"),
-        graft.functions.VectorExpressions.mix64(mid).bitwiseXOR(rid).as("u"))
+    val hasBucket = agg.intervalMs > 0
+    val ds = quantileFrame(query, fromMs, toMs, agg)
       .as[(Long, String, Option[Double], Long)]
     val agged = ds.groupByKey(t => (t._1, t._2))
       .mapValues(t => SeqAggregates.DetIn(t._3, t._4))

@@ -31,6 +31,43 @@ object TieredDocs {
     DocsTable(hot.unionByName(cold, allowMissingColumns = true), mapping)
   }
 
+  /** A tiered table with the degraded-answer contract: `partial` is
+    * true when a tier could not be attached and the results therefore
+    * under-approximate the full corpus — the reference's
+    * ErrPartialResponse (proxy/search/ingestor.go:88-112: shard
+    * failures yield partial results plus an error flag, they do not
+    * fail the query). `degraded` names each unavailable tier with its
+    * cause, for the response's error detail.
+    */
+  final case class TieredTable(
+      table: DocsTable, partial: Boolean, degraded: Seq[String])
+
+  /** [[table]] with per-tier fallback: an unreadable COLD tier (object
+    * store outage, deleted prefix) degrades to hot-only + partial
+    * instead of failing — recent data keeps answering, which is the
+    * operational contract tiering exists for. An unreadable HOT tier
+    * still fails the build: serving cold-only as if current would be
+    * silently wrong in the opposite (dangerous) direction.
+    */
+  def tableWithFallback(
+      spark: SparkSession,
+      hotPath: String,
+      coldPath: String,
+      boundaryMs: Long,
+      mapping: SeqMapping): TieredTable = {
+    val hot = spark.read.parquet(hotPath).where(col("mid") >= boundaryMs)
+    try {
+      val cold = spark.read.parquet(coldPath).where(col("mid") < boundaryMs)
+      TieredTable(
+        DocsTable(hot.unionByName(cold, allowMissingColumns = true), mapping),
+        partial = false, degraded = Nil)
+    } catch {
+      case e: Exception =>
+        TieredTable(DocsTable(hot, mapping), partial = true,
+          degraded = Seq(s"cold:$coldPath: ${e.getMessage}"))
+    }
+  }
+
   /** Migration job: move closed days older than `boundaryMs` from hot
     * to cold (rewrite day partitions, then drop them from hot).
     */

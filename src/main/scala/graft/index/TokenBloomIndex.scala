@@ -91,6 +91,40 @@ object TokenBloomIndex {
   private def sidecarPath(tablePath: String, field: String): String =
     s"$tablePath/_bloom/field=$field"
 
+  private final case class SidecarRow(
+      file: String, bits: Array[Long], numBits: Int, numHashes: Int)
+
+  /** Driver-side sidecar cache. The sidecar is planner metadata (KBs
+    * per file per field) — a serving deployment keeps it resident like
+    * any other index metadata instead of paying a Spark job per query
+    * to re-read it. Keyed by sidecar path; invalidated by a directory
+    * signature (file count + per-file length/mtime via the Hadoop FS
+    * API, so appends from [[update]] and rebuilds are picked up).
+    */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[SidecarRow])]()
+
+  private def sidecarRows(spark: SparkSession, sc: String): Option[Array[SidecarRow]] = {
+    val p = new org.apache.hadoop.fs.Path(sc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = try {
+      if (!fs.exists(p)) return None
+      fs.listStatus(p).foldLeft(17L)((a, s) =>
+        a * 1000003L + s.getPath.getName.hashCode.toLong * 31L +
+          s.getLen * 7L + s.getModificationTime)
+    } catch { case _: Exception => return None }
+    val cached = sidecarCache.get(sc)
+    if (cached != null && cached._1 == sig) return Some(cached._2)
+    val rows = try {
+      spark.read.parquet(sc)
+        .select("file", "bits", "num_bits", "num_hashes").collect()
+        .map(r => SidecarRow(r.getString(0), r.getSeq[Long](1).toArray,
+          r.getInt(2), r.getInt(3)))
+    } catch { case _: Exception => return None }
+    sidecarCache.put(sc, (sig, rows))
+    Some(rows)
+  }
+
   /** One distributed pass per field: explode the field's token stream,
     * OR per-token bit positions into a per-file bitset.
     */
@@ -213,18 +247,12 @@ object TokenBloomIndex {
     var anySidecar = false
     for ((field, tokens) <- required) {
       val sc = sidecarPath(tablePath, field)
-      val rowsOpt = try {
-        Some(spark.read.parquet(sc)
-          .select("file", "bits", "num_bits", "num_hashes").collect())
-      } catch { case _: Exception => None }
-      for (rows <- rowsOpt) {
+      for (rows <- sidecarRows(spark, sc)) {
         anySidecar = true
         val pass = rows.filter { r =>
-          val bits = r.getSeq[Long](1).toArray
-          val m = r.getInt(2); val k = r.getInt(3)
-          tokens.forall(t => maybeContains(bits, m, k, t))
-        }.map(_.getString(0)).toSet
-        val covered = rows.map(_.getString(0)).toSet
+          tokens.forall(t => maybeContains(r.bits, r.numBits, r.numHashes, t))
+        }.map(_.file).toSet
+        val covered = rows.map(_.file).toSet
         // a file may be pruned only when EVERY consulted sidecar has
         // examined it AND some test failed — so coverage intersects
         // (a file one sidecar never saw must stay "unknown" → kept)
@@ -250,17 +278,14 @@ object TokenBloomIndex {
   def candidateFilesAny(spark: SparkSession, tablePath: String,
       field: String, tokens: Seq[String]): Option[Seq[String]] = {
     if (tokens.isEmpty) return None
-    val rowsOpt = try {
-      Some(spark.read.parquet(sidecarPath(tablePath, field))
-        .select("file", "bits", "num_bits", "num_hashes").collect())
-    } catch { case _: Exception => return None }
-    val rows = rowsOpt.get
+    val rows = sidecarRows(spark, sidecarPath(tablePath, field)) match {
+      case Some(r) => r
+      case None    => return None
+    }
     val pass = rows.filter { r =>
-      val bits = r.getSeq[Long](1).toArray
-      val m = r.getInt(2); val k = r.getInt(3)
-      tokens.exists(t => maybeContains(bits, m, k, t))
-    }.map(_.getString(0)).toSet
-    val covered = rows.map(_.getString(0)).toSet
+      tokens.exists(t => maybeContains(r.bits, r.numBits, r.numHashes, t))
+    }.map(_.file).toSet
+    val covered = rows.map(_.file).toSet
     val allFiles = spark.read.parquet(tablePath).inputFiles.toSeq
     Some((allFiles.filter(pass.contains) ++ allFiles.filterNot(covered.contains)).sorted)
   }

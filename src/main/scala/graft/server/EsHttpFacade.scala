@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.engine.{AggFunc, AggRequest, DocsTable, SearchRequest, SeqEngine}
+import graft.engine.{AggFunc, AggRequest, ChunkedAsyncSearcher, DocsTable, SearchRequest, SeqEngine}
 import graft.ingest.BulkIngest
 import graft.model.SeqMapping
 
@@ -57,6 +57,12 @@ final class EsHttpFacade(
   /** Docs table over everything ingested so far. */
   def table: DocsTable = DocsTable(spark.read.parquet(sinkDir), mapping)
 
+  /** Async-search state: persisted partial chunks under the sink's
+    * `_async` prefix (underscore → invisible to the table reader), so
+    * results survive facade restarts exactly like the reference's
+    * persisted per-fraction QPRs (fracmanager/async_searcher.go). */
+  private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, s"$sinkDir/_async")
+
   private def body(ex: HttpExchange): String = {
     val raw: InputStream =
       if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -92,6 +98,9 @@ final class EsHttpFacade(
       else if (path == "/search") handleSearch(ex)
       else if (path == "/aggregate") handleAggregate(ex)
       else if (path == "/histogram") handleHistogram(ex)
+      else if (path == "/async_search/start") handleAsyncStart(ex)
+      else if (path == "/async_search/fetch") handleAsyncFetch(ex)
+      else if (path == "/async_search/cancel") handleAsyncCancel(ex)
       else reply(ex, 400, """{"error":"unsupported endpoint"}""")
     } catch {
       case e: Throwable =>
@@ -166,6 +175,64 @@ final class EsHttpFacade(
       reply(ex, 200, s"""{"buckets":[$rows]}""")
     }
 
+    /** StartAsyncSearch analogue (seq_proxy_api.proto:77-100):
+      * {query, from, to, chunk_ms?, id?} → {"id": "..."}; the search
+      * runs in the background, chunk by chunk, partials persisted. */
+    private def handleAsyncStart(ex: HttpExchange): Unit = {
+      val raw = body(ex)
+      val req = parseSearch(raw)
+      val id = ("\"id\"\\s*:\\s*\"([A-Za-z0-9_\\-]+)\"").r
+        .findFirstMatchIn(raw).map(_.group(1))
+        .getOrElse(java.util.UUID.randomUUID().toString)
+      val chunkMs = ("\"chunk_ms\"\\s*:\\s*(\\d+)").r
+        .findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(86400000L)
+      val eng = new SeqEngine(table)
+      asyncSearcher.startAsync(id, eng, req.query, req.fromMs, req.toMs, chunkMs)
+      reply(ex, 200, s"""{"id":${quote(id)}}""")
+    }
+
+    /** FetchAsyncSearchResult analogue: {id, size?} → status +
+      * completed-chunk count + the newest `size` hits of everything
+      * persisted so far (a partial answer while running/canceled, the
+      * full answer when done). */
+    private def handleAsyncFetch(ex: HttpExchange): Unit = {
+      val raw = body(ex)
+      val id = ("\"id\"\\s*:\\s*\"([A-Za-z0-9_\\-]+)\"").r
+        .findFirstMatchIn(raw).map(_.group(1))
+        .getOrElse(throw new graft.model.SeqQlError("fetch needs an id"))
+      val size = ("\"size\"\\s*:\\s*(\\d+)").r
+        .findFirstMatchIn(raw).map(_.group(1).toInt).getOrElse(100)
+      val status =
+        if (asyncSearcher.isCanceled(id)) "canceled"
+        else if (asyncSearcher.isComplete(id)) "done"
+        else "running"
+      val chunks = asyncSearcher.completedChunks(id)
+      val hits = asyncSearcher.fetchPartial(id) match {
+        case None => ""
+        case Some(df) =>
+          val eng = new SeqEngine(table)
+          eng.withIdString(df.orderBy(col("mid").desc, col("rid").desc).limit(size))
+            .select(col("id"), col("mid"), col("rid"), col("_raw"))
+            .collect()
+            .map { r =>
+              s"""{"id":${quote(r.getString(0))},"mid":${r.getLong(1)},"rid":${r.getLong(2)},"doc":${quote(r.getString(3))}}"""
+            }.mkString(",")
+      }
+      reply(ex, 200,
+        s"""{"id":${quote(id)},"status":${quote(status)},"completed_chunks":$chunks,"hits":[$hits]}""")
+    }
+
+    /** CancelAsyncSearch analogue: {id} → whether a running search was
+      * canceled (false once complete). Persisted partials stay
+      * fetchable after cancellation. */
+    private def handleAsyncCancel(ex: HttpExchange): Unit = {
+      val id = ("\"id\"\\s*:\\s*\"([A-Za-z0-9_\\-]+)\"").r
+        .findFirstMatchIn(body(ex)).map(_.group(1))
+        .getOrElse(throw new graft.model.SeqQlError("cancel needs an id"))
+      val canceled = asyncSearcher.cancel(id, spark)
+      reply(ex, 200, s"""{"id":${quote(id)},"canceled":$canceled}""")
+    }
+
     /** GetHistogram analogue: {query, from, to, interval} → buckets. */
     private def handleHistogram(ex: HttpExchange): Unit = {
       val raw = body(ex)
@@ -224,10 +291,17 @@ final class EsHttpFacade(
       case Some("quantile")     => AggFunc.Quantile(quantiles.getOrElse(Seq(0.5)))
       case Some(other) => throw new graft.model.SeqQlError(s"unknown agg func '$other'")
     }
+    // `interval` follows the proto (seq_proxy_api.proto:181: optional
+    // string, promql duration like "1m") and also accepts numeric ms;
+    // `agg_interval` stays as a legacy numeric alias
+    val intervalMs = str("interval").map(graft.model.Intervals.parseMs)
+      .orElse(num("interval"))
+      .orElse(num("agg_interval"))
+      .getOrElse(0L)
     AggRequest(func,
       field = str("field").getOrElse(""),
       groupBy = str("group_by"),
-      intervalMs = num("agg_interval").getOrElse(0L))
+      intervalMs = intervalMs)
   }
 
   /** Minimal JSON field extraction for the flat search request —

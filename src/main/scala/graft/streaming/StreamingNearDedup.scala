@@ -22,13 +22,19 @@ import graft.dataprep.Dedup
   *
   * Scale: per batch, the candidate probe broadcasts the (small) batch
   * band keys against the index scan; index append is one batch-sized
-  * write. State lives in the index files, not in executor memory —
-  * restart recovery comes from checkpointing plus the idempotent
-  * probe (a replayed batch's survivors are already in the index and
-  * drop out via the id inequality... they would match themselves:
-  * the probe EXCLUDES identical ids, so a replayed doc survives the
-  * probe but its re-append is the same (id, bands) rows — harmless
-  * for matching, double-counted only in storage; compaction dedups).
+  * write. State lives in the index files, not in executor memory.
+  *
+  * Exactly-once: every write (sink, index, audit) lands under a
+  * `batch=<id>` partition with mode "overwrite", so a replayed
+  * micro-batch replaces its own partition instead of duplicating rows
+  * — output and index stay idempotent across crash/restart. Inside the
+  * index append, shingles are written before bands
+  * ([[Dedup.buildMinhashIndex]]), so a mid-append crash fails closed
+  * (docs unfindable until replay, never silently dropped candidates).
+  * A swallowed index-append failure (logged below) leaves the batch's
+  * docs in the output but not in the index — future near-dups of them
+  * are not suppressed until a rebuild; that trade keeps the sink epoch
+  * from failing on advisory index maintenance.
   */
 object StreamingNearDedup {
 
@@ -53,7 +59,7 @@ object StreamingNearDedup {
     docs.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
         try {
@@ -64,8 +70,15 @@ object StreamingNearDedup {
             numHashes, bands, thresholdNum, thresholdDen)
             .select(col("id_b").as(idCol)).distinct()
           val selfKept = b.join(selfPairs, Seq(idCol), "left_anti")
-          // 2. probe the corpus index
-          val hasIndex = new java.io.File(s"$indexPath/bands/_SUCCESS").exists()
+          // 2. probe the corpus index. Existence goes through the
+          //    Hadoop FileSystem API — java.io.File only sees the local
+          //    FS, silently disabling suppression on HDFS/S3 paths —
+          //    and tests the directory, not _SUCCESS (committers can be
+          //    configured not to write the marker)
+          val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+          val hasIndex = bandsDir
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(bandsDir)
           val vs = if (hasIndex)
             Dedup.dedupAgainstIndex(selfKept, idCol, textCol,
               numHashes, bands, thresholdNum, thresholdDen, indexPath)
@@ -74,16 +87,19 @@ object StreamingNearDedup {
             .withColumn(idCol, lit(0L)).withColumn("old_id", lit(0L)).limit(0)
           val dupIds = vs.select(col(idCol)).distinct()
           val kept = selfKept.join(dupIds, Seq(idCol), "left_anti").persist()
-          // 3. survivors → sink + index append (advisory failures must
-          //    not fail the epoch once the sink append landed)
-          kept.write.mode("append").parquet(outPath)
+          // 3. survivors → sink + index append, each under its own
+          //    batch partition (replay-idempotent, see scaladoc);
+          //    advisory index failures must not fail the epoch once
+          //    the sink write landed
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           try Dedup.buildMinhashIndex(kept, idCol, textCol,
-            numHashes, bands, indexPath, mode = "append")
+            numHashes, bands, indexPath,
+            mode = "overwrite", partition = Some(s"batch=$batchId"))
           catch { case e: Exception =>
             System.err.println(s"[StreamingNearDedup] index append skipped: $e")
           }
           auditPath.foreach { p =>
-            if (hasIndex) vs.write.mode("append").parquet(p)
+            if (hasIndex) vs.write.mode("overwrite").parquet(s"$p/batch=$batchId")
           }
           kept.unpersist()
           if (hasIndex) vs.unpersist()

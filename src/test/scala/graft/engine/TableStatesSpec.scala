@@ -88,6 +88,23 @@ class TableStatesSpec extends SparkSpec {
     assert(moved == Seq("date=2024-03-09"))
     val tiered = new SeqEngine(TieredDocs.table(spark, out, cold, boundary, mapping))
     assert(results(tiered) == single)
+
+    // partial-response contract (proxy/search/ingestor.go:88-112): an
+    // unreadable cold tier degrades to hot-only + partial flag instead
+    // of failing the query
+    val intact = TieredDocs.tableWithFallback(spark, out, cold, boundary, mapping)
+    assert(!intact.partial && intact.degraded.isEmpty)
+    assert(results(new SeqEngine(intact.table)) == single)
+    val broken = TieredDocs.tableWithFallback(
+      spark, out, cold + "/definitely_missing", boundary, mapping)
+    assert(broken.partial && broken.degraded.exists(_.contains("definitely_missing")))
+    val hotOnly = new SeqEngine(broken.table)
+    // recent-window answers are complete; all-time answers are the hot
+    // subset (the old-day doc lives in the dropped cold tier)
+    assert(hotOnly.matches("*", boundary, Long.MaxValue).count() ==
+      tiered.matches("*", boundary, Long.MaxValue).count())
+    assert(hotOnly.total("*", 0, Long.MaxValue).collect()(0).getLong(0) ==
+      single("total") - 1)
   }
 
   test("time predicates reach the parquet scan (pushdown regression guard)") {

@@ -80,6 +80,58 @@ class EsFacadeSpec extends SparkSpec {
         s"""{"query":"*","from":0,"to":${Long.MaxValue},"interval":"1h"}""")
       assert(hist.statusCode() == 200)
       assert(hist.body().contains("\"cnt\":3"))
+
+      // promql `interval` string on /aggregate (proto shape) buckets
+      // the aggregation by time
+      val tsAgg = post("/aggregate",
+        s"""{"query":"*","from":0,"to":${Long.MaxValue},"func":"count","group_by":"level","interval":"1h"}""")
+      assert(tsAgg.statusCode() == 200)
+      assert(tsAgg.body().contains("\"bucket_ms\":"))
+    } finally facade.stop()
+  }
+
+  test("async search over HTTP: start, partial fetch, done, cancel") {
+    facade.start()
+    try {
+      val now = System.currentTimeMillis()
+      val ts = java.time.Instant.ofEpochMilli(now).toString
+      val bulk = Seq(
+        s"""{"timestamp":"$ts","service":"api","level":"error","message":"async one"}""",
+        s"""{"timestamp":"$ts","service":"api","level":"error","message":"async two"}""",
+      ).mkString("", "\n", "\n")
+      assert(post("/_bulk", bulk).statusCode() == 200)
+
+      // one-chunk search completes and serves its hits
+      val started = post("/async_search/start",
+        s"""{"id":"t1","query":"message:async","from":0,"to":${Long.MaxValue},"chunk_ms":${Long.MaxValue / 2}}""")
+      assert(started.statusCode() == 200)
+      assert(started.body().contains("\"id\":\"t1\""))
+      var status = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (status != "done" && System.currentTimeMillis() < deadline) {
+        val f = post("/async_search/fetch", """{"id":"t1"}""")
+        assert(f.statusCode() == 200)
+        status = if (f.body().contains("\"status\":\"done\"")) "done" else "running"
+        if (status != "done") Thread.sleep(200)
+      }
+      val fin = post("/async_search/fetch", """{"id":"t1","size":10}""")
+      assert(fin.body().contains("\"status\":\"done\""))
+      assert(fin.body().contains("async one"))
+      assert(fin.body().contains("async two"))
+
+      // cancel after completion is a no-op
+      val c1 = post("/async_search/cancel", """{"id":"t1"}""")
+      assert(c1.body().contains("\"canceled\":false"))
+
+      // a many-chunk search canceled mid-flight keeps its persisted
+      // partials fetchable with status "canceled"
+      val ms = now
+      post("/async_search/start",
+        s"""{"id":"t2","query":"message:async","from":0,"to":${ms + 500L * 86400000L},"chunk_ms":86400000}""")
+      val c2 = post("/async_search/cancel", """{"id":"t2"}""")
+      assert(c2.body().contains("\"canceled\":true"))
+      val f2 = post("/async_search/fetch", """{"id":"t2"}""")
+      assert(f2.body().contains("\"status\":\"canceled\""))
     } finally facade.stop()
   }
 }
