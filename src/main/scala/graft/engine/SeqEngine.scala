@@ -142,6 +142,29 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     applyPipes(page, compiled.pipes)
   }
 
+  /** Ordered match PREFIX under an extra predicate — the building
+    * block of serving-layer incremental paging (the reference's O3
+    * early termination + O4 incremental fraction scan): a caller that
+    * knows the table's physical time layout (e.g. day partitions,
+    * where every mid in day D sorts after every mid in D−1) restricts
+    * the scan to the newest partitions, takes the top
+    * (offset+size) matches, and widens only when the page comes back
+    * short — so a point page touches 1/Nth of the corpus instead of
+    * all of it. Returns up to `n` rows in the global (mid,rid) order;
+    * the result is the exact global prefix whenever it is full
+    * (matches outside `extra` are strictly older in the order).
+    */
+  def searchPrefix(query: String, fromMs: Long, toMs: Long, n: Int,
+      asc: Boolean, extra: Column): DataFrame = {
+    val compiled = compiler.compile(query)
+    val base = table.df
+      .where(table.timeFilter(fromMs, toMs) && compiled.filter && extra)
+    val deduped = if (table.dedupReplicas) base.dropDuplicates("mid", "rid") else base
+    val ordered =
+      if (asc) deduped.orderBy(mid.asc, rid.asc) else deduped.orderBy(mid.desc, rid.desc)
+    applyPipes(ordered.limit(n), compiled.pipes)
+  }
+
   /** Full streaming export of all matches in time order (S6,
     * proxyapi/grpc_export.go). Consume with toLocalIterator. */
   def export(query: String, fromMs: Long, toMs: Long, asc: Boolean = false): DataFrame = {

@@ -90,6 +90,38 @@ class EsFacadeSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("serving mode: cached engine + memoized plans still see appends") {
+    val sink2 = java.nio.file.Files.createTempDirectory("graft_es_srv").toString + "/docs"
+    val srv = new EsHttpFacade(spark, mapping, sink2, serving = true)
+    srv.start()
+    try {
+      val now = System.currentTimeMillis()
+      val ts = java.time.Instant.ofEpochMilli(now).toString
+      def bulk(msg: String): Unit = {
+        val r = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.port}/_bulk"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"timestamp":"$ts","service":"api","level":"error","message":"$msg"}""" + "\n"))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200)
+      }
+      def search(): String = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"query":"level:error","from":0,"to":${Long.MaxValue},"size":10}"""))
+        .build(), HttpResponse.BodyHandlers.ofString()).body()
+      bulk("first doc")
+      assert(search().contains("\"total\":1"))
+      // repeated identical request rides the memoized plan
+      assert(search().contains("\"total\":1"))
+      bulk("second doc")
+      // the signature probe has a 1s TTL — after it lapses the append
+      // must be visible through the rebuilt engine
+      Thread.sleep(1100)
+      assert(search().contains("\"total\":2"))
+    } finally srv.stop()
+  }
+
   test("async search over HTTP: start, partial fetch, done, cancel") {
     facade.start()
     try {
