@@ -314,7 +314,7 @@ object Dedup {
     * unpersist it when done.
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverEdgeCap: Long = 4L << 20): DataFrame = {
     // both directions from ONE scan of the pairs pipeline: a
     // union(pairs, pairs.swapped) would evaluate the (potentially
     // expensive — e.g. full MinHash+LSH) pairs plan once per branch
@@ -325,6 +325,40 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // Near-dup pair graphs are SPARSE relative to their corpora (the
+    // whole point of banding): when the edge list fits the driver,
+    // union-find there collapses the multi-round distributed fixpoint
+    // (one shuffle join + persist + count per round, pure fixed
+    // overhead on a KB graph) into one collect + one broadcast join —
+    // same min-rep result, exactly. Above the cap (4M edges ≈ 64 MB)
+    // the distributed propagation below remains the scale path.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverEdgeCap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val comp = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue(), find(id)))
+      edges.unpersist()
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val compDf = comp.toSeq.toDF("id", "__rep")
+      val labels = ids.select(col(idCol).as("id"))
+        .join(broadcast(compDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__rep"), col("id")).as("rep"))
+        .persist() // same contract as the fixpoint path: caller unpersists
+      return labels
+    }
     // round 0 fused into initialization: rep = min(id, min direct
     // neighbor) is exactly one propagation step from the identity
     // labeling at half a round's cost (one join instead of two) — for
