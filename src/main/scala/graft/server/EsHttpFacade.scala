@@ -43,12 +43,25 @@ import graft.model.SeqMapping
   *   most once per second — bounded staleness matching the near-real-
   *   time visibility contract ingestion already has.
   */
+/** Request admission limits (docs/en/08-rate-limiting.md,
+  * network/ratelimiter.go, storeapi/grpc_search.go:71-77 analogue):
+  * `maxInflight` concurrent requests (0 = unlimited) and a
+  * `requestsPerSec` token bucket with `burst` capacity (0 = unlimited).
+  * Rejections are HTTP 429 with a JSON error — the shipper/client
+  * backs off and retries, the engine never sees overload.
+  */
+final case class RateLimits(
+    maxInflight: Int = 0,
+    requestsPerSec: Double = 0.0,
+    burst: Int = 1)
+
 final class EsHttpFacade(
     spark: SparkSession,
     mapping: SeqMapping,
     sinkDir: String,
     esVersion: String = "8.9.0",
-    serving: Boolean = false) {
+    serving: Boolean = false,
+    limits: RateLimits = RateLimits()) {
 
   @volatile private var server: HttpServer = _
 
@@ -61,10 +74,19 @@ final class EsHttpFacade(
     System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", requestedPort), 0)
     server.createContext("/", new RootHandler)
-    server.setExecutor(null) // serial — ingest bulks are already batched
+    // serial by default (ingest bulks are already batched); a pool when
+    // an inflight cap is configured — shedding only means something if
+    // requests can actually overlap. Parquet appends stay serialized
+    // via bulkLock regardless (concurrent appends to one sink path
+    // would race in the _temporary staging dir).
+    if (limits.maxInflight > 0)
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(limits.maxInflight + 2))
+    else server.setExecutor(null)
     server.start()
     port
   }
+
+  private val bulkLock = new Object
 
   def stop(): Unit = if (server != null) server.stop(0)
 
@@ -245,11 +267,51 @@ final class EsHttpFacade(
     ex.close()
   }
 
+  // ---- admission control -------------------------------------------
+  private val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+  // token bucket: tokens scaled by 1e6 to stay integral; refilled by
+  // wall-clock elapsed at requestsPerSec, capped at burst
+  private val bucketTokens = new java.util.concurrent.atomic.AtomicLong(limits.burst * 1000000L)
+  @volatile private var bucketLastNs = System.nanoTime()
+
+  private def tryAdmitBucket(): Boolean = {
+    if (limits.requestsPerSec <= 0) return true
+    synchronized {
+      val now = System.nanoTime()
+      val refill = ((now - bucketLastNs) / 1e9 * limits.requestsPerSec * 1000000L).toLong
+      if (refill > 0) {
+        bucketLastNs = now
+        bucketTokens.set(math.min(limits.burst * 1000000L, bucketTokens.get() + refill))
+      }
+      if (bucketTokens.get() >= 1000000L) { bucketTokens.addAndGet(-1000000L); true }
+      else false
+    }
+  }
+
   private final class RootHandler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
       val path = ex.getRequestURI.getPath
-      if (path == "/_bulk") handleBulk(ex)
-      else if (path.startsWith("/_ilm/policy") || path.startsWith("/_index_template") ||
+      // admission control applies to the data endpoints; handshake
+      // stubs always answer (a throttled shipper must still probe)
+      val dataPath = path == "/_bulk" || path == "/search" ||
+        path == "/aggregate" || path == "/histogram" || path.startsWith("/async_search")
+      if (dataPath) {
+        if (limits.maxInflight > 0 && inflight.incrementAndGet() > limits.maxInflight) {
+          inflight.decrementAndGet()
+          reply(ex, 429, """{"error":"too many inflight requests"}""")
+          return
+        }
+        if (!tryAdmitBucket()) {
+          if (limits.maxInflight > 0) inflight.decrementAndGet()
+          ex.getResponseHeaders.set("Retry-After", "1")
+          reply(ex, 429, """{"error":"rate limit exceeded"}""")
+          return
+        }
+        try handleData(ex, path)
+        finally { if (limits.maxInflight > 0) inflight.decrementAndGet() }
+        return
+      }
+      if (path.startsWith("/_ilm/policy") || path.startsWith("/_index_template") ||
                path.startsWith("/_ingest") || path.startsWith("/_nodes"))
         reply(ex, 200, "{}")
       else if (path == "/") {
@@ -260,6 +322,14 @@ final class EsHttpFacade(
       else if (path == "/_license")
         reply(ex, 200,
           """{"license":{"mode":"basic","status":"active","type":"basic"}}""")
+      else reply(ex, 400, """{"error":"unsupported endpoint"}""")
+    } catch {
+      case e: Throwable =>
+        reply(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+    }
+
+    private def handleData(ex: HttpExchange, path: String): Unit = try {
+      if (path == "/_bulk") handleBulk(ex)
       else if (path == "/search") handleSearch(ex)
       else if (path == "/aggregate") handleAggregate(ex)
       else if (path == "/histogram") handleHistogram(ex)
@@ -284,8 +354,10 @@ final class EsHttpFacade(
       // sent.
       val actionRe = """^\s*\{\s*"(index|create|update|delete)"\s*:""".r
       val nActions = lines.count(l => actionRe.findFirstIn(l).isEmpty)
-      BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
-        .write.mode("append").parquet(sinkDir)
+      bulkLock.synchronized {
+        BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
+          .write.mode("append").parquet(sinkDir)
+      }
       val tookMs = (System.nanoTime() - t0) / 1000000
       // stream the repeated item template instead of building an O(n)
       // response string on the heap (the request body is already the

@@ -1,0 +1,380 @@
+package graft.server.grpc
+
+import java.io.{ByteArrayInputStream, InputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel, MethodDescriptor, Server, ServerServiceDefinition, Status}
+import org.sparkproject.connect.grpc.netty.{NettyChannelBuilder, NettyServerBuilder}
+import org.sparkproject.connect.grpc.stub.{ClientCalls, ServerCalls, StreamObserver}
+import org.sparkproject.connect.protobuf.CodedInputStream
+
+import graft.engine.{AggFunc, AggRequest, ChunkedAsyncSearcher, DocsTable, SearchRequest, SeqEngine}
+import SeqProxyProto._
+
+/** The reference's public gRPC query API
+  * (api/seqproxyapi/v1/seq_proxy_api.proto service SeqProxyApi),
+  * served over the gRPC runtime Spark itself ships (shaded inside
+  * spark-connect as org.sparkproject.connect.grpc + the distribution's
+  * netty) — zero added dependencies. The wire format comes from
+  * [[SeqProxyProto]]'s hand-rolled codec, so clients generated from
+  * the reference's .proto talk to this server unchanged:
+  * Search / ComplexSearch / GetAggregation / GetHistogram /
+  * Fetch (stream) / Mapping / Status / Export (stream) /
+  * StartAsyncSearch / FetchAsyncSearchResult / CancelAsyncSearch.
+  *
+  * Semantic notes: FetchRequest.fields_filter is accepted and ignored
+  * (documents stream whole, like the facade); StartAsyncSearchRequest
+  * aggs/hist/retention are accepted and ignored (the chunked searcher
+  * persists the match set; aggregations run at fetch time if needed).
+  */
+final class GrpcSeqApi(
+    spark: SparkSession,
+    table: => DocsTable,
+    asyncDir: String) {
+
+  private val Service = "seqproxyapi.v1.SeqProxyApi"
+
+  @volatile private var server: Server = _
+  private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, asyncDir)
+  // async searches need fixed request params at fetch time
+  private val asyncReqs =
+    new java.util.concurrent.ConcurrentHashMap[String, PStartAsyncRequest]()
+
+  private def engine = new SeqEngine(table)
+
+  def start(port: Int = 0): Int = {
+    server = NettyServerBuilder.forPort(port).addService(serviceDefinition).build().start()
+    server.getPort
+  }
+
+  def port: Int = server.getPort
+  def stop(): Unit = if (server != null) { server.shutdownNow(); () }
+
+  // ---- marshalling -------------------------------------------------
+
+  private def marshaller[A](write: A => Array[Byte],
+      read: CodedInputStream => A): MethodDescriptor.Marshaller[A] =
+    new MethodDescriptor.Marshaller[A] {
+      override def stream(value: A): InputStream = new ByteArrayInputStream(write(value))
+      override def parse(stream: InputStream): A =
+        read(CodedInputStream.newInstance(stream.readAllBytes()))
+    }
+
+  private def unaryMd[A, B](name: String, w: A => Array[Byte], r: CodedInputStream => A,
+      w2: B => Array[Byte], r2: CodedInputStream => B): MethodDescriptor[A, B] =
+    MethodDescriptor.newBuilder[A, B]()
+      .setType(MethodDescriptor.MethodType.UNARY)
+      .setFullMethodName(MethodDescriptor.generateFullMethodName(Service, name))
+      .setRequestMarshaller(marshaller(w, r))
+      .setResponseMarshaller(marshaller(w2, r2))
+      .build()
+
+  private def streamMd[A, B](name: String, w: A => Array[Byte], r: CodedInputStream => A,
+      w2: B => Array[Byte], r2: CodedInputStream => B): MethodDescriptor[A, B] =
+    MethodDescriptor.newBuilder[A, B]()
+      .setType(MethodDescriptor.MethodType.SERVER_STREAMING)
+      .setFullMethodName(MethodDescriptor.generateFullMethodName(Service, name))
+      .setRequestMarshaller(marshaller(w, r))
+      .setResponseMarshaller(marshaller(w2, r2))
+      .build()
+
+  // method descriptors are public so a Scala client (and the spec) can
+  // call the server without generated stubs
+  val searchMd: MethodDescriptor[PSearchRequest, PSearchResponse] =
+    unaryMd("Search", writeSearchRequest, readSearchRequest,
+      writeSearchResponse, readSearchResponse)
+  val complexSearchMd: MethodDescriptor[PComplexSearchRequest, PComplexSearchResponse] =
+    unaryMd("ComplexSearch", writeComplexSearchRequest, readComplexSearchRequest,
+      writeComplexSearchResponse, readComplexSearchResponse)
+  val getAggregationMd: MethodDescriptor[PGetAggregationRequest, PGetAggregationResponse] =
+    unaryMd("GetAggregation", writeGetAggregationRequest, readGetAggregationRequest,
+      writeGetAggregationResponse, readGetAggregationResponse)
+  val getHistogramMd: MethodDescriptor[PGetHistogramRequest, PGetHistogramResponse] =
+    unaryMd("GetHistogram", writeGetHistogramRequest, readGetHistogramRequest,
+      writeGetHistogramResponse, readGetHistogramResponse)
+  val fetchMd: MethodDescriptor[PFetchRequest, Doc] =
+    streamMd("Fetch", writeFetchRequest, readFetchRequest, writeDoc, readDoc)
+  val mappingMd: MethodDescriptor[Unit, PMappingResponse] =
+    unaryMd("Mapping", writeEmpty, readEmpty, writeMappingResponse, readMappingResponse)
+  val statusMd: MethodDescriptor[Unit, PStatusResponse] =
+    unaryMd("Status", writeEmpty, readEmpty, writeStatusResponse, readStatusResponse)
+  val exportMd: MethodDescriptor[PExportRequest, Doc] =
+    streamMd("Export", writeExportRequest, readExportRequest,
+      writeExportResponse, readExportResponse)
+  val startAsyncMd: MethodDescriptor[PStartAsyncRequest, PStartAsyncResponse] =
+    unaryMd("StartAsyncSearch", writeStartAsyncRequest, readStartAsyncRequest,
+      writeStartAsyncResponse, readStartAsyncResponse)
+  val fetchAsyncMd: MethodDescriptor[PFetchAsyncRequest, PFetchAsyncResponse] =
+    unaryMd("FetchAsyncSearchResult", writeFetchAsyncRequest, readFetchAsyncRequest,
+      writeFetchAsyncResponse, readFetchAsyncResponse)
+  val cancelAsyncMd: MethodDescriptor[PCancelAsyncRequest, Unit] =
+    unaryMd("CancelAsyncSearch", writeCancelAsyncRequest, readCancelAsyncRequest,
+      writeEmpty, readEmpty)
+
+  // ---- handlers ----------------------------------------------------
+
+  private def unary[A, B](f: A => B): org.sparkproject.connect.grpc.ServerCallHandler[A, B] =
+    ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[A, B] {
+      override def invoke(req: A, obs: StreamObserver[B]): Unit =
+        try { obs.onNext(f(req)); obs.onCompleted() }
+        catch { case e: Throwable =>
+          obs.onError(Status.INTERNAL.withDescription(
+            Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
+        }
+    })
+
+  private def serverStream[A, B](f: (A, StreamObserver[B]) => Unit): org.sparkproject.connect.grpc.ServerCallHandler[A, B] =
+    ServerCalls.asyncServerStreamingCall(new ServerCalls.ServerStreamingMethod[A, B] {
+      override def invoke(req: A, obs: StreamObserver[B]): Unit =
+        try { f(req, obs); obs.onCompleted() }
+        catch { case e: Throwable =>
+          obs.onError(Status.INTERNAL.withDescription(
+            Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
+        }
+    })
+
+  def serviceDefinition: ServerServiceDefinition =
+    ServerServiceDefinition.builder(Service)
+      .addMethod(searchMd, unary(handleSearch))
+      .addMethod(complexSearchMd, unary(handleComplexSearch))
+      .addMethod(getAggregationMd, unary(handleGetAggregation))
+      .addMethod(getHistogramMd, unary(handleGetHistogram))
+      .addMethod(fetchMd, serverStream(handleFetch))
+      .addMethod(mappingMd, unary((_: Unit) =>
+        PMappingResponse(engine.mappingJson.getBytes("UTF-8"))))
+      .addMethod(statusMd, unary((_: Unit) => {
+        val st = engine.status()
+        PStatusResponse(st.numberOfStores, st.oldestStorageTimeMs)
+      }))
+      .addMethod(exportMd, serverStream(handleExport))
+      .addMethod(startAsyncMd, unary(handleStartAsync))
+      .addMethod(fetchAsyncMd, unary(handleFetchAsync))
+      .addMethod(cancelAsyncMd, unary((r: PCancelAsyncRequest) => {
+        asyncSearcher.cancel(r.searchId, spark); ()
+      }))
+      .build()
+
+  // ---- method implementations --------------------------------------
+
+  private def collectDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] = {
+    val eng = engine
+    eng.withIdString(df)
+      .select(col("id"), col("mid"), col("_raw"))
+      .collect()
+      .map(r => Doc(r.getString(0),
+        Option(r.getString(2)).getOrElse("").getBytes("UTF-8"), r.getLong(1)))
+      .toSeq
+  }
+
+  private def handleSearch(r: PSearchRequest): PSearchResponse = {
+    val eng = engine
+    val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
+      size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
+    val docs = collectDocs(eng.search(req))
+    val total =
+      if (r.withTotal)
+        eng.total(r.q.query, r.q.fromMs, r.q.toMs).collect()(0).getLong(0)
+      else 0L
+    PSearchResponse(total, docs, ErrNo)
+  }
+
+  private def toAggRequest(a: PAggQuery): AggRequest = {
+    val func = a.func match {
+      case 0 => AggFunc.Count
+      case 1 => AggFunc.Sum
+      case 2 => AggFunc.Min
+      case 3 => AggFunc.Max
+      case 4 => AggFunc.Avg
+      case 5 => AggFunc.Quantile(if (a.quantiles.nonEmpty) a.quantiles else Seq(0.5))
+      case 6 => AggFunc.Unique
+      case other => throw new graft.model.SeqQlError(s"unknown AggFunc $other")
+    }
+    AggRequest(func, field = a.field,
+      groupBy = if (a.groupBy.nonEmpty) Some(a.groupBy) else None,
+      intervalMs = if (a.interval.nonEmpty) graft.model.Intervals.parseMs(a.interval) else 0L)
+  }
+
+  /** Engine aggregation rows → proto Aggregation. The `_not_exists`
+    * group becomes the message-level not_exists count (the reference
+    * counts docs without the field there); time-series rows carry
+    * their bucket in `ts`. */
+  private def toProtoAgg(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType, a: PAggQuery): PAggregation = {
+    val names = schema.fieldNames
+    val hasBucket = names.contains("bucket_ms")
+    val hasName = names.contains("name")
+    val hasQ = names.contains("q")
+    def d(r: org.apache.spark.sql.Row, c: String): Double = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) Double.NaN
+      else r.get(i) match {
+        case x: Double => x
+        case x: Long   => x.toDouble
+        case x: Int    => x.toDouble
+        case x         => x.toString.toDouble
+      }
+    }
+    if (hasQ) {
+      // quantile rows: (bucket_ms?, name?, q, value) → one bucket per
+      // (ts, name) with the quantiles vector; value = first quantile
+      val grouped = rows.groupBy(r =>
+        (if (hasBucket) Some(r.getLong(r.fieldIndex("bucket_ms"))) else None,
+         if (hasName) r.getString(r.fieldIndex("name")) else ""))
+      val buckets = grouped.toSeq.sortBy(g => (g._1._1.getOrElse(0L), g._1._2))
+        .map { case ((ts, name), rs) =>
+          val qs = rs.sortBy(r => d(r, "q")).map(r => d(r, "value")).toSeq
+          AggBucket(name, if (qs.nonEmpty) qs.head else Double.NaN, 0L, qs, ts)
+        }
+      PAggregation(buckets, 0L)
+    } else {
+      var notExists = 0L
+      val buckets = rows.flatMap { r =>
+        val name = if (hasName) r.getString(r.fieldIndex("name")) else ""
+        val ts = if (hasBucket) Some(r.getLong(r.fieldIndex("bucket_ms"))) else None
+        val value = if (names.contains("value")) d(r, "value") else 0.0
+        if (name == "_not_exists") { notExists += value.toLong; None }
+        else Some(AggBucket(name, value, 0L, Nil, ts))
+      }.toSeq
+      PAggregation(buckets, notExists)
+    }
+  }
+
+  private def runAgg(eng: SeqEngine, q: SearchQuery, a: PAggQuery): PAggregation = {
+    val agg = toAggRequest(a)
+    agg.func match {
+      case AggFunc.Count | AggFunc.Unique => ()
+      case _ => eng.requireNumericField(q.query, q.fromMs, q.toMs, agg.field)
+    }
+    val df = eng.aggregate(q.query, q.fromMs, q.toMs, agg)
+    toProtoAgg(df.collect(), df.schema, a)
+  }
+
+  private def handleGetAggregation(r: PGetAggregationRequest): PGetAggregationResponse = {
+    val eng = engine
+    PGetAggregationResponse(0L, r.aggs.map(a => runAgg(eng, r.q, a)), ErrNo)
+  }
+
+  private def histogramOf(eng: SeqEngine, q: SearchQuery, interval: String): PHistogram = {
+    val rows = eng.histogram(q.query, q.fromMs, q.toMs, interval).collect()
+    PHistogram(rows.map(r => HistBucket(r.getLong(1), r.getLong(0))).toSeq)
+  }
+
+  private def handleGetHistogram(r: PGetHistogramRequest): PGetHistogramResponse = {
+    val eng = engine
+    val iv = if (r.interval.nonEmpty) r.interval else "1h"
+    PGetHistogramResponse(0L, histogramOf(eng, r.q, iv), ErrNo)
+  }
+
+  private def handleComplexSearch(r: PComplexSearchRequest): PComplexSearchResponse = {
+    val eng = engine
+    val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
+      size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
+    val docs = if (r.size > 0) collectDocs(eng.search(req)) else Nil
+    val total =
+      if (r.withTotal)
+        eng.total(r.q.query, r.q.fromMs, r.q.toMs).collect()(0).getLong(0)
+      else 0L
+    val aggs = r.aggs.map(a => runAgg(eng, r.q, a))
+    val hist = r.histInterval.map(iv => histogramOf(eng, r.q, iv))
+    PComplexSearchResponse(total, docs, aggs, hist, ErrNo)
+  }
+
+  private def handleFetch(r: PFetchRequest, obs: StreamObserver[Doc]): Unit = {
+    val eng = engine
+    collectDocs(eng.fetchByIds(r.ids)).foreach(obs.onNext)
+  }
+
+  private def handleExport(r: PExportRequest, obs: StreamObserver[Doc]): Unit = {
+    val eng = engine
+    var df = eng.export(r.q.query, r.q.fromMs, r.q.toMs)
+    if (r.offset > 0) df = df.offset(r.offset.toInt)
+    if (r.size > 0) df = df.limit(r.size.toInt)
+    // toLocalIterator streams partition-by-partition — the export
+    // contract: the driver never holds the full result
+    val it = eng.withIdString(df).select(col("id"), col("mid"), col("_raw"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      obs.onNext(Doc(row.getString(0),
+        Option(row.getString(2)).getOrElse("").getBytes("UTF-8"), row.getLong(1)))
+    }
+  }
+
+  private def handleStartAsync(r: PStartAsyncRequest): PStartAsyncResponse = {
+    val id = java.util.UUID.randomUUID().toString
+    asyncReqs.put(id, r)
+    val eng = engine
+    // the proto has no chunk parameter — the server picks the chunk
+    // layout. Clamp the requested span to the table's actual time
+    // range first (matches outside it cannot exist), else an open
+    // [0, Long.MaxValue] request would enumerate ~10^14 day chunks.
+    val st = eng.status()
+    val lo = math.max(r.q.fromMs, st.oldestStorageTimeMs.getOrElse(r.q.fromMs))
+    val hi = math.min(r.q.toMs, st.newestStorageTimeMs.getOrElse(r.q.fromMs))
+    val (from, to) = if (lo <= hi) (lo, hi) else (r.q.fromMs, r.q.fromMs)
+    asyncSearcher.startAsync(id, eng, r.q.query, from, to)
+    PStartAsyncResponse(id)
+  }
+
+  private def handleFetchAsync(r: PFetchAsyncRequest): PFetchAsyncResponse = {
+    val done = asyncSearcher.isComplete(r.searchId)
+    val req = asyncReqs.get(r.searchId)
+    val asc = req != null && req.asc
+    val docs =
+      if (!r.withDocs) Nil
+      else asyncSearcher.fetchPartial(r.searchId) match {
+        case None => Nil
+        case Some(df) =>
+          val size = if (r.size > 0) r.size else 100
+          val ordered =
+            if (asc) df.orderBy(col("mid").asc, col("rid").asc)
+            else df.orderBy(col("mid").desc, col("rid").desc)
+          collectDocs(ordered.offset(r.offset).limit(size))
+      }
+    val err =
+      if (done || !asyncSearcher.isCanceled(r.searchId)) ErrNo
+      else PError(2, "canceled: persisted partial result")
+    PFetchAsyncResponse(done, PComplexSearchResponse(0L, docs, Nil, None, err))
+  }
+}
+
+/** Minimal blocking client over the same descriptors — what a user
+  * without generated stubs (and the spec) uses. */
+final class GrpcSeqClient(host: String, port: Int, api: GrpcSeqApi) {
+  private val channel: ManagedChannel =
+    NettyChannelBuilder.forAddress(host, port).usePlaintext().build()
+
+  def search(r: PSearchRequest): PSearchResponse =
+    ClientCalls.blockingUnaryCall(channel, api.searchMd, CallOptions.DEFAULT, r)
+  def complexSearch(r: PComplexSearchRequest): PComplexSearchResponse =
+    ClientCalls.blockingUnaryCall(channel, api.complexSearchMd, CallOptions.DEFAULT, r)
+  def getAggregation(r: PGetAggregationRequest): PGetAggregationResponse =
+    ClientCalls.blockingUnaryCall(channel, api.getAggregationMd, CallOptions.DEFAULT, r)
+  def getHistogram(r: PGetHistogramRequest): PGetHistogramResponse =
+    ClientCalls.blockingUnaryCall(channel, api.getHistogramMd, CallOptions.DEFAULT, r)
+  def fetch(r: PFetchRequest): Seq[Doc] = {
+    val it = ClientCalls.blockingServerStreamingCall(channel, api.fetchMd, CallOptions.DEFAULT, r)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Doc]
+    while (it.hasNext) out += it.next()
+    out.toSeq
+  }
+  def export(r: PExportRequest): Seq[Doc] = {
+    val it = ClientCalls.blockingServerStreamingCall(channel, api.exportMd, CallOptions.DEFAULT, r)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Doc]
+    while (it.hasNext) out += it.next()
+    out.toSeq
+  }
+  def mapping(): PMappingResponse =
+    ClientCalls.blockingUnaryCall(channel, api.mappingMd, CallOptions.DEFAULT, ())
+  def status(): PStatusResponse =
+    ClientCalls.blockingUnaryCall(channel, api.statusMd, CallOptions.DEFAULT, ())
+  def startAsync(r: PStartAsyncRequest): PStartAsyncResponse =
+    ClientCalls.blockingUnaryCall(channel, api.startAsyncMd, CallOptions.DEFAULT, r)
+  def fetchAsync(r: PFetchAsyncRequest): PFetchAsyncResponse =
+    ClientCalls.blockingUnaryCall(channel, api.fetchAsyncMd, CallOptions.DEFAULT, r)
+  def cancelAsync(r: PCancelAsyncRequest): Unit =
+    ClientCalls.blockingUnaryCall(channel, api.cancelAsyncMd, CallOptions.DEFAULT, r)
+
+  def close(): Unit = { channel.shutdownNow(); () }
+}

@@ -1,0 +1,140 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.engine.DocsTable
+import graft.ingest.BulkIngest
+import graft.model.{IndexType, SeqMapping}
+import graft.server.grpc._
+import graft.server.grpc.SeqProxyProto._
+
+/** The SeqProxyApi gRPC surface end-to-end over a real TCP channel:
+  * hand-rolled proto marshalling (field numbers matching the
+  * reference's seq_proxy_api.proto) through the shaded grpc-netty
+  * runtime, against a live engine.
+  */
+class GrpcSeqApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapping = SeqMapping.of(
+    "level"   -> IndexType.Keyword,
+    "message" -> IndexType.Text,
+  ).copy(caseSensitive = false)
+
+  private val reqTime = 1710072000000L // 2024-03-10T12:00Z
+  private val lines = Seq(
+    """{"timestamp":"2024-03-10 09:00:00","level":"error","message":"disk full"}""",
+    """{"timestamp":"2024-03-10 10:00:00","level":"info","message":"disk ok"}""",
+    """{"timestamp":"2024-03-10 11:00:00","level":"error","message":"net down"}""",
+  )
+
+  private lazy val tableDir = {
+    val dir = java.nio.file.Files.createTempDirectory("grpc_docs").toString
+    BulkIngest.writePartitioned(
+      BulkIngest.project(lines.toDF("value"), mapping, reqTime), dir)
+    dir
+  }
+
+  test("Search / GetAggregation / GetHistogram / Fetch / Export / Status / Mapping / async over gRPC") {
+    val asyncDir = java.nio.file.Files.createTempDirectory("grpc_async").toString
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping), asyncDir)
+    val port = api.start()
+    val client = new GrpcSeqClient("127.0.0.1", port, api)
+    try {
+      val q = SearchQuery("level:error", 0L, Long.MaxValue)
+
+      // Search: 2 error docs, desc order, with_total
+      val sr = client.search(PSearchRequest(q, size = 10, offset = 0,
+        withTotal = true, asc = false))
+      assert(sr.total == 2)
+      assert(sr.docs.size == 2)
+      val texts = sr.docs.map(d => new String(d.data, "UTF-8"))
+      assert(texts.exists(_.contains("net down")) && texts.exists(_.contains("disk full")))
+      assert(sr.docs.head.timeMs > sr.docs.last.timeMs) // desc by mid
+      assert(sr.error.code == 1) // ERROR_CODE_NO
+
+      // GetAggregation: count by level over everything
+      val ar = client.getAggregation(PGetAggregationRequest(
+        SearchQuery("*", 0L, Long.MaxValue),
+        Seq(PAggQuery("", "level", func = 0, Nil, ""))))
+      val buckets = ar.aggs.head.buckets.map(b => b.key -> b.value).toMap
+      assert(buckets == Map("error" -> 2.0, "info" -> 1.0))
+
+      // GetHistogram: three docs across three 1h buckets
+      val hr = client.getHistogram(PGetHistogramRequest(
+        SearchQuery("*", 0L, Long.MaxValue), "1h"))
+      assert(hr.hist.buckets.map(_.docCount).sum == 3)
+      assert(hr.hist.buckets.size == 3)
+
+      // Fetch: round-trip the ids Search returned, order preserved
+      val ids = sr.docs.map(_.id)
+      val fd = client.fetch(PFetchRequest(ids))
+      assert(fd.map(_.id) == ids)
+
+      // Export: stream all docs ascending match set
+      val ex = client.export(PExportRequest(SearchQuery("*", 0L, Long.MaxValue), 0, 0))
+      assert(ex.size == 3)
+
+      // Status / Mapping
+      val st = client.status()
+      assert(st.numberOfStores == 1 && st.oldestMs.isDefined)
+      val mp = new String(client.mapping().data, "UTF-8")
+      assert(mp.contains("\"level\"") && mp.contains("keyword"))
+
+      // ComplexSearch: docs + agg + hist in one call
+      val cs = client.complexSearch(PComplexSearchRequest(
+        SearchQuery("*", 0L, Long.MaxValue),
+        Seq(PAggQuery("", "level", func = 0, Nil, "")),
+        Some("1h"), size = 1, offset = 0, withTotal = true, asc = false))
+      assert(cs.total == 3 && cs.docs.size == 1)
+      assert(cs.aggs.head.buckets.nonEmpty && cs.hist.exists(_.buckets.size == 3))
+
+      // async: start → poll done → docs fetchable
+      val started = client.startAsync(PStartAsyncRequest(q, asc = false))
+      assert(started.searchId.nonEmpty)
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        done = client.fetchAsync(PFetchAsyncRequest(started.searchId, withDocs = false, 0, 0)).done
+        if (!done) Thread.sleep(200)
+      }
+      assert(done)
+      val far = client.fetchAsync(PFetchAsyncRequest(started.searchId, withDocs = true, 10, 0))
+      assert(far.resp.docs.size == 2)
+      client.cancelAsync(PCancelAsyncRequest(started.searchId)) // no-op when done
+    } finally {
+      client.close()
+      api.stop()
+    }
+  }
+
+  test("proto codec round-trips every message shape") {
+    import org.sparkproject.connect.protobuf.CodedInputStream
+    def rt[A](w: A => Array[Byte], r: CodedInputStream => A, v: A): A =
+      r(CodedInputStream.newInstance(w(v)))
+
+    val q = SearchQuery("level:error and message:disk*", -123456789L, 1710072000123L)
+    assert(rt(writeSearchQuery, readSearchQuery, q) == q)
+
+    val sr = PSearchRequest(q, 50, 100, withTotal = true, asc = true)
+    assert(rt(writeSearchRequest, readSearchRequest, sr) == sr)
+
+    val aq = PAggQuery("value", "level", 5, Seq(0.5, 0.9, 0.99), "1m")
+    assert(rt(writeAggQuery, readAggQuery, aq) == aq)
+
+    val b = AggBucket("error", 2.5, 3L, Seq(1.0, 2.0), Some(1710072000000L))
+    assert(rt(writeAggBucket, readAggBucket, b) == b)
+
+    val agg = PAggregation(Seq(b, b.copy(key = "info", tsMs = None)), 7L)
+    assert(rt(writeAggregation, readAggregation, agg) == agg)
+
+    val h = PHistogram(Seq(HistBucket(5, 1710068400000L), HistBucket(1, 1710072000000L)))
+    assert(rt(writeHistogram, readHistogram, h) == h)
+
+    val csr = PComplexSearchRequest(q, Seq(aq), Some("5s"), 10, 2, withTotal = true, asc = false)
+    assert(rt(writeComplexSearchRequest, readComplexSearchRequest, csr) == csr)
+
+    // negative-epoch timestamp round-trip (floorDiv/floorMod path)
+    assert(rt((ms: Long) => writeTimestampMs(ms), readTimestampMs, -1500L) == -1500L)
+  }
+}
