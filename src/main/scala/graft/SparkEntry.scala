@@ -454,6 +454,16 @@ object SparkEntry {
       dataprep.Similarity.groupCentroids(TestTables.embeddings(s, dir),
         "label", "embedding")),
 
+    // ---- int8 quantization (exploded to scalars, integer-verifiable) ----
+    "dp_quantize_int8" -> ((s, dir) =>
+      dataprep.Similarity.quantizeInt8(TestTables.embeddings(s, dir),
+        "vec_id", "embedding")),
+
+    // ---- ANN over the int8-quantized corpus (integer dot core) ----
+    "dp_ann_int8" -> ((s, dir) =>
+      dataprep.Similarity.int8TopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // ---- ANN: random-hyperplane LSH-bucketed variant (oracle mirrors planes) ----
     "dp_ann_lsh" -> ((s, dir) =>
       dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
@@ -1350,6 +1360,55 @@ object SparkEntry {
                 CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS mean_e6
          FROM u GROUP BY grp, dim ORDER BY grp, dim""",
+
+    // Quantization mirrored integer-for-integer: q = floor(x·127/amax
+    // + 0.5) — identical IEEE division/mult order on both engines.
+    "dp_quantize_int8" ->
+      """WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), a AS (
+           SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+         ), u AS (
+           SELECT id, amax,
+                  unnest(range(1, len(v)+1)) - 1 AS dim,
+                  unnest(v) AS x
+           FROM a)
+         SELECT id, CAST(dim AS BIGINT) AS dim,
+                CASE WHEN amax = 0 THEN 0
+                     ELSE CAST(floor(x * 127 / amax + 0.5) AS BIGINT) END AS q,
+                CAST(floor(amax * 1000000000 + 0.5) AS BIGINT) AS amax_e9
+         FROM u ORDER BY id, dim""",
+
+    // Integer dot products of the quantized vectors; the ranking key
+    // replays Spark's operand order ((int_dot::DOUBLE * sq) * sn).
+    "dp_ann_int8" ->
+      """WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), a AS (
+           SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+         ), q AS (
+           SELECT id,
+                  CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(floor(x * 127 / amax + 0.5) AS BIGINT)) END AS qv,
+                  amax / 127.0 AS scale
+           FROM a
+         ), p AS (
+           SELECT qq.id AS query_id, nn.id AS neighbor_id,
+                  qq.scale AS sq, nn.scale AS sn, qq.qv AS qa, nn.qv AS qb
+           FROM q qq JOIN q nn ON nn.id <> qq.id
+           WHERE qq.id IN (0, 1, 2, 3, 4)
+         ), d AS (
+           SELECT query_id, neighbor_id, sq, sn,
+                  CAST(list_sum(list_transform(range(1, len(qa)+1),
+                    i -> qa[i] * qb[i])) AS BIGINT) AS int_dot
+           FROM p
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY (CAST(int_dot AS DOUBLE) * sq) * sn DESC, neighbor_id ASC) AS rn
+           FROM d)
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, int_dot,
+                CAST(floor(((CAST(int_dot AS DOUBLE) * sq) * sn) * 1000000 + 0.5) AS BIGINT) AS approx_e6
+         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 
     "dp_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
