@@ -31,7 +31,8 @@ import SeqProxyProto._
 final class GrpcSeqApi(
     spark: SparkSession,
     table: => DocsTable,
-    asyncDir: String) {
+    asyncDir: String,
+    limits: graft.server.RateLimits = graft.server.RateLimits()) {
 
   private val Service = "seqproxyapi.v1.SeqProxyApi"
 
@@ -43,8 +44,62 @@ final class GrpcSeqApi(
 
   private def engine = new SeqEngine(table)
 
+  // ---- admission (storeapi/grpc_search.go:71-77 inflight guard +
+  // network/ratelimiter.go token bucket): rejected calls get
+  // RESOURCE_EXHAUSTED, the canonical gRPC back-off signal ----
+  private val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bucketTokens =
+    new java.util.concurrent.atomic.AtomicLong(limits.burst * 1000000L)
+  @volatile private var bucketLastNs = System.nanoTime()
+
+  private def tryAdmitBucket(): Boolean = {
+    if (limits.requestsPerSec <= 0) return true
+    synchronized {
+      val now = System.nanoTime()
+      val refill = ((now - bucketLastNs) / 1e9 * limits.requestsPerSec * 1000000L).toLong
+      if (refill > 0) {
+        bucketLastNs = now
+        bucketTokens.set(math.min(limits.burst * 1000000L, bucketTokens.get() + refill))
+      }
+      if (bucketTokens.get() >= 1000000L) { bucketTokens.addAndGet(-1000000L); true }
+      else false
+    }
+  }
+
+  private object AdmissionInterceptor extends org.sparkproject.connect.grpc.ServerInterceptor {
+    override def interceptCall[ReqT, RespT](
+        call: org.sparkproject.connect.grpc.ServerCall[ReqT, RespT],
+        headers: org.sparkproject.connect.grpc.Metadata,
+        next: org.sparkproject.connect.grpc.ServerCallHandler[ReqT, RespT])
+        : org.sparkproject.connect.grpc.ServerCall.Listener[ReqT] = {
+      if (limits.maxInflight > 0 && inflight.incrementAndGet() > limits.maxInflight) {
+        inflight.decrementAndGet()
+        call.close(Status.RESOURCE_EXHAUSTED.withDescription("too many inflight requests"),
+          new org.sparkproject.connect.grpc.Metadata())
+        return new org.sparkproject.connect.grpc.ServerCall.Listener[ReqT] {}
+      }
+      if (!tryAdmitBucket()) {
+        if (limits.maxInflight > 0) inflight.decrementAndGet()
+        call.close(Status.RESOURCE_EXHAUSTED.withDescription("rate limit exceeded"),
+          new org.sparkproject.connect.grpc.Metadata())
+        return new org.sparkproject.connect.grpc.ServerCall.Listener[ReqT] {}
+      }
+      val delegate = next.startCall(call, headers)
+      if (limits.maxInflight <= 0) delegate
+      else new org.sparkproject.connect.grpc.ForwardingServerCallListener
+          .SimpleForwardingServerCallListener[ReqT](delegate) {
+        private def release(): Unit = inflight.decrementAndGet()
+        override def onComplete(): Unit = { release(); super.onComplete() }
+        override def onCancel(): Unit = { release(); super.onCancel() }
+      }
+    }
+  }
+
   def start(port: Int = 0): Int = {
-    server = NettyServerBuilder.forPort(port).addService(serviceDefinition).build().start()
+    server = NettyServerBuilder.forPort(port)
+      .addService(org.sparkproject.connect.grpc.ServerInterceptors.intercept(
+        serviceDefinition, AdmissionInterceptor))
+      .build().start()
     server.getPort
   }
 

@@ -108,6 +108,25 @@ class GrpcSeqApiSpec extends SparkSpec {
     }
   }
 
+  test("gRPC admission: token bucket rejects bursts with RESOURCE_EXHAUSTED") {
+    val asyncDir = java.nio.file.Files.createTempDirectory("grpc_rl").toString
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
+      limits = graft.server.RateLimits(requestsPerSec = 0.5, burst = 2))
+    val port = api.start()
+    val client = new GrpcSeqClient("127.0.0.1", port, api)
+    try {
+      def once(): Option[String] =
+        try { client.status(); None }
+        catch { case e: Exception => Some(Option(e.getMessage).getOrElse("")) }
+      val results = (1 to 3).map(_ => once())
+      assert(results.take(2).forall(_.isEmpty), results)
+      assert(results.exists(_.exists(_.contains("RESOURCE_EXHAUSTED"))), results)
+      Thread.sleep(2100) // tokens refill
+      assert(once().isEmpty)
+    } finally { client.close(); api.stop() }
+  }
+
   test("proto codec round-trips every message shape") {
     import org.sparkproject.connect.protobuf.CodedInputStream
     def rt[A](w: A => Array[Byte], r: CodedInputStream => A, v: A): A =
