@@ -464,6 +464,12 @@ object SparkEntry {
       dataprep.Similarity.int8TopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- two-stage retrieval: int8 shortlist → exact float re-rank ----
+    "dp_ann_int8_rerank" -> ((s, dir) =>
+      dataprep.Similarity.int8RerankTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        shortlist = 50)),
+
     // ---- ANN: random-hyperplane LSH-bucketed variant (oracle mirrors planes) ----
     "dp_ann_lsh" -> ((s, dir) =>
       dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
@@ -1409,6 +1415,50 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, int_dot,
                 CAST(floor(((CAST(int_dot AS DOUBLE) * sq) * sn) * 1000000 + 0.5) AS BIGINT) AS approx_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // Two-stage: the int8 CTE chain shortlists 50, then ONLY those are
+    // float re-scored (list_dot_product = the engine's left-to-right
+    // fold) and re-ranked to the final 10.
+    "dp_ann_int8_rerank" ->
+      """WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), a AS (
+           SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+         ), q AS (
+           SELECT id,
+                  CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(floor(x * 127 / amax + 0.5) AS BIGINT)) END AS qv,
+                  amax / 127.0 AS scale
+           FROM a
+         ), p AS (
+           SELECT qq.id AS query_id, nn.id AS neighbor_id,
+                  qq.scale AS sq, nn.scale AS sn, qq.qv AS qa, nn.qv AS qb
+           FROM q qq JOIN q nn ON nn.id <> qq.id
+           WHERE qq.id IN (0, 1, 2, 3, 4)
+         ), d AS (
+           SELECT query_id, neighbor_id, sq, sn,
+                  CAST(list_sum(list_transform(range(1, len(qa)+1),
+                    i -> qa[i] * qb[i])) AS BIGINT) AS int_dot
+           FROM p
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY (CAST(int_dot AS DOUBLE) * sq) * sn DESC, neighbor_id ASC) AS rn
+           FROM d
+         ), s AS (
+           SELECT query_id, neighbor_id FROM r WHERE rn <= 50
+         ), e AS (
+           SELECT s.query_id, s.neighbor_id,
+                  list_dot_product(vq.v, vn.v) AS fdot
+           FROM s
+           JOIN v vq ON vq.id = s.query_id
+           JOIN v vn ON vn.id = s.neighbor_id
+         ), f AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY fdot DESC, neighbor_id ASC) AS rk
+           FROM e)
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+                CAST(floor(fdot * 1000000 + 0.5) AS BIGINT) AS dot_e6
+         FROM f WHERE rk <= 10 ORDER BY query_id, rank""",
 
     "dp_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),

@@ -351,6 +351,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage retrieval — the shape production vector search takes at
+    * 10^9 vectors: a cheap int8 first pass ([[int8TopK]]) shortlists
+    * `shortlist` candidates per query, then ONLY those are re-scored
+    * with exact float dot products and re-ranked to the final top-k.
+    * The expensive exact pass touches shortlist/corpus of the data;
+    * quantization error can only cost recall at the shortlist
+    * boundary, never mis-rank the final page (which is float-exact).
+    */
+  def int8RerankTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, shortlist: Int = 50): DataFrame = {
+    val short = int8TopK(df, idCol, vecCol, queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = col(vecCol).cast("array<double>")
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), v.as("q"))
+    val corpus = df.select(col(idCol).as("neighbor_id"), v.as("v"))
+    val rescored = short
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-group centroid of an embedding column, in integer micro-units:
     * per (group, dimension), n, Σ round(v·1e6) and their IEEE-division
     * mean. Integer summation is associative, so the result is
