@@ -470,6 +470,14 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         shortlist = 50)),
 
+    // ---- embedding-space decontamination (label 0 = the benchmark) ----
+    "dp_decontaminate_embed" -> ((s, dir) => {
+      val em = TestTables.embeddings(s, dir)
+      dataprep.Similarity.embeddingDecontaminate(
+        em.where(col("label") =!= 0), em.where(col("label") === 0),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
     // ---- ANN: random-hyperplane LSH-bucketed variant (oracle mirrors planes) ----
     "dp_ann_lsh" -> ((s, dir) =>
       dataprep.Similarity.lshTopK(TestTables.embeddings(s, dir),
@@ -1459,6 +1467,21 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
                 CAST(floor(fdot * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM f WHERE rk <= 10 ORDER BY query_id, rank""",
+
+    // max over doubles is order-independent; same dot fold as the
+    // engine (list_dot_product = left-to-right)
+    "dp_decontaminate_embed" ->
+      """WITH c AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label <> 0
+         ), b AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE label = 0
+         ), m AS (
+           SELECT c.id, max(list_dot_product(c.v, b.bv)) AS max_dot
+           FROM c CROSS JOIN b GROUP BY c.id
+         )
+         SELECT id, CAST(floor(max_dot * 1000000 + 0.5) AS BIGINT) AS max_dot_e6
+         FROM m WHERE max_dot < 0.35 ORDER BY id""",
 
     "dp_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),

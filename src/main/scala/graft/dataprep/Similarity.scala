@@ -379,6 +379,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-space decontamination — the semantic companion of
+    * n-gram [[Decontaminate]]: drop corpus documents whose embedding is
+    * too close to ANY benchmark embedding (paraphrased test-set leaks
+    * that share no n-grams still collide here). Per corpus doc the max
+    * dot over the benchmark set is computed map-side against the
+    * BROADCAST benchmark — the one place broadcast is the genuinely
+    * right scale shape: benchmarks are MBs while the corpus is TBs, so
+    * the corpus never shuffles at all. Output: (id, max_dot_e6) of the
+    * KEPT (max dot < threshold) docs, id-ordered.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val b = bench.select(col(vecCol).cast("array<double>").as("bv"))
+    c.join(broadcast(b))
+      .groupBy(col("id"))
+      // max is order-independent — safe over doubles, unlike a sum
+      .agg(max(dot(col("v"), col("bv"))).as("max_dot"))
+      .where(col("max_dot") < threshold)
+      .select(col("id"),
+        expr("CAST(floor(max_dot * 1000000 + 0.5) AS BIGINT)").as("max_dot_e6"))
+      .orderBy("id")
+  }
+
   /** Per-group centroid of an embedding column, in integer micro-units:
     * per (group, dimension), n, Σ round(v·1e6) and their IEEE-division
     * mean. Integer summation is associative, so the result is
