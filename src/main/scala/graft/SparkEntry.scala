@@ -633,6 +633,12 @@ object SparkEntry {
       dataprep.TextPrep.chunkTokens(TestTables.documents(s, dir),
         "doc_id", "text", maxTokens = 20, overlap = 5)),
 
+    // ---- passage-level dedup: fixed-window substring dedup (keep the
+    //      globally-first occurrence of every 8-token passage) ----
+    "dp_passage_dedup" -> ((s, dir) =>
+      dataprep.Dedup.passageDedup(TestTables.documents(s, dir),
+        "doc_id", "text", passageTokens = 8).orderBy("doc_id")),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -1737,6 +1743,31 @@ object SparkEntry {
           SELECT doc_id, n_grams, n_dup,
                  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
           FROM j ORDER BY doc_id ASC""",
+
+    // Passage windows are the same integer arithmetic as dp_chunk's
+    // (ceil(n/8) windows, per-index list_transform slices); the global
+    // first-occurrence decision is a rank over (doc_id, p_idx) within
+    // each passage's partition — identical tiebreak on both engines.
+    "dp_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          nz AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                 FROM t WHERE len(toks) > 0),
+          e AS (SELECT doc_id, toks, n, unnest(range(0, (n + 7) // 8)) AS p_idx FROM nz),
+          x AS (SELECT doc_id, CAST(p_idx AS BIGINT) AS p_idx,
+                  array_to_string(list_transform(
+                    range(p_idx*8 + 1, least(p_idx*8 + 8, n) + 1),
+                    i -> toks[CAST(i AS INT)]), ' ') AS passage
+                FROM e),
+          r AS (SELECT doc_id, p_idx, passage,
+                  row_number() OVER (PARTITION BY passage
+                                     ORDER BY doc_id ASC, p_idx ASC) AS rn
+                FROM x)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 coalesce(array_to_string(
+                   list(passage ORDER BY p_idx ASC) FILTER (WHERE rn = 1), ' '),
+                   '') AS clean_text
+          FROM r GROUP BY doc_id ORDER BY doc_id ASC""",
 
     // Chunk boundaries are exact integer arithmetic; per-index
     // list_transform avoids engine-specific slice-bound semantics.

@@ -418,6 +418,60 @@ object Dedup {
     df.join(clusters(df, idCol, pairs).where(col("id") === col("rep"))
       .select(col("id").as(idCol)), Seq(idCol))
 
+  /** Passage-level exact dedup: the fixed-window approximation of
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — the suffix-array pass that removes
+    * repeated SPANS, not whole documents). Each document is cut into
+    * consecutive non-overlapping windows of `passageTokens` tokens (the
+    * last window may be shorter); a passage survives iff it is the
+    * globally FIRST occurrence of its content, ordered by
+    * (doc id, passage index). Every later occurrence — boilerplate
+    * headers, license blocks, quoted reposts — is dropped from the
+    * reassembled text while the rest of the document is kept.
+    *
+    * Output: one row per tokenizable doc — `n_passages`, `n_kept`, and
+    * `clean_text` (surviving passages re-joined in document order;
+    * empty string when every passage was seen before).
+    *
+    * Scale: exactly two shuffles, both on keys that spread —
+    *  1. the dedup decision: a window rank partitioned BY PASSAGE
+    *     CONTENT (the shuffle key is the passage string, cardinality ≈
+    *     corpus passages, no hot key beyond true duplicate mass);
+    *  2. reassembly: groupBy doc id.
+    * No joins, no broadcast, state per key is one row — the same shape
+    * at 100 TB, where the passage shuffle is the dominant (and
+    * unavoidable) cost of a global first-occurrence decision.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int): DataFrame = {
+    require(passageTokens > 0, "passageTokens must be positive")
+    val k = passageTokens
+    val toks = TextPrep.tokens(col(textCol))
+    val passages = df
+      .select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")),
+          i => array_join(slice(col("toks"), i * k + 1, lit(k)), " "))))
+      .withColumnRenamed("pos", "p_idx")
+      .withColumnRenamed("col", "passage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage"))
+      .orderBy(col(idCol).asc, col("p_idx").asc)
+    passages
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("p_idx"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("clean_text"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with
     * dot(a, b) >= threshold. Output: id_a, id_b, dot_e6 (dot scaled to
     * integer micro-units for float-stable comparison).

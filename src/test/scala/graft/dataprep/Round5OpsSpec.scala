@@ -1,0 +1,54 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-5 additions: passage-level dedup (fixed-window substring
+  * dedup), temperature-balanced domain mixing, token-budget quality
+  * selection, hybrid RRF retrieval.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- passageDedup ----
+
+  private def passageRows(out: org.apache.spark.sql.DataFrame) =
+    out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("passageDedup: later occurrences of a passage are dropped, doc order kept") {
+    val df = Seq(
+      (1L, "a b c d"), // passages: "a b", "c d" — both first
+      (2L, "a b x y"), // "a b" repeats doc 1 → dropped; "x y" kept
+      (3L, "c d")      // whole doc is a repeat → emptied
+    ).toDF("doc_id", "text")
+    val out = passageRows(Dedup.passageDedup(df, "doc_id", "text", passageTokens = 2))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("passageDedup: within-doc repetition dedupes against itself") {
+    val df = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val out = passageRows(Dedup.passageDedup(df, "doc_id", "text", passageTokens = 2))
+    assert(out.toSeq == Seq((7L, 3L, 1L, "a b")))
+  }
+
+  test("passageDedup: short tail window is its own passage; empty docs drop out") {
+    val df = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    val out = passageRows(Dedup.passageDedup(df, "doc_id", "text", passageTokens = 2))
+    // "a b" and the 1-token tail "c" are distinct passages
+    assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
+  }
+
+  test("passageDedup: first occurrence is by (doc_id, p_idx), not input order") {
+    // same passage at different positions: doc 5 position 1 vs doc 6
+    // position 0 — doc 5 wins on doc id regardless of position
+    val df = Seq((6L, "z z p q"), (5L, "m n p q")).toDF("doc_id", "text")
+    val out = passageRows(Dedup.passageDedup(df, "doc_id", "text", passageTokens = 2))
+    assert(out.toSeq == Seq(
+      (5L, 2L, 2L, "m n p q"),
+      (6L, 2L, 1L, "z z")))
+  }
+}

@@ -11,11 +11,17 @@ import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# --only=a,b,c : run/compare just those queries (fast local iteration)
+ONLY = set()
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-spark" not in sys.argv:
+    arg3 = f" {','.join(sorted(ONLY))}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{arg3}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1200)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:])
@@ -30,6 +36,8 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, skips = [], [], []
 for name in sorted(oracle):
+    if ONLY and name not in ONLY:
+        skips.append(name); continue
     sql = oracle[name]
     pdir = f"{OUT}/{name}"
     if not os.path.isdir(pdir):
