@@ -558,6 +558,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- deterministic stratified sample (k smallest priorities per group) ----
+    // ---- temperature-balanced domain mixing (p_g ∝ c_g^alpha) ----
+    "dp_temperature_mix" -> ((s, dir) =>
+      dataprep.Sampling.temperatureMix(
+        TestTables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "dp_sample_stratified" -> ((s, dir) =>
       dataprep.Sampling.stratifiedSample(
           TestTables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", k = 20)
@@ -845,6 +852,24 @@ object SparkEntry {
                      ELSE h63 < ${t(0.1).get} END
           ORDER BY doc_id"""
     },
+
+    // Same rate arithmetic as the Spark side: sqrt on the exact
+    // cmin/cnt double ratio (correctly rounded on both engines), keep
+    // decision on the [0,1)-scaled 63-bit priority; the minimal group
+    // short-circuits on the integer count equality.
+    "dp_temperature_mix" ->
+      s"""WITH ${mix64Ctes("SELECT doc_id, lang, " +
+            s"CAST(xor(CAST(doc_id AS BIGINT), ${dataprep.Sampling.TemperatureMixSalt}) AS BIGINT) AS uid " +
+            "FROM documents")},
+          c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+          mn AS (SELECT min(cnt) AS cmin FROM c),
+          r AS (SELECT lang, cnt, cmin,
+                  sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+                FROM c, mn)
+          SELECT doc_id, lang FROM mh JOIN r USING (lang)
+          WHERE cnt = cmin
+             OR CAST(h63 AS DOUBLE) / 9.223372036854775808e18 < rate
+          ORDER BY doc_id ASC""",
 
     "dp_sample_stratified" ->
       s"""WITH ${mix64Ctes("SELECT doc_id, lang, CAST(doc_id AS BIGINT) AS uid FROM documents")},

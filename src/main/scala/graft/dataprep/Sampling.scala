@@ -156,6 +156,54 @@ object Sampling {
     df.where(cond)
   }
 
+  /** Default salt for [[temperatureMix]] ("temp_mix" in ASCII): its
+    * own hash stream, independent of split/mix/shuffle decisions. */
+  val TemperatureMixSalt: Long = 0x74656D705F6D6978L
+
+  /** Temperature-balanced domain mixing: deterministic downsampling
+    * that reshapes the group-size distribution toward
+    * p_g ∝ c_g^alpha (alpha = 1 keeps the natural distribution,
+    * alpha → 0 approaches uniform) — the standard rebalancing applied
+    * to multilingual / multi-domain training corpora so rare domains
+    * are not drowned out. With keep rate r_g = (c_min/c_g)^(1-alpha)
+    * the smallest group is kept whole and every sampled group lands at
+    * expected size c_min^(1-alpha) · c_g^alpha — no upsampling, no
+    * duplication, and (like every sampler here) a row's fate is a pure
+    * function of (uid, salt, its group's keep rate).
+    *
+    * The keep decision compares the row's 63-bit priority, scaled to
+    * [0,1) in double, against the group rate. For alpha = 0.5 the rate
+    * is computed with sqrt (IEEE-exact, correctly rounded everywhere)
+    * so an oracle on any engine reproduces the sample bit for bit;
+    * other alphas go through pow, whose last-ulp rounding is libm-
+    * specific — fine in production, not contractual across engines.
+    * Rows of the minimal group short-circuit on the exact integer
+    * count comparison, not the float rate, so "keep the smallest group
+    * whole" is exact.
+    *
+    * Scale: one map-side-combined count aggregation over the corpus
+    * (#groups rows out), rate arithmetic on that tiny frame, then a
+    * broadcast join back and a narrow filter — the corpus itself is
+    * never shuffled.
+    */
+  def temperatureMix(df: DataFrame, uidCol: String, groupCol: String,
+      alpha: Double = 0.5, salt: Long = TemperatureMixSalt): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    requireIntegralUid(df, uidCol)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val cmin = counts.agg(min(col("__cnt")).as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__cnt").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(cmin)).withColumn("__rate", rate)
+    val hd = priority63(col(uidCol).cast("long"), salt).cast("double") /
+      lit(9.223372036854775808e18)
+    df.join(broadcast(rates), groupCol)
+      .where(col("__cnt") === col("__cmin") || hd < col("__rate"))
+      .drop("__cnt", "__cmin", "__rate")
+  }
+
   /** Exactly-k-per-group deterministic sample: the k rows with the
     * smallest hash priorities in each group (ties broken by uid). A
     * uniform without-replacement sample per group — and, like

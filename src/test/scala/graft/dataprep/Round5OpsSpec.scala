@@ -42,6 +42,46 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
   }
 
+  // ---- temperatureMix ----
+
+  test("temperatureMix: smallest group kept whole, large groups downsampled") {
+    val df = (0L until 400L).map(i => (i, if (i < 360) "big" else "small"))
+      .toDF("doc_id", "grp")
+    val out = Sampling.temperatureMix(df, "doc_id", "grp", alpha = 0.5)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("small") == 40) // c == cmin short-circuit: all kept
+    // rate = sqrt(40/360) = 1/3; 360 rows sampled at 1/3 — allow a
+    // generous binomial band around 120
+    assert(byGrp("big") > 80 && byGrp("big") < 160)
+  }
+
+  test("temperatureMix: alpha = 1 keeps the natural distribution") {
+    val df = (0L until 100L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    assert(Sampling.temperatureMix(df, "doc_id", "grp", alpha = 1.0).count() == 100)
+  }
+
+  test("temperatureMix: deterministic and stable under repartitioning") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
+    val a = Sampling.temperatureMix(df, "doc_id", "grp").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureMix(df.repartition(7), "doc_id", "grp")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("temperatureMix rejects non-integral uids and bad alpha") {
+    val df = Seq(("x", "g")).toDF("doc_id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "doc_id", "grp")
+    }
+    val ok = Seq((1L, "g")).toDF("doc_id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(ok, "doc_id", "grp", alpha = 0.0)
+    }
+  }
+
   test("passageDedup: first occurrence is by (doc_id, p_idx), not input order") {
     // same passage at different positions: doc 5 position 1 vs doc 6
     // position 0 — doc 5 wins on doc id regardless of position
