@@ -543,6 +543,19 @@ object SparkEntry {
     "dp_pii_redact" -> ((s, dir) =>
       dataprep.TextAnalysis.redactPii(TestTables.raw(s, dir, "events"), "event_id", "props", digitRunRe = "[0-9]{2,}")),
 
+    // ---- token-budget quality selection: best docs until budget ----
+    "dp_quality_budget" -> ((s, dir) => {
+      val scored = dataprep.TextAnalysis
+        .withQualityScore(TestTables.documents(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").as("n_toks"))
+      dataprep.Packing.selectByBudget(scored,
+          Seq(col("quality_score").desc, col("doc_id").asc),
+          "n_toks", budget = 10000L)
+        .select("doc_id", "quality_score", "n_toks", "cum")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic hash split (train/val/test) ----
     "dp_split" -> ((s, dir) =>
       dataprep.Sampling.split(
@@ -1549,6 +1562,33 @@ object SparkEntry {
                    + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
                    AS quality_score
           FROM c ORDER BY doc_id ASC""",
+
+    // Same composite score as dp_quality; the budget walk is a plain
+    // windowed SUM over (score DESC, doc_id ASC) — the oracle form of
+    // the distributed two-phase prefix scan — keeping rows whose
+    // exclusive prefix is under budget.
+    "dp_quality_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_toks,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','der','die','und','das','nicht','ein','que','los','las','una','por','el','le','les','des','une','est','dans'))) AS BIGINT) AS n_stop
+            FROM t),
+          q AS (
+            SELECT doc_id, n_toks,
+              CAST(n_distinct AS DOUBLE) / CAST(greatest(n_toks, 1) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                + CAST(n_stop AS DOUBLE) / CAST(greatest(n_toks, 1) AS DOUBLE) * CAST(0.3 AS DOUBLE)
+                + CASE WHEN n_toks BETWEEN 20 AND 1000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                AS quality_score
+            FROM c),
+          s AS (
+            SELECT doc_id, quality_score, n_toks,
+              sum(n_toks) OVER (ORDER BY quality_score DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM q)
+          SELECT doc_id, quality_score, n_toks, CAST(cum AS BIGINT) AS cum
+          FROM s WHERE cum - n_toks < 10000 ORDER BY doc_id ASC""",
 
     "dp_token_counts" ->
       s"""SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.dataprep
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -35,26 +35,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Packing {
 
-  /** @param df      input; `idCol` must be unique (it defines the order)
-    * @param idCol   unique orderable id
-    * @param sizeCol per-row size (tokens/bytes); cast to long
-    * @param budget  shard capacity in the same unit as sizeCol
-    * @return (idCol, sizeCol, cum, shard) — `cum` is the INCLUSIVE prefix
-    *         sum (matches `sum() OVER (ORDER BY id)` in SQL), `shard`
-    *         uses the exclusive prefix `cum - size`
+  /** Distributed inclusive prefix sum of `sizeCol` (already long) in
+    * the total order given by `orderCols` — the two-phase scan
+    * described above, generic over the ordering so both id-order
+    * packing and quality-order budget selection ride it. Appends `cum`.
     */
-  def packShards(df: DataFrame, idCol: String, sizeCol: String,
-      budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  private def withCum(df: DataFrame, orderCols: Seq[Column],
+      sizeCol: String): DataFrame = {
     val spark = df.sparkSession
-
-    val thin = df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol))
-      .repartitionByRange(col(idCol).asc)
+    val part = df.repartitionByRange(orderCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // phase 2: per-partition totals → base offsets (exclusive scan over
     // partition ids, which for a range exchange ascend with the key)
-    val partTotals = thin
+    val partTotals = part
       .groupBy(spark_partition_id().as("__pid"))
       .agg(sum(sizeCol).as("__total"))
       .collect()
@@ -68,13 +62,52 @@ object Packing {
       .toDF("__pid", "__base")
 
     // phase 3: partition-local running sum + broadcast base offset
-    val w = Window.partitionBy("__pid").orderBy(col(idCol).asc)
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    thin.withColumn("__pid", spark_partition_id())
+    part.withColumn("__pid", spark_partition_id())
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("cum", col("__base") + sum(col(sizeCol)).over(w))
+      .drop("__pid", "__base")
+  }
+
+  /** @param df      input; `idCol` must be unique (it defines the order)
+    * @param idCol   unique orderable id
+    * @param sizeCol per-row size (tokens/bytes); cast to long
+    * @param budget  shard capacity in the same unit as sizeCol
+    * @return (idCol, sizeCol, cum, shard) — `cum` is the INCLUSIVE prefix
+    *         sum (matches `sum() OVER (ORDER BY id)` in SQL), `shard`
+    *         uses the exclusive prefix `cum - size`
+    */
+  def packShards(df: DataFrame, idCol: String, sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val thin = df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol))
+    withCum(thin, Seq(col(idCol).asc), sizeCol)
       .withColumn("shard", floor((col("cum") - col(sizeCol)) / budget))
       .select(col(idCol), col(sizeCol), col("cum"), col("shard"))
       .orderBy(col(idCol).asc)
+  }
+
+  /** Budget-capped ordered selection: walk the corpus in the total
+    * order given by `orderCols` (e.g. quality descending) and keep
+    * rows until `budget` units of `sizeCol` are consumed — "take the
+    * best documents until the token budget is full", the data-mixture
+    * step that turns a scored corpus into a fixed-size training set.
+    *
+    * A row is kept iff the budget was not yet exhausted when it is
+    * reached (exclusive prefix `cum - size < budget`), so the row that
+    * crosses the boundary is included and the selection is never empty
+    * for a positive budget. Appends `cum`; same two-phase distributed
+    * scan as [[packShards]] — no global window, no driver data path.
+    *
+    * `orderCols` must induce a TOTAL order (break score ties with a
+    * unique id) or the selection at the boundary is nondeterministic.
+    */
+  def selectByBudget(df: DataFrame, orderCols: Seq[Column],
+      sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    withCum(df.withColumn(sizeCol, col(sizeCol).cast("long")),
+        orderCols, sizeCol)
+      .where(col("cum") - col(sizeCol) < budget)
   }
 }

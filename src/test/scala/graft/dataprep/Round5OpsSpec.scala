@@ -42,6 +42,43 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
   }
 
+  // ---- selectByBudget ----
+
+  test("selectByBudget: keeps rows while the exclusive prefix is under budget") {
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("id", "sz")
+    def ids(budget: Long) =
+      Packing.selectByBudget(df, Seq(col("id").asc), "sz", budget)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // budget 8: row 3 starts exactly at the budget → excluded
+    assert(ids(8) == Seq(1L, 2L))
+    // budget 9: row 3 starts at 8 < 9 → the crossing row is included
+    assert(ids(9) == Seq(1L, 2L, 3L))
+    // tiny budget still selects the first row
+    assert(ids(1) == Seq(1L))
+  }
+
+  test("selectByBudget: order columns drive the selection, not input order") {
+    val df = Seq((1L, 0.1, 5L), (2L, 0.9, 5L), (3L, 0.5, 5L))
+      .toDF("id", "score", "sz")
+    val got = Packing.selectByBudget(df,
+        Seq(col("score").desc, col("id").asc), "sz", budget = 10L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L)) // two best scores, not two smallest ids
+  }
+
+  test("selectByBudget: stable under repartitioning, cum matches a window sum") {
+    val df = (0L until 500L).map(i => (i, (i * 37 % 23) + 1)).toDF("id", "sz")
+    val out = Packing.selectByBudget(df.repartition(13),
+        Seq(col("id").asc), "sz", budget = 3000L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // oracle: driver-side running sum in id order
+    var cum = 0L
+    val exp = (0L until 500L).map { i => cum += (i * 37 % 23) + 1; (i, cum) }
+      .takeWhile { case (_, c) => true }
+      .filter { case (i, c) => c - ((i * 37 % 23) + 1) < 3000L }
+    assert(out.toSeq == exp)
+  }
+
   // ---- temperatureMix ----
 
   test("temperatureMix: smallest group kept whole, large groups downsampled") {
