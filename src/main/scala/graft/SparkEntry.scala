@@ -664,6 +664,13 @@ object SparkEntry {
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "window", "merge"))),
 
+    // ---- hybrid retrieval: BM25 ⊕ embedding ranks via RRF ----
+    "dp_hybrid_rrf" -> ((s, dir) =>
+      dataprep.Similarity.hybridRrf(
+        TestTables.documents(s, dir), "doc_id", "text",
+        TestTables.embeddings(s, dir), "vec_id", "embedding",
+        terms = Seq("spark", "window", "merge"), queryId = 0L)),
+
     // ---- token-rarity curation signal (vocabulary join) ----
     "dp_rarity" -> ((s, dir) =>
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
@@ -1885,6 +1892,68 @@ object SparkEntry {
             FROM d, st)
           SELECT doc_id, dl, score FROM sc WHERE score > 0
           ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // dp_bm25's score CTEs verbatim for the lexical pool, dp_ann_topk's
+    // dot ranking for the semantic pool (query 0), fused by RRF on the
+    // integer ranks — 1/(60+rank) doubles summed in the written order.
+    "dp_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+              CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2,
+              CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf3,
+              CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS h1,
+              CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END AS h2,
+              CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END AS h3
+            FROM t
+          ), st AS (
+            SELECT count(*) AS n, sum(dl) AS sumdl,
+                   sum(h1) AS df1, sum(h2) AS df2, sum(h3) AS df3
+            FROM d
+          ), sc AS (
+            SELECT doc_id, dl,
+              (tf1 * ((((n - df1) + 0.5) / (df1 + 0.5)) * (1.2 + 1.0)))
+                / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              + (tf2 * ((((n - df2) + 0.5) / (df2 + 0.5)) * (1.2 + 1.0)))
+                / (tf2 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              + (tf3 * ((((n - df3) + 0.5) / (df3 + 0.5)) * (1.2 + 1.0)))
+                / (tf3 + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE))
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+              AS score
+            FROM d, st
+          ), lex AS (
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+          ), lr AS (
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_lex
+            FROM lex
+          ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+          ), scored AS (
+            SELECT e.vec_id AS doc_id,
+                   list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d2
+            FROM q, embeddings e WHERE e.vec_id <> 0
+          ), sr0 AS (
+            SELECT doc_id, row_number() OVER (ORDER BY d2 DESC, doc_id ASC) AS rn
+            FROM scored
+          ), sr AS (
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank_sem FROM sr0 WHERE rn <= 50
+          ), f AS (
+            SELECT doc_id, rank_lex, rank_sem,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank_lex AS DOUBLE)), CAST(0.0 AS DOUBLE))
+                + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank_sem AS DOUBLE)), CAST(0.0 AS DOUBLE))
+                AS rrf_score
+            FROM lr FULL OUTER JOIN sr USING (doc_id)
+          ), g AS (
+            SELECT doc_id, rank_lex, rank_sem, rrf_score,
+              CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+            FROM f)
+          SELECT doc_id, rank_lex, rank_sem, rrf_score, fused_rank
+          FROM g WHERE fused_rank <= 20 ORDER BY fused_rank ASC""",
 
     // The whole curation pipeline replayed stage for stage: quality +
     // lang gates (dp_quality / dp_lang_id expressions verbatim), md5

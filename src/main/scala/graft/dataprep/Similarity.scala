@@ -416,6 +416,49 @@ object Similarity {
     * partial-aggregate map-side BEFORE the shuffle — the exchange
     * carries at most |groups|·|dims| rows per task, not the corpus.
     */
+  /** Hybrid retrieval: lexical BM25 ranks and embedding-dot ranks for
+    * the SAME query, fused by Reciprocal Rank Fusion —
+    * rrf(d) = 1/(kRrf + rank_lex(d)) + 1/(kRrf + rank_sem(d)), a rank
+    * list absent contributing 0. RRF is the standard score-free fusion
+    * for lexical+vector search (Cormack et al., SIGIR'09): it needs no
+    * score calibration between the two systems, only their ranks, so
+    * the fused result is exactly reproducible anywhere the two rank
+    * lists are (both are deterministic here: score desc, id asc).
+    *
+    * Each system contributes its top `poolK`; the fused list is the
+    * top `topK` by (rrf desc, id asc). Output: doc_id, rank_lex,
+    * rank_sem (null when the doc is outside that system's pool),
+    * rrf_score, fused_rank.
+    *
+    * Scale: both pools are TakeOrdered top-k over their corpora (no
+    * global sort); the fusion itself joins two ≤poolK-row frames —
+    * driver-free and broadcast by AQE. Swap the brute-force semantic
+    * pool for [[ivfTopKIndexed]] at corpus scale; the fusion is
+    * unchanged.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      embeds: DataFrame, embIdCol: String, vecCol: String,
+      terms: Seq[String], queryId: Long, kRrf: Int = 60,
+      poolK: Int = 50, topK: Int = 20): DataFrame = {
+    val lex = CorpusStats.bm25Rank(docs, idCol, textCol, terms, topK = poolK)
+      .select(col(idCol).as("doc_id"), col("score"))
+    val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lexRanks = lex
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .select("doc_id", "rank_lex")
+    val semRanks = bruteForceTopK(embeds, embIdCol, vecCol,
+        queryIds = Seq(queryId), k = poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_sem"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(kRrf).cast("double") + r.cast("double")), lit(0.0))
+    val fused = lexRanks.join(semRanks, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", contrib(col("rank_lex")) + contrib(col("rank_sem")))
+    val wf = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .where(col("fused_rank") <= topK)
+      .orderBy("fused_rank")
+  }
+
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol).as("grp"),
         posexplode(col(vecCol).cast("array<double>")))

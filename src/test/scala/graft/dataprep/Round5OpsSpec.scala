@@ -42,6 +42,54 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
   }
 
+  // ---- hybridRrf ----
+
+  test("hybridRrf: docs in both pools outrank single-pool docs; absent ranks contribute 0") {
+    // doc 1: lexical hit AND nearest vector; doc 2: lexical only;
+    // doc 3: vector only; doc 4: neither
+    val docs = Seq(
+      (1L, "apple pie recipe"),
+      (2L, "apple orchard"),
+      (3L, "quantum flux"),
+      (4L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1.0f, 0.0f)),  // the query vector
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(-1.0f, 0.0f)), // anti-aligned: bottom of the sem pool
+      (3L, Array(0.8f, 0.2f)),
+      (4L, Array(-0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrf(docs, "doc_id", "text", embeds, "vec_id",
+        "embedding", terms = Seq("apple"), queryId = 0L, poolK = 2, topK = 4)
+      .collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3), r.getLong(4))).toMap
+    // doc 1 is in both top-2 pools → highest fused score
+    assert(byId(1L)._4 == 1L)
+    assert(byId(1L)._1.nonEmpty && byId(1L)._2.nonEmpty)
+    // doc 3 is semantic-only: null lexical rank, positive score
+    assert(byId(3L)._1.isEmpty && byId(3L)._2.nonEmpty && byId(3L)._3 > 0.0)
+    // doc 2 is lexical-only (anti-aligned vector misses the sem pool)
+    assert(byId(2L)._1.nonEmpty && byId(2L)._2.isEmpty)
+    // doc 4 matches neither pool → not returned at all
+    assert(!byId.contains(4L))
+  }
+
+  test("hybridRrf: rrf scores are 1/(k+rank) sums") {
+    val docs = Seq((1L, "apple"), (2L, "apple apple")).toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1.0f)), (1L, Array(0.5f)), (2L, Array(0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrf(docs, "doc_id", "text", embeds, "vec_id",
+        "embedding", terms = Seq("apple"), queryId = 0L, kRrf = 60,
+        poolK = 2, topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 2: bm25 rank 1 (higher tf), sem rank 2; doc 1: bm25 2, sem 1
+    assert(out(2L) == 1.0 / 61 + 1.0 / 62)
+    assert(out(1L) == 1.0 / 62 + 1.0 / 61)
+  }
+
   // ---- selectByBudget ----
 
   test("selectByBudget: keeps rows while the exclusive prefix is under budget") {
