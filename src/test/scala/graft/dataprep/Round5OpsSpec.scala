@@ -42,6 +42,41 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
   }
 
+  // ---- plan shapes (the 100 TB contract) ----
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan before reading it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("passageDedup plan: no joins, dedup shuffle keyed on passage content") {
+    val df = (0L until 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w$i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(Dedup.passageDedup(df, "doc_id", "text", 2))
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("hashpartitioning(passage"),
+      s"dedup rank must shuffle on passage content:\n$plan")
+  }
+
+  test("selectByBudget plan: range exchange + per-partition window, never a global window") {
+    val df = (0L until 300L).map(i => (i, i % 17 + 1)).toDF("id", "sz")
+    val plan = finalPlan(
+      Packing.selectByBudget(df, Seq(col("id").asc), "sz", budget = 500L))
+    assert(plan.contains("rangepartitioning"),
+      s"phase-1 range exchange missing:\n$plan")
+    // a Window with an EMPTY partition spec ("[], [ordering]") would be
+    // the single-task global scan this operator exists to avoid
+    assert(!"""Window \[[^\n]*\], \[\], \[""".r.findFirstIn(plan).isDefined,
+      s"global (empty-partition) window found:\n$plan")
+  }
+
+  test("temperatureMix plan: rate join broadcasts; the corpus is never sort-merge joined") {
+    val df = (0L until 500L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val plan = finalPlan(Sampling.temperatureMix(df, "doc_id", "grp"))
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a KB join:\n$plan")
+  }
+
   // ---- hybridRrf ----
 
   test("hybridRrf: docs in both pools outrank single-pool docs; absent ranks contribute 0") {
