@@ -589,6 +589,18 @@ object SparkEntry {
       dataprep.Decontaminate.report(TestTables.documents(s, dir), "doc_id", "text",
         col("doc_id") % 20 === 0, minOverlap = 5)),
 
+    // ---- map-side bloom decontamination (no oracle: bloom bit math
+    //      is not SQL-expressible; DecontaminateSpec pins the
+    //      upper-bound/parity contract vs the oracle-checked exact
+    //      path, and this entry keeps the scale path driver-smoked) ----
+    "dp_decontaminate_bloom" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val bloom = dataprep.Decontaminate.benchBloom(d, "doc_id", "text",
+        col("doc_id") % 20 === 0, numBits = 1 << 22, numHashes = 5)
+      dataprep.Decontaminate.reportBloom(d, "doc_id", "text",
+        col("doc_id") % 20 === 0, minOverlap = 5, bloom)
+    }),
+
     // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
     "dp_multimodal_stub" -> ((s, dir) =>
       dataprep.Multimodal.extractFeatures(
