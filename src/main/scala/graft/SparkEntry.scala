@@ -409,6 +409,11 @@ object SparkEntry {
       dataprep.Dedup.ngramJaccardPairs(TestTables.documents(s, dir),
         "doc_id", "text", "n_chars", maxLenDiff = 25, thresholdNum = 3, thresholdDen = 10)),
 
+    // ---- containment pairs (prefix-filtered, exact-verified) ----
+    "dp_dedup_containment" -> ((s, dir) =>
+      dataprep.Dedup.containmentPairs(TestTables.documents(s, dir),
+        "doc_id", "text", thresholdNum = 9, thresholdDen = 10)),
+
     // ---- MinHash + LSH near-dup pairs (exact-verified candidates) ----
     "dp_dedup_minhash_lsh" -> ((s, dir) =>
       dataprep.Dedup.minhashLshPairs(TestTables.documents(s, dir),
@@ -686,6 +691,21 @@ object SparkEntry {
     // ---- token-rarity curation signal (vocabulary join) ----
     "dp_rarity" -> ((s, dir) =>
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- unigram-LM surprisal (CCNet-style perplexity filter signal) ----
+    "dp_lm_logprob" -> ((s, dir) =>
+      dataprep.CorpusStats.unigramLogProb(TestTables.documents(s, dir), "doc_id", "text")),
+
+    // ---- leakage-safe split: near-dup clusters never straddle train/test ----
+    "dp_split_leakage" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val pairs = dataprep.Dedup.minhashLshPairs(d,
+        "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)
+        .select("id_a", "id_b")
+      dataprep.Sampling.leakageSafeSplit(d.select("doc_id", "text"), "doc_id", pairs)
+        .select(col("doc_id"), col("rep").as("rep_id"), col("split"))
+        .orderBy("doc_id")
+    }),
 
     // ---- end-to-end curation pipeline (quality → lang → exact dedup →
     //      near-dup drop → decontaminate → mix → split); oracle replays
@@ -1326,6 +1346,21 @@ object SparkEntry {
           FROM s a, s b
           WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 25
             AND len(list_intersect(a.sh, b.sh)) * 10 >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))
+          ORDER BY id_a, id_b""",
+
+    // Brute-force containment over all ordered pairs; the Spark side's
+    // prefix filter is exact (a qualifying pair always shares a prefix
+    // hash — pigeonhole), so the candidate pruning must not change the
+    // result. Shingle-less docs drop on both sides.
+    "dp_dedup_containment" ->
+      s"""$DSH_CTE,
+          nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
+                 CAST(len(a.sh) AS BIGINT) AS n_a
+          FROM nz a, nz b
+          WHERE a.doc_id <> b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) * 10 >= 9 * len(a.sh)
           ORDER BY id_a, id_b""",
 
     // clusters: the pair set (brute-force Jaccard — LSH at these
@@ -2061,5 +2096,56 @@ object SparkEntry {
                  CAST(sum_freq AS BIGINT) AS sum_freq,
                  CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_freq
           FROM d ORDER BY doc_id ASC""",
+
+    // Same vocabulary build as dp_rarity; nll quantized to integer
+    // micro-nats PER VOCAB ENTRY (floor(x*1e6+0.5) — the engine's
+    // portable rounding) before the per-doc integer sum, so a last-ulp
+    // libm difference on ln cannot accumulate across tokens. ln() is
+    // natural log in DuckDB (log() is base 10 — do not swap).
+    "dp_lm_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          v AS (SELECT tok, count(*) AS freq FROM u GROUP BY tok),
+          st AS (SELECT sum(freq) + count(*) AS denom FROM v),
+          q AS (SELECT tok,
+                  CAST(floor((ln(CAST(st.denom AS DOUBLE)) - ln(CAST(freq + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS nll_e6
+                FROM v, st),
+          d AS (SELECT u.doc_id, count(*) AS n_tokens, sum(q.nll_e6) AS sum_nll_e6
+                FROM u JOIN q USING (tok) GROUP BY u.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6,
+                 CAST(sum_nll_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_nll_e6
+          FROM d ORDER BY doc_id ASC""",
+
+    // Leakage-safe split: the dp_dedup_clusters closure (recursive
+    // min-label reachability over the brute-force near-dup pair graph)
+    // feeds the dp_split hash-range assignment, keyed by the cluster
+    // representative XOR the decorrelating salt.
+    "dp_split_leakage" -> {
+      val ts = dataprep.Sampling.thresholds(dataprep.Sampling.DefaultWeights)
+      val cases = ts.init.map { case (n, t) => s"WHEN h63 < $t THEN '$n'" }.mkString(" ")
+      s"""${DSH_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+          reps AS (SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
+                   FROM reach GROUP BY v),
+          ${mix64Ctes("SELECT doc_id, rep_id, " +
+            s"CAST(xor(rep_id, ${dataprep.Sampling.LeakageSplitSalt}) AS BIGINT) AS uid " +
+            "FROM reps")}
+          SELECT doc_id, rep_id, CASE $cases ELSE '${ts.last._1}' END AS split
+          FROM mh ORDER BY doc_id"""
+    },
   )
 }

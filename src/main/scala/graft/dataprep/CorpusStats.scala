@@ -72,6 +72,49 @@ object CorpusStats {
       .orderBy(col(idCol).asc)
   }
 
+  /** Self-trained unigram language-model surprisal per document — the
+    * CCNet-style "perplexity filter" signal, with the corpus itself as
+    * the training text (no external model artifact). Per token w, with
+    * Laplace smoothing over corpus counts c(w), N total tokens and V
+    * distinct tokens:
+    *
+    *   nll(w) = -ln p(w) = ln(N + V) - ln(c(w) + 1)
+    *
+    * and a document's score is the mean nll over its tokens (with
+    * multiplicity). Low mean = head (fluent, common language), high
+    * mean = tail (gibberish, boilerplate-free rare text) — threshold
+    * or tertile downstream with a plain filter.
+    *
+    * Cross-engine determinism: nll is quantized to integer micro-nats
+    * PER DISTINCT VOCAB ENTRY — floor(x*1e6 + 0.5), pure IEEE ops, no
+    * decimal detour — so per-doc sums are exact integer arithmetic and
+    * a 1-ulp libm disagreement on ln cannot accumulate; it could only
+    * flip a value sitting within ~4e-9 of a quantization boundary
+    * (probability ~1e-8 per vocab entry). The mean is one IEEE
+    * division of exact integers.
+    *
+    * Scale: same two-pass shape as [[rarityScore]] — vocabulary build
+    * is a map-side-combined count (Zipf-bounded output), the stats row
+    * (N, V) is ONE driver-collected row inlined as a literal, and the
+    * token→vocab join is AQE-broadcast while the vocabulary fits,
+    * token-partitioned shuffle beyond. No driver-side state grows with
+    * the corpus.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol), explode(TextPrep.tokens(col(textCol))).as("tok"))
+    val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val stats = vocab.agg(sum("freq"), count(lit(1))).head()
+    val denomLn = math.log((stats.getLong(0) + stats.getLong(1)).toDouble)
+    val scored = vocab.withColumn("nll_e6",
+      floor((lit(denomLn) - log(col("freq").cast("double") + 1d)) * 1e6 + 0.5).cast("long"))
+    tokens.join(scored, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_e6").as("sum_nll_e6"))
+      .withColumn("mean_nll_e6",
+        col("sum_nll_e6").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col(idCol).asc)
+  }
+
   /** BM25-style relevance of every document against a bag of query
     * terms, top-k by score.
     *

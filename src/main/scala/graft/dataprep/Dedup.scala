@@ -99,6 +99,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment near-dup pairs: ordered (id_a, id_b) where at least
+    * thresholdNum/thresholdDen of A's distinct shingles also appear in
+    * B — the asymmetric measure that catches WHOLESALE INCLUSION
+    * (a doc quoted inside a longer one, nested reposts, boilerplate
+    * wrappers), which symmetric Jaccard misses because the size gap
+    * crushes i/(|A|+|B|-i).
+    *
+    * Candidate generation is prefix filtering (the AllPairs/PPJoin
+    * family): with t = ceil(θ·|A|) required matches, a qualifying B
+    * must share at least one of A's first |A|−t+1 sorted shingle
+    * hashes — if the whole prefix misses B, at most t−1 matches
+    * remain. So candidates = equi-join of A-prefixes against all
+    * postings on the shingle-hash key (shuffle on the hash, never a
+    * cross product), deduped to distinct pairs BEFORE the arrays are
+    * attached for exact verification with the sorted-merge intersect.
+    *
+    * Scale: postings are linear in corpus shingles; prefix length is
+    * (1−θ)·|A|+1, so high thresholds probe a small fraction. The
+    * classic refinement — ordering shingles by global rarity so
+    * prefixes carry the most selective tokens — adds a frequency-
+    * dictionary join; hash order (uniformly random positions) is the
+    * dictionary-free variant, the right default until a skewed corpus
+    * measures otherwise.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      "threshold must be a fraction in (0, 1]")
+    val s = spread(df).select(col(idCol).as("id"),
+        graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("hs"))
+      .where(size(col("hs")) > 0)
+      .persist()
+    val n = size(col("hs"))
+    val need = ((n * thresholdNum + lit(thresholdDen - 1)) / thresholdDen).cast("int")
+    val probes = s.select(col("id").as("id_a"),
+      explode(slice(col("hs"), lit(1), n - need + 1)).as("h"))
+    val posts = s.select(col("id").as("id_b"), explode(col("hs")).as("h"))
+    val cands = probes.join(posts, Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(s.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("inter_cnt", interCount(col("hs_a"), col("hs_b")))
+      .withColumn("n_a", size(col("hs_a")).cast("long"))
+      .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("n_a"))
+      .select("id_a", "id_b", "inter_cnt", "n_a")
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash signature column: `numHashes` permutations
     * h_i(x) = (a_i * x + b_i) mod P over xxhash64'd shingles, P =
     * 2^31 - 1 (Mersenne prime). Coefficients derive deterministically

@@ -204,6 +204,39 @@ object Sampling {
       .drop("__cnt", "__cmin", "__rate")
   }
 
+  val LeakageSplitSalt: Long = 0x6C65616B5F73706CL
+
+  /** Leakage-safe train/val/test split: the hash-range assignment of
+    * [[split]], but keyed by each row's NEAR-DUP CLUSTER representative
+    * (from [[Dedup.clusters]] over the given candidate `pairs`) instead
+    * of its own id — so a document and its near-duplicates can never
+    * straddle the train/test boundary. Plain hash splits leak: a test
+    * document whose near-copy sits in train inflates every downstream
+    * eval. Keying by the cluster representative moves the whole
+    * connected component together; singletons (the overwhelming
+    * majority) key by themselves, preserving [[split]]'s marginal
+    * proportions.
+    *
+    * The salt decorrelates this split from a plain [[split]] over the
+    * same ids (see [[priority63]]'s salt contract).
+    *
+    * Scale: clusters is the persisted min-label fixpoint (or one
+    * driver union-find below its edge cap — near-dup graphs are sparse
+    * by construction); the rep join is an equi-join on the id, AQE
+    * handles the build side; the split itself is row-local. Returns
+    * `df` plus `rep` (the cluster representative) and `asCol`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)] = DefaultWeights,
+      salt: Long = LeakageSplitSalt, asCol: String = "split"): DataFrame = {
+    require(!df.columns.contains("rep"), "column 'rep' already exists")
+    requireIntegralUid(df, idCol)
+    val reps = Dedup.clusters(df.select(col(idCol).as("id")), "id", pairs)
+    val withRep = df.join(reps.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("__rep_uid", col("rep").cast("long").bitwiseXOR(lit(salt)))
+    split(withRep, "__rep_uid", weights, asCol).drop("__rep_uid")
+  }
+
   /** Exactly-k-per-group deterministic sample: the k rows with the
     * smallest hash priorities in each group (ties broken by uid). A
     * uniform without-replacement sample per group — and, like

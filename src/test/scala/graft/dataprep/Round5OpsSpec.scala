@@ -42,6 +42,102 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, "a b c")))
   }
 
+  // ---- containmentPairs ----
+
+  test("containmentPairs: catches inclusion that Jaccard misses, in one direction") {
+    // doc 1 is wholly quoted inside doc 2 (plus a long tail), so
+    // containment(1→2) = 1.0 while jaccard is far below 1/2
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+      (3L, "totally unrelated content words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 3L))) // 3 of A's 3 bigrams in B; not 2→1
+  }
+
+  test("containmentPairs: matches brute force on a random-ish corpus") {
+    val words = Array("a", "b", "c", "d", "e", "f")
+    def text(i: Long): String =
+      (0 until (i % 7 + 2).toInt).map(j => words(((i * 31 + j * 17) % 6).toInt)).mkString(" ")
+    val df = (0L until 60L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver brute force over distinct-bigram STRING sets
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val sh = (0L until 60L).map(i => i -> shingles(text(i))).filter(_._2.nonEmpty)
+    val exp = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia != ib && (sa & sb).size * 10 >= 8 * sa.size
+    } yield (ia, ib)).toSet
+    assert(got == exp)
+  }
+
+  // ---- unigramLogProb ----
+
+  test("unigramLogProb: matches a driver replica of the smoothed-LM formula") {
+    val texts = Seq((1L, "a a b"), (2L, "b c"), (3L, "a"), (4L, ""))
+    val df = texts.toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // corpus: a×3, b×2, c×1 → N=6, V=3, denom=9
+    def nllE6(freq: Long): Long =
+      math.floor((math.log(9d) - math.log(freq + 1d)) * 1e6 + 0.5).toLong
+    val (na, nb, nc) = (nllE6(3), nllE6(2), nllE6(1))
+    assert(got == Seq(
+      (1L, 3L, 2 * na + nb),
+      (2L, 2L, nb + nc),
+      (3L, 1L, na))) // doc 4 has no tokens → no row
+  }
+
+  test("unigramLogProb: rarer tokens carry strictly higher surprisal") {
+    val df = Seq((1L, "common common common common rare")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogProb(df, "doc_id", "text").collect()(0)
+    // mean over {4×nll(common), 1×nll(rare)}; nll(rare) > nll(common)
+    assert(out.getLong(1) == 5L)
+    val meanE6 = out.getDouble(3)
+    def nllE6(freq: Long): Long =
+      math.floor((math.log(7d) - math.log(freq + 1d)) * 1e6 + 0.5).toLong
+    assert(out.getLong(2) == 4 * nllE6(4) + nllE6(1))
+    assert(meanE6 == out.getLong(2).toDouble / 5d)
+  }
+
+  // ---- leakageSafeSplit ----
+
+  test("leakageSafeSplit: a near-dup cluster never straddles the boundary") {
+    // docs 1,2 near-identical (paired); 3 unrelated singleton
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different content about spark window functions")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(out.map(_._2) == Seq(1L, 1L, 3L)) // reps: min-label; singleton = self
+    assert(out(0)._3 == out(1)._3, "clustered docs must share a split")
+    // and the assignment is exactly split() on the salted rep uid
+    val exp = Sampling.split(
+      out.map(t => Tuple1(t._2 ^ Sampling.LeakageSplitSalt)).toDF("u"), "u")
+      .collect().map(_.getString(1))
+    assert(out.map(_._3) == exp.toSeq)
+  }
+
+  test("leakageSafeSplit: no pairs degrades to a per-id split (decorrelated salt)") {
+    val df = (0L until 200L).map(i => (i, s"doc number $i words")).toDF("doc_id", "text")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs)
+    val byRep = out.select("doc_id", "rep").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(byRep.forall { case (id, rep) => id == rep })
+    val splits = out.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
