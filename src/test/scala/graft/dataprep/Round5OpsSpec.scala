@@ -166,6 +166,23 @@ class Round5OpsSpec extends SparkSpec {
       s"global (empty-partition) window found:\n$plan")
   }
 
+  test("containmentPairs plan: equi-join candidates, no cartesian or nested loop") {
+    val df = (0L until 300L).map(i => (i, s"w${i % 9} w${i % 7} w${i % 5} w${i % 3} w$i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(Dedup.containmentPairs(df, "doc_id", "text", 9, 10))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("unigramLogProb plan: no cartesian; the stats row is a literal, not a join") {
+    val df = (0L until 300L).map(i => (i, s"tok${i % 11} tok${i % 5} tok$i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(CorpusStats.unigramLogProb(df, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    // exactly one join (tokens x vocab); N+V was inlined on the driver
+    assert(plan.split("Join", -1).length - 1 <= 2, s"more joins than tokens-vocab:\n$plan")
+  }
+
   test("temperatureMix plan: rate join broadcasts; the corpus is never sort-merge joined") {
     val df = (0L until 500L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
     val plan = finalPlan(Sampling.temperatureMix(df, "doc_id", "grp"))
