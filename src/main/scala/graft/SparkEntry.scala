@@ -439,6 +439,16 @@ object SparkEntry {
       dataprep.Dedup.embeddingNearDupPairs(TestTables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.4)),
 
+    // ---- SemDeDup-style semantic dedup: one survivor per cosine cluster ----
+    "dp_dedup_semantic" -> ((s, dir) => {
+      val e = TestTables.embeddings(s, dir)
+      val pairs = dataprep.Dedup.embeddingNearDupPairs(e,
+          "vec_id", "embedding", threshold = 0.4)
+        .select("id_a", "id_b")
+      dataprep.Dedup.dropNearDuplicates(e.select("vec_id", "label"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
     // ---- ANN: brute-force dot-product top-k ----
     "dp_ann_topk" -> ((s, dir) =>
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
@@ -1421,6 +1431,28 @@ object SparkEntry {
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b""",
+
+    // dp_embed_neardup's brute-force pair graph, closed transitively
+    // (the dp_dedup_clusters recursive pattern), keeping rows that are
+    // their own min-label representative.
+    "dp_dedup_semantic" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id
+             AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS MATERIALIZED (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(v, u) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+         reps AS (SELECT v AS vec_id, min(u) AS rep FROM reach GROUP BY v)
+         SELECT emb.vec_id, emb.label
+         FROM embeddings emb JOIN reps USING (vec_id)
+         WHERE reps.vec_id = reps.rep
+         ORDER BY emb.vec_id""",
 
     "dp_ann_topk" ->
       """WITH q AS (

@@ -122,6 +122,12 @@ object Dedup {
     * dictionary join; hash order (uniformly random positions) is the
     * dictionary-free variant, the right default until a skewed corpus
     * measures otherwise.
+    *
+    * Cache note: the shingle frame is persisted (it feeds the probe,
+    * posting, and both verification branches); like [[clusters]], the
+    * returned plan reads it lazily — long-lived sessions should
+    * unpersist via `spark.catalog.clearCache()` or re-derive once
+    * materialized.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {

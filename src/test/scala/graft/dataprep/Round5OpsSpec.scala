@@ -138,6 +138,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  // ---- semantic dedup (embedding pairs ∘ clusters ∘ keep) ----
+
+  test("semantic dedup composition: one survivor (min id) per cosine cluster") {
+    // vecs 1,2 nearly parallel (dot ≈ 1); 5 orthogonal to both
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(0.999f, 0.04f), 8),
+      (5L, Seq(0.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(df.select("vec_id", "label"), "vec_id", pairs)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.toSeq == Seq((1L, 7), (5L, 9)))
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
