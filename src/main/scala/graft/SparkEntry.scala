@@ -706,6 +706,11 @@ object SparkEntry {
     "dp_lm_logprob" -> ((s, dir) =>
       dataprep.CorpusStats.unigramLogProb(TestTables.documents(s, dir), "doc_id", "text")),
 
+    // ---- naive-Bayes source scorer (fasttext-style quality classifier) ----
+    "dp_nb_score" -> ((s, dir) =>
+      dataprep.CorpusStats.naiveBayesScore(TestTables.documents(s, dir),
+        "doc_id", "text", "source", positiveLabel = "src0")),
+
     // ---- leakage-safe split: near-dup clusters never straddle train/test ----
     "dp_split_leakage" -> ((s, dir) => {
       val d = TestTables.documents(s, dir)
@@ -2147,6 +2152,28 @@ object SparkEntry {
           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                  CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6,
                  CAST(sum_nll_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_nll_e6
+          FROM d ORDER BY doc_id ASC""",
+
+    // Same vocabulary build with two conditional counts; per-vocab-
+    // entry e6 quantization of the smoothed log-odds, exactly the
+    // dp_lm_logprob contract.
+    "dp_nb_score" ->
+      s"""WITH t AS (SELECT doc_id, source, $DTOKS AS toks FROM documents),
+          u AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS pos,
+                       unnest(toks) AS tok FROM t),
+          v AS (SELECT tok, sum(pos) AS c_pos, sum(1 - pos) AS c_neg
+                FROM u GROUP BY tok),
+          st AS (SELECT sum(c_pos) + count(*) AS d_pos,
+                        sum(c_neg) + count(*) AS d_neg FROM v),
+          q AS (SELECT tok,
+                  CAST(floor(((ln(CAST(c_pos + 1 AS DOUBLE)) - ln(CAST(st.d_pos AS DOUBLE)))
+                            - (ln(CAST(c_neg + 1 AS DOUBLE)) - ln(CAST(st.d_neg AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS lo_e6
+                FROM v, st),
+          d AS (SELECT u.doc_id, count(*) AS n_tokens, sum(q.lo_e6) AS sum_logodds_e6
+                FROM u JOIN q USING (tok) GROUP BY u.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(sum_logodds_e6 AS BIGINT) AS sum_logodds_e6,
+                 CAST(sum_logodds_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_logodds_e6
           FROM d ORDER BY doc_id ASC""",
 
     // Leakage-safe split: the dp_dedup_clusters closure (recursive

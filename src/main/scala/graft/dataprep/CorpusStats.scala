@@ -115,6 +115,56 @@ object CorpusStats {
       .orderBy(col(idCol).asc)
   }
 
+  /** Self-trained naive-Bayes document scorer — the in-corpus moral
+    * equivalent of the fasttext-style "quality classifier" used to
+    * select wiki/reference-like documents from a web crawl: train
+    * per-token log-odds of a TARGET CLASS (rows where `labelCol` =
+    * `positiveLabel`) against everything else, then score every doc by
+    * the sum of its tokens' log-odds. With Laplace smoothing, token w
+    * contributes
+    *
+    *   λ(w) = ln((c_pos(w)+1)/(N_pos+V)) − ln((c_neg(w)+1)/(N_neg+V))
+    *
+    * (class-prior term omitted: it is a per-doc-constant offset that
+    * does not change ranking, and leaving it out keeps the score a
+    * pure token signal). Positive sums read "looks like the target
+    * source"; threshold or top-fraction downstream.
+    *
+    * Determinism: λ is quantized to integer micro-nats PER VOCAB ENTRY
+    * (floor(x*1e6+0.5)) before the per-doc integer sum — same contract
+    * as [[unigramLogProb]], so a last-ulp libm difference on ln cannot
+    * accumulate. Mean is one IEEE division of exact integers.
+    *
+    * Scale: one vocabulary build with two conditional counts (map-side
+    * combined, Zipf-bounded output), ONE driver-collected stats row
+    * inlined as literals, one token→vocab join (AQE-broadcast while
+    * the vocabulary fits), one groupBy(doc). Training and inference
+    * share the single corpus scan lineage — no model artifact, no
+    * driver state proportional to data.
+    */
+  def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, positiveLabel: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+        (col(labelCol) === positiveLabel).cast("long").as("pos"),
+        explode(TextPrep.tokens(col(textCol))).as("tok"))
+    val vocab = tokens.groupBy("tok").agg(
+      sum(col("pos")).as("c_pos"),
+      sum(lit(1L) - col("pos")).as("c_neg"))
+    val stats = vocab.agg(sum("c_pos"), sum("c_neg"), count(lit(1))).head()
+    val (nPos, nNeg, v) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val (lnPos, lnNeg) = (math.log((nPos + v).toDouble), math.log((nNeg + v).toDouble))
+    val scored = vocab.withColumn("lo_e6",
+      floor(((log(col("c_pos").cast("double") + 1d) - lit(lnPos))
+           - (log(col("c_neg").cast("double") + 1d) - lit(lnNeg))) * 1e6 + 0.5)
+        .cast("long"))
+    tokens.join(scored, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("lo_e6").as("sum_logodds_e6"))
+      .withColumn("mean_logodds_e6",
+        col("sum_logodds_e6").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col(idCol).asc)
+  }
+
   /** BM25-style relevance of every document against a bag of query
     * terms, top-k by score.
     *

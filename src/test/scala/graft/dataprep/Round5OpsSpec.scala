@@ -104,6 +104,28 @@ class Round5OpsSpec extends SparkSpec {
     assert(meanE6 == out.getLong(2).toDouble / 5d)
   }
 
+  // ---- naiveBayesScore ----
+
+  test("naiveBayesScore: matches a driver replica; target-class tokens score positive") {
+    val df = Seq(
+      (1L, "good fine", "wiki"),
+      (2L, "good good", "wiki"),
+      (3L, "spam spam good", "web")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.naiveBayesScore(df, "doc_id", "text", "source", "wiki")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // pos tokens: good×3, fine×1 (N=4); neg: spam×2, good×1 (N=3); V=3
+    def lo(cp: Long, cn: Long): Long =
+      math.floor(((math.log(cp + 1d) - math.log(7d))
+                - (math.log(cn + 1d) - math.log(6d))) * 1e6 + 0.5).toLong
+    val (good, fine, spam) = (lo(3, 1), lo(1, 0), lo(0, 2))
+    assert(got == Seq(
+      (1L, 2L, good + fine),
+      (2L, 2L, 2 * good),
+      (3L, 3L, 2 * spam + good)))
+    assert(fine > 0 && spam < 0, "class-exclusive tokens must have signed log-odds")
+  }
+
   // ---- leakageSafeSplit ----
 
   test("leakageSafeSplit: a near-dup cluster never straddles the boundary") {
