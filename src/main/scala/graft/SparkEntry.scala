@@ -430,6 +430,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup report: cluster-size histogram (size-1 rows = uniques;
+    //      1 - Σn_clusters/Σn_docs = corpus duplicate rate) ----
+    "dp_dedup_stats" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val pairs = dataprep.Dedup.minhashLshPairs(d,
+        "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)
+        .select("id_a", "id_b")
+      dataprep.Dedup.clusters(d, "doc_id", pairs)
+        .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // ---- SimHash near-dup pairs (banded; oracle = O(n^2) portable-simhash SQL) ----
     "dp_dedup_simhash" -> ((s, dir) =>
       dataprep.Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
@@ -1403,6 +1417,31 @@ object SparkEntry {
             SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
           SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
           FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // The dp_dedup_clusters closure, re-aggregated to the size
+    // histogram the Spark side reports.
+    "dp_dedup_stats" ->
+      s"""${DSH_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+          reps AS (SELECT v AS doc_id, min(u) AS rep FROM reach GROUP BY v),
+          cs AS (SELECT rep, count(*) AS cluster_size FROM reps GROUP BY rep)
+          SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+          FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
 
     "dp_dedup_minhash_lsh" ->
       s"""$DSH_CTE
