@@ -463,6 +463,12 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- MMR diversity re-rank (distributed pool, KB-sized greedy) ----
+    "dp_mmr" -> ((s, dir) =>
+      dataprep.Similarity.mmrTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryId = 0L, poolSize = 20, k = 5,
+        lambdaNum = 7, lambdaDen = 10)),
+
     // ---- ANN: brute-force dot-product top-k ----
     "dp_ann_topk" -> ((s, dir) =>
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
@@ -1475,6 +1481,37 @@ object SparkEntry {
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b""",
+
+    // MMR greedy replayed as chained argmax CTEs: pool = top-20 by
+    // relevance, sim = the pool's pairwise dots, then step n picks
+    // argmax of rel*10 − 7*max(sim to picks 1..n−1) — the same scaled
+    // objective and IEEE op order as the engine's driver greedy (step
+    // 1's redundancy term is exactly zero, so `rel * 10` is
+    // bit-identical to rel*10 − 7*0.0).
+    "dp_mmr" -> {
+      val steps = (2 to 5).map { n =>
+        val prev = (1 until n).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+        s"""r$n AS (SELECT p.id, p.rel,
+              (SELECT max(s) FROM sim WHERE sim.ia = p.id AND sim.ib IN ($prev)) AS ms
+            FROM pool p WHERE p.id NOT IN ($prev)),
+          s$n AS (SELECT id, rel * 10 - 7 * ms AS m FROM r$n ORDER BY m DESC, id ASC LIMIT 1)"""
+      }.mkString(",\n")
+      val unions = (1 to 5).map(n =>
+        s"SELECT CAST($n AS BIGINT) AS rank, id AS vec_id, CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS mmr_scaled_e6 FROM s$n")
+        .mkString(" UNION ALL ")
+      s"""WITH pool AS (
+            SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+                   list_dot_product(
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+                     CAST(e.embedding AS DOUBLE[])) AS rel
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY rel DESC, id ASC LIMIT 20),
+          sim AS (SELECT a.id AS ia, b.id AS ib, list_dot_product(a.v, b.v) AS s
+                  FROM pool a JOIN pool b ON a.id <> b.id),
+          s1 AS (SELECT id, rel * 10 AS m FROM pool ORDER BY m DESC, id ASC LIMIT 1),
+          $steps
+          SELECT rank, vec_id, mmr_scaled_e6 FROM ($unions) ORDER BY rank"""
+    },
 
     // dp_embed_neardup's brute-force pair graph, closed transitively
     // (the dp_dedup_clusters recursive pattern), keeping rows that are

@@ -37,6 +37,85 @@ object Similarity {
       queryIds: Seq[Long], k: Int): DataFrame =
     filteredTopK(df, idCol, vecCol, queryIds, k, lit(true))
 
+  /** MMR (maximal marginal relevance) diversity re-rank: greedily pick
+    * k results balancing relevance to the query against redundancy
+    * with what is already picked —
+    *
+    *   pick_n = argmax_i [ rel_i * λden − λnum * max_{j∈picked} dot(i,j) ]
+    *
+    * (λ = λnum/λden kept as an exact rational; the scaled objective
+    * avoids a division whose rounding could diverge across engines.
+    * Ties break by smaller id; the first pick has no redundancy term.)
+    * The classic fix for near-duplicate-saturated neighbor lists —
+    * retrieval that [[hybridRrf]] fuses, this diversifies.
+    *
+    * Scale split: the candidate POOL (top `poolSize` by relevance) is
+    * selected distributed — scoring is map-side over the corpus, the
+    * pool a TakeOrdered — and only those `poolSize` rows (KB-sized,
+    * like the BM25 stats row or the IVF centroid set) are collected
+    * for the O(k·pool) greedy, which is inherently sequential: each
+    * pick changes the next objective. At 100 TB the corpus pass is the
+    * cost; the driver step is constant.
+    *
+    * Determinism: the pool's relevances come from the same codegen dot
+    * kernel as [[bruteForceTopK]]; driver-side pair dots accumulate
+    * left-to-right exactly like the kernel and DuckDB's
+    * list_dot_product, and the objective's IEEE op order
+    * (rel*λden − λnum*maxsim) is mirrored by the oracle.
+    *
+    * Output: rank (1-based pick order), vec_id, mmr_scaled_e6
+    * (floor(objective*1e6+0.5) of the SCALED objective).
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      poolSize: Int, k: Int, lambdaNum: Long, lambdaDen: Long): DataFrame = {
+    require(k > 0 && poolSize >= k, "need 0 < k <= poolSize")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a fraction in [0, 1]")
+    val spark = df.sparkSession
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("q"))
+    val pool = df.where(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(q))
+      .withColumn("rel", dot(col("q"), col("v")))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(poolSize)
+      .select("id", "v", "rel")
+      .collect()
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cands = scala.collection.mutable.ArrayBuffer(pool.map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var rank = 1L
+    while (rank <= k && cands.nonEmpty) {
+      var bi = -1; var bm = Double.NegativeInfinity; var bid = Long.MaxValue
+      var i = 0
+      while (i < cands.length) {
+        val (id, v, rel) = cands(i)
+        var maxsim = 0.0
+        var j = 0
+        while (j < picked.length) {
+          val s = ddot(v, picked(j)._2); if (j == 0 || s > maxsim) maxsim = s; j += 1
+        }
+        val m = rel * lambdaDen - lambdaNum * maxsim
+        if (m > bm || (m == bm && id < bid)) { bi = i; bm = m; bid = id }
+        i += 1
+      }
+      val (id, v, _) = cands(bi)
+      out += ((rank, id, math.floor(bm * 1e6 + 0.5).toLong))
+      picked += ((id, v))
+      cands.remove(bi)
+      rank += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "mmr_scaled_e6").orderBy("rank")
+  }
+
   /** Filtered (hybrid) vector search: brute-force top-k restricted to
     * corpus rows satisfying `pred` — metadata filter + similarity in
     * one plan. The predicate applies BEFORE ranking (pre-filtering),

@@ -160,6 +160,39 @@ class Round5OpsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  // ---- mmrTopK ----
+
+  test("mmrTopK: a redundant near-copy of pick 1 is demoted below a diverse result") {
+    // query 0 along x; 1 and 2 tie on relevance (0.9) and are near-
+    // copies (sim 0.821); 3 is less relevant (0.5) but diverse
+    // (sim to 1 = 0.4). Demotion needs λ > (rel2−rel3)/(sim21−sim31)
+    // = 0.4/0.421 ≈ 0.95 — at λ = 0.97, step 2 scores
+    // m2 = 90 − 97·0.821 ≈ 10.36 < m3 = 50 − 97·0.4 = 11.2.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.9f, 0.11f)),
+      (3L, Seq(0.5f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(df, "vec_id", "embedding",
+        queryId = 0L, poolSize = 3, k = 3, lambdaNum = 97, lambdaDen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"diversity must beat redundancy at high lambda, got ${picks.toSeq}")
+    // plain relevance order would be 1, 2, 3 (rel tie broken by id)
+  }
+
+  test("mmrTopK: lambda = 0 degrades to pure relevance order") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.2f)), (3L, Seq(0.7f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(df, "vec_id", "embedding",
+        queryId = 0L, poolSize = 3, k = 3, lambdaNum = 0, lambdaDen = 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(1L, 2L, 3L))
+  }
+
   // ---- semantic dedup (embedding pairs ∘ clusters ∘ keep) ----
 
   test("semantic dedup composition: one survivor (min id) per cosine cluster") {
