@@ -444,6 +444,18 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // ---- soft dedup: weight = 1/cluster_size, no row dropped ----
+    "dp_dedup_soft" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val pairs = dataprep.Dedup.minhashLshPairs(d,
+        "doc_id", "text", numHashes = 128, bands = 32, thresholdNum = 1, thresholdDen = 2)
+        .select("id_a", "id_b")
+      dataprep.Dedup.softDedupWeights(d.select("doc_id", "source"), "doc_id", pairs)
+        .select(col("doc_id"), col("source"), col("rep").as("rep_id"),
+          col("cluster_size"), col("weight"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash near-dup pairs (banded; oracle = O(n^2) portable-simhash SQL) ----
     "dp_dedup_simhash" -> ((s, dir) =>
       dataprep.Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
@@ -1423,6 +1435,33 @@ object SparkEntry {
             SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
           SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
           FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // The closure again, joined back to every row with its cluster
+    // size; weight is one IEEE division of exact integers.
+    "dp_dedup_soft" ->
+      s"""${DSH_CTE.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh))
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(list_distinct(list_concat(a.sh, b.sh)))),
+          e AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+          reps AS (SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
+                   FROM reach GROUP BY v),
+          cs AS (SELECT rep_id, count(*) AS cluster_size FROM reps GROUP BY rep_id)
+          SELECT d.doc_id, d.source, reps.rep_id,
+                 CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+                 CAST(1.0 AS DOUBLE) / CAST(cs.cluster_size AS DOUBLE) AS weight
+          FROM documents d JOIN reps USING (doc_id) JOIN cs USING (rep_id)
+          ORDER BY d.doc_id""",
 
     // The dp_dedup_clusters closure, re-aggregated to the size
     // histogram the Spark side reports.

@@ -474,6 +474,27 @@ object Dedup {
     df.join(clusters(df, idCol, pairs).where(col("id") === col("rep"))
       .select(col("id").as(idCol)), Seq(idCol))
 
+  /** Soft dedup: instead of dropping near-duplicates, weight every row
+    * by the reciprocal of its cluster size — a doc appearing (near-)
+    * verbatim n times contributes total mass 1 instead of n, without
+    * losing any row (useful when duplicates carry distinct metadata,
+    * or when downstream sampling wants smooth downweighting rather
+    * than a hard drop). weight = 1/cluster_size as one IEEE division
+    * of exact integers (bit-stable cross-engine); cluster_size ships
+    * alongside so integer-exact pipelines can use the rational
+    * directly.
+    *
+    * Scale: [[clusters]] plus one size aggregation on the labels and
+    * one equi-join back — both on the id/rep keys, AQE-handled.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = clusters(df, idCol, pairs)
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+      .join(sizes, Seq("rep"))
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+  }
+
   /** Passage-level exact dedup: the fixed-window approximation of
     * substring deduplication (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better" — the suffix-array pass that removes

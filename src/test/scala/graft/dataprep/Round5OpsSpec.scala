@@ -209,6 +209,21 @@ class Round5OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq((1L, 7), (5L, 9)))
   }
 
+  // ---- softDedupWeights ----
+
+  test("softDedupWeights: cluster mass sums to 1, singletons keep weight 1, no row dropped") {
+    val df = Seq((1L, "m"), (2L, "m"), (3L, "m"), (9L, "x")).toDF("doc_id", "meta")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupWeights(df, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+                 r.getAs[Long]("cluster_size"), r.getAs[Double]("weight")))
+    assert(out.length == 4)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 1.0 / 3), (2L, 1L, 3L, 1.0 / 3),
+      (3L, 1L, 3L, 1.0 / 3), (9L, 9L, 1L, 1.0)))
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
