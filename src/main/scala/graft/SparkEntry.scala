@@ -636,16 +636,19 @@ object SparkEntry {
       dataprep.Decontaminate.report(TestTables.documents(s, dir), "doc_id", "text",
         col("doc_id") % 20 === 0, minOverlap = 5)),
 
-    // ---- map-side bloom decontamination (no oracle: bloom bit math
-    //      is not SQL-expressible; DecontaminateSpec pins the
-    //      upper-bound/parity contract vs the oracle-checked exact
-    //      path, and this entry keeps the scale path driver-smoked) ----
+    // ---- map-side bloom decontamination. Oracle = the EXACT-path SQL:
+    //      the bloom (2^22 bits, 5 hashes) is sized for ~zero false
+    //      positives at gate SF, so its upper-bound report must equal
+    //      the exact report bit-for-bit; a red row here is the FP-rate
+    //      alarm. n_overlap_max aliased to the exact path's n_overlap
+    //      for the comparison. ----
     "dp_decontaminate_bloom" -> ((s, dir) => {
       val d = TestTables.documents(s, dir)
       val bloom = dataprep.Decontaminate.benchBloom(d, "doc_id", "text",
         col("doc_id") % 20 === 0, numBits = 1 << 22, numHashes = 5)
       dataprep.Decontaminate.reportBloom(d, "doc_id", "text",
         col("doc_id") % 20 === 0, minOverlap = 5, bloom)
+        .withColumnRenamed("n_overlap_max", "n_overlap")
     }),
 
     // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
@@ -1611,8 +1614,9 @@ object SparkEntry {
                 CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 
-    // Integer micro-unit sums per (label, dimension); the mean is one
-    // IEEE division of exact integers — see Similarity.groupCentroids.
+    // Integer micro-unit sums per (label, dimension); the centroid mean is
+    // sum_e6/n, derivable — kept out of the compared output so the hash has
+    // no float-rendering surface. See Similarity.groupCentroids.
     "dp_centroids" ->
       """WITH u AS (
            SELECT label AS grp,
@@ -1620,9 +1624,7 @@ object SparkEntry {
                   unnest(CAST(embedding AS DOUBLE[])) AS v
            FROM embeddings)
          SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
-                sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS sum_e6,
-                CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE) AS mean_e6
+                sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS sum_e6
          FROM u GROUP BY grp, dim ORDER BY grp, dim""",
 
     // Quantization mirrored integer-for-integer: q = floor(x·127/amax
@@ -1825,6 +1827,20 @@ object SparkEntry {
         FROM events ORDER BY event_id ASC""",
 
     "dp_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          s AS (SELECT doc_id, $DSHINGLES AS sh FROM t),
+          b AS (SELECT list(DISTINCT sx) AS bsh
+                FROM (SELECT unnest(sh) AS sx FROM s WHERE doc_id % 20 = 0))
+          SELECT doc_id, CAST(len(list_intersect(s.sh, b.bsh)) AS BIGINT) AS n_overlap
+          FROM s, b
+          WHERE doc_id % 20 <> 0 AND len(list_intersect(s.sh, b.bsh)) >= 5
+          ORDER BY doc_id""",
+
+    // Bloom path compared against the EXACT report: with 2^22 bits / 5
+    // hashes over the gate-SF bench shingle set the expected FP count is
+    // ~0, so the upper bound collapses to equality. If this row ever goes
+    // red, the bloom is undersized for the corpus — the signal we want.
+    "dp_decontaminate_bloom" ->
       s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
           s AS (SELECT doc_id, $DSHINGLES AS sh FROM t),
           b AS (SELECT list(DISTINCT sx) AS bsh

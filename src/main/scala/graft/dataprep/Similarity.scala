@@ -548,8 +548,11 @@ object Similarity {
         // disagree by 1 unit. floor(+0.5) is pure IEEE and engine-portable.
         expr("CAST(floor(col * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
       .groupBy("grp", "dim")
+      // All-integer output: the centroid mean is sum_e6 / n, one IEEE
+      // division away, but emitting it as a DOUBLE makes the result hash
+      // depend on how a downstream verifier *renders* floats. Exposing only
+      // the exact (n, sum_e6) integer pair keeps the comparison surface
+      // engine- and renderer-portable.
       .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
-      .withColumn("mean_e6",
-        col("sum_e6").cast("double") / col("n").cast("double"))
       .orderBy("grp", "dim")
 }

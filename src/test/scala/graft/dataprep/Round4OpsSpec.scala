@@ -125,19 +125,22 @@ class Round4OpsSpec extends SparkSpec {
 
   // ---- groupCentroids ----
 
-  test("groupCentroids: exact integer sums and IEEE mean") {
+  test("groupCentroids: exact integer sums (all-integer output)") {
     val df = Seq(
       ("a", Array(1.0f, -2.0f)),
       ("a", Array(3.0f, 4.0f)),
       ("b", Array(0.5f, 0.25f))
     ).toDF("src", "embedding")
     val out = Similarity.groupCentroids(df, "src", "embedding")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(out.toSeq == Seq(
-      ("a", 0L, 2L, 4000000L, 2000000.0),
-      ("a", 1L, 2L, 2000000L, 1000000.0),
-      ("b", 0L, 1L, 500000L, 500000.0),
-      ("b", 1L, 1L, 250000L, 250000.0)))
+    // compared surface is all-integer; the mean is sum_e6/n, derivable
+    assert(out.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq("grp" -> "string", "dim" -> "bigint", "n" -> "bigint", "sum_e6" -> "bigint"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 2L, 4000000L),
+      ("a", 1L, 2L, 2000000L),
+      ("b", 0L, 1L, 500000L),
+      ("b", 1L, 1L, 250000L)))
   }
 
   test("groupCentroids is partition-independent") {
