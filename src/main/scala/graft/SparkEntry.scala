@@ -409,10 +409,15 @@ object SparkEntry {
       dataprep.Dedup.ngramJaccardPairs(TestTables.documents(s, dir),
         "doc_id", "text", "n_chars", maxLenDiff = 25, thresholdNum = 3, thresholdDen = 10)),
 
-    // ---- containment pairs (prefix-filtered, exact-verified) ----
+    // ---- containment pairs (prefix-filtered, exact-verified).
+    //      maxDfFrac exercises the scale path: shingles in >10% of
+    //      docs are dropped from candidate generation (verification
+    //      stays exact); at θ=0.9 a true pair's evidence is never
+    //      only stop-shingles here, so the oracle match is exact. ----
     "dp_dedup_containment" -> ((s, dir) =>
       dataprep.Dedup.containmentPairs(TestTables.documents(s, dir),
-        "doc_id", "text", thresholdNum = 9, thresholdDen = 10)),
+        "doc_id", "text", thresholdNum = 9, thresholdDen = 10,
+        maxDfFrac = 0.1)),
 
     // ---- MinHash + LSH near-dup pairs (exact-verified candidates) ----
     "dp_dedup_minhash_lsh" -> ((s, dir) =>

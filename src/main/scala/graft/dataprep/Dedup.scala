@@ -130,18 +130,71 @@ object Dedup {
     * materialized.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+      thresholdNum: Int, thresholdDen: Int,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen,
       "threshold must be a fraction in (0, 1]")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
     val s = spread(df).select(col(idCol).as("id"),
         graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
     val n = size(col("hs"))
     val need = ((n * thresholdNum + lit(thresholdDen - 1)) / thresholdDen).cast("int")
-    val probes = s.select(col("id").as("id_a"),
+    val probes0 = s.select(col("id").as("id_a"),
       explode(slice(col("hs"), lit(1), n - need + 1)).as("h"))
-    val posts = s.select(col("id").as("id_b"), explode(col("hs")).as("h"))
+    val posts0 = s.select(col("id").as("id_b"), explode(col("hs")).as("h"))
+    // Document-frequency cap on CANDIDATE GENERATION only. A stop-bigram
+    // shingle ("of the") present in df·N docs contributes df²·N² rows to
+    // the candidate join — one hot shuffle partition at corpus scale. With
+    // the cap, shingles in more than maxDfFrac of docs are dropped from
+    // both explode sides (never from verification, which reruns the exact
+    // sorted-merge intersect on the full arrays), bounding every posting
+    // list by maxDfFrac·N. The hot-key set itself is tiny by pigeonhole —
+    // at most totalShingleOccurrences/(maxDfFrac·N) entries — so the
+    // anti-joins are AQE broadcasts; and the DF groupBy is skew-immune
+    // because count() partial-aggregates map-side before the shuffle.
+    //
+    // The probe prefix is rebuilt over the NON-HOT subarray with a
+    // per-doc widened length, keeping the pruning EXACT in all but one
+    // corner: with t = ceil(θ·|A|) and hA = |A ∩ HOT|, a qualifying B
+    // shares ≥ t − hA non-hot shingles with A (at most hA of the shared
+    // ones can be hot), so probing A's first |A\HOT| − (t − hA) + 1
+    // sorted non-hot shingles must hit B — if every probe missed, only
+    // t − hA − 1 non-hot matches could remain, a contradiction. When
+    // t ≤ hA (a doc whose required overlap could consist entirely of
+    // stop-shingles) all non-hot shingles are probed and the pair is
+    // missed only if A∩B ⊆ HOT — i.e. the sole duplication evidence is
+    // stop-phrases, the noise the cap exists to ignore. Precision is
+    // always exact. maxDfFrac = 1.0 disables the cap entirely.
+    val (probes, posts) =
+      if (maxDfFrac >= 1.0) (probes0, posts0)
+      else {
+        val nDocs = s.count() // s is persisted; this action warms the cache
+        val cap = math.max(1L, (maxDfFrac * nDocs).toLong)
+        val hot = s.select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap)
+          .select("h")
+        val nonHot = s.select(col("id").as("id_a"),
+            size(col("hs")).as("n_all"), explode(col("hs")).as("h"))
+          .join(hot, Seq("h"), "left_anti")
+        // rank within the doc's surviving (sorted) shingles; doc-keyed
+        // windows are skew-free (group size = shingles per doc)
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy("h")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+        val needAll = ((col("n_all") * thresholdNum + lit(thresholdDen - 1)) /
+          thresholdDen).cast("int")
+        val hotCnt = col("n_all") - col("n_nonhot")
+        val probes1 = nonHot
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("n_nonhot", count(lit(1)).over(wAll).cast("int"))
+          .where(col("rk") <=
+            col("n_nonhot") - greatest(lit(1), needAll - hotCnt) + 1)
+          .select("id_a", "h")
+        (probes1, posts0.join(hot, Seq("h"), "left_anti"))
+      }
     val cands = probes.join(posts, Seq("h"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()

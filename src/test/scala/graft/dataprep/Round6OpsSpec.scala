@@ -1,0 +1,83 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-6 additions: document-frequency cap on containment candidate
+  * generation (the stop-shingle hot-key guard).
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(out: org.apache.spark.sql.DataFrame) =
+    out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  // Corpus shape: every doc carries the same boilerplate phrase (its
+  // bigrams hit 100% document frequency); real duplication evidence is
+  // the rare per-pair payload.
+  private def stopHeavy(nPairs: Int): org.apache.spark.sql.DataFrame = {
+    val boiler = "terms of service apply to all"
+    (0 until nPairs).flatMap { i =>
+      Seq((2L * i, s"$boiler payload$i alpha$i beta$i gamma$i"),
+        (2L * i + 1, s"$boiler payload$i alpha$i beta$i gamma$i extra$i"))
+    }.toDF("doc_id", "text")
+  }
+
+  test("containmentPairs DF cap: rare-shingle evidence keeps the result identical") {
+    val df = stopHeavy(12)
+    val uncapped = pairs(Dedup.containmentPairs(df, "doc_id", "text", 8, 10))
+    val capped = pairs(Dedup.containmentPairs(df, "doc_id", "text", 8, 10,
+      maxDfFrac = 0.2))
+    assert(capped == uncapped && uncapped.nonEmpty)
+  }
+
+  test("containmentPairs DF cap: pairs whose only evidence is stop-shingles are the documented recall loss") {
+    // Two docs share ONLY the universal boilerplate (containment 1.0
+    // for the shorter doc); the rest of the corpus gives the boilerplate
+    // bigrams >cap document frequency.
+    val boiler = "terms of service apply"
+    val df = ((0L until 20L).map(i => (i, s"$boiler unique$i only$i content$i here$i"))
+      :+ (100L, boiler) :+ (101L, s"$boiler tail1 tail2 tail3 tail4 tail5 tail6"))
+      .toDF("doc_id", "text")
+    val uncapped = pairs(Dedup.containmentPairs(df, "doc_id", "text", 9, 10))
+    val capped = pairs(Dedup.containmentPairs(df, "doc_id", "text", 9, 10,
+      maxDfFrac = 0.2))
+    // uncapped sees 100→everything (doc 100 is pure boilerplate, wholly
+    // contained in every other doc); under the cap those pairs' entire
+    // evidence is hot shingles — the documented recall loss, and the
+    // ONLY loss (pairs with any rare evidence are provably kept)
+    assert(uncapped.contains((100L, 101L)) && uncapped.forall(_._1 == 100L))
+    assert(capped.isEmpty)
+  }
+
+  test("containmentPairs DF cap: hot shingles are anti-joined out of candidate generation") {
+    val df = stopHeavy(40)
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 8, 10, maxDfFrac = 0.2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // two LeftAnti joins (probe + posting side) against the hot-key set
+    assert("(?i)leftanti".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("containmentPairs DF cap: bounded posting lists on a stop-word-heavy corpus") {
+    // Mirror the internal capping arithmetic observably: with the cap,
+    // no candidate-join key may originate from more docs than cap·N.
+    val df = stopHeavy(40) // N = 80 docs; boilerplate bigrams have DF = 80
+    val maxDfFrac = 0.2
+    val s = df.select(col("doc_id"),
+      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col("text"))).as("hs"))
+    val nDocs = s.count()
+    val cap = math.max(1L, (maxDfFrac * nDocs).toLong)
+    val surviving = s.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= cap)
+    val maxSurvivingDf = surviving.agg(max(col("df"))).head().getLong(0)
+    assert(maxSurvivingDf <= cap)
+    // and the hot set really is tiny relative to the shingle vocabulary
+    val hotCount = s.select(explode(col("hs")).as("h")).groupBy("h")
+      .agg(count(lit(1)).as("df")).where(col("df") > cap).count()
+    assert(hotCount >= 1L && hotCount < 20L)
+  }
+}
