@@ -150,9 +150,9 @@ object Dedup {
     // the cap, shingles in more than maxDfFrac of docs are dropped from
     // both explode sides (never from verification, which reruns the exact
     // sorted-merge intersect on the full arrays), bounding every posting
-    // list by maxDfFrac·N. The hot-key set itself is tiny by pigeonhole —
-    // at most totalShingleOccurrences/(maxDfFrac·N) entries — so the
-    // anti-joins are AQE broadcasts; and the DF groupBy is skew-immune
+    // list by maxDfFrac·N. The filtering itself runs as a codegen'd
+    // per-row sorted difference against the plan-shipped hot array — no
+    // extra shuffle; the DF groupBy that finds the hot set is skew-immune
     // because count() partial-aggregates map-side before the shuffle.
     //
     // The probe prefix is rebuilt over the NON-HOT subarray with a
@@ -172,28 +172,26 @@ object Dedup {
       else {
         val nDocs = s.count() // s is persisted; this action warms the cache
         val cap = math.max(1L, (maxDfFrac * nDocs).toLong)
-        val hot = s.select(explode(col("hs")).as("h"))
+        // The hot set itself collects to the driver and ships inside the
+        // codegen'd sorted-diff kernel — the same KB-sided-metadata
+        // pattern as the bloom/centroid sidecars. Its size is bounded by
+        // pigeonhole at totalShingleOccurrences/(maxDfFrac·N): sane caps
+        // keep it in the KBs–MBs even at corpus scale.
+        val hotArr = s.select(explode(col("hs")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("df"))
           .where(col("df") > cap)
-          .select("h")
-        val nonHot = s.select(col("id").as("id_a"),
-            size(col("hs")).as("n_all"), explode(col("hs")).as("h"))
-          .join(hot, Seq("h"), "left_anti")
-        // rank within the doc's surviving (sorted) shingles; doc-keyed
-        // windows are skew-free (group size = shingles per doc)
-        val wRank = org.apache.spark.sql.expressions.Window
-          .partitionBy("id_a").orderBy("h")
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
-        val needAll = ((col("n_all") * thresholdNum + lit(thresholdDen - 1)) /
-          thresholdDen).cast("int")
-        val hotCnt = col("n_all") - col("n_nonhot")
-        val probes1 = nonHot
-          .withColumn("rk", row_number().over(wRank))
-          .withColumn("n_nonhot", count(lit(1)).over(wAll).cast("int"))
-          .where(col("rk") <=
-            col("n_nonhot") - greatest(lit(1), needAll - hotCnt) + 1)
-          .select("id_a", "h")
-        (probes1, posts0.join(hot, Seq("h"), "left_anti"))
+          .select("h").collect().map(_.getLong(0)).sorted
+        if (hotArr.isEmpty) (probes0, posts0)
+        else {
+          val nonHot =
+            graft.functions.VectorExpressions.sortedDiff(col("hs"), hotArr)
+          val nNon = size(nonHot)
+          val prefLen = nNon - greatest(lit(1), need - (n - nNon)) + 1
+          val probes1 = s.select(col("id").as("id_a"),
+            explode(slice(nonHot, lit(1), greatest(prefLen, lit(0)))).as("h"))
+          val posts1 = s.select(col("id").as("id_b"), explode(nonHot).as("h"))
+          (probes1, posts1)
+        }
       }
     val cands = probes.join(posts, Seq("h"))
       .where(col("id_a") =!= col("id_b"))

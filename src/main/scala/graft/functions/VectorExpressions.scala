@@ -67,6 +67,56 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Two-pointer sorted difference of a row's sorted-distinct long array
+  * against a fixed sorted `drop` array shipped inside the plan (the
+  * reference-object pattern [[BloomOverlapCountExpr]] uses for its
+  * bitset). Keeps stop-shingle filtering inside whole-stage codegen —
+  * no explode, no window, no anti-join shuffle.
+  */
+object SortedDiffKernel {
+  def diff(xs: ArrayData, drop: Array[Long]): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var j = 0
+    var w = 0
+    while (i < n) {
+      val v = xs.getLong(i)
+      while (j < drop.length && drop(j) < v) j += 1
+      if (j >= drop.length || drop(j) != v) { out(w) = v; w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+}
+
+case class SortedDiffExpr(child: Expression, drop: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_diff expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedDiffKernel.diff(input.asInstanceOf[ArrayData], drop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedDrop", drop, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SortedDiffKernel.diff($x, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of common elements between two arrays of distinct sorted
   * longs — a two-pointer merge instead of array_intersect's per-row
   * hash-set build. Inputs MUST be sorted ascending and duplicate-free
@@ -684,6 +734,9 @@ object VectorExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedDiff(a: Column, drop: Array[Long]): Column =
+    ColumnBridge.column(SortedDiffExpr(ColumnBridge.expression(a), drop))
 
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashes), numHashes))

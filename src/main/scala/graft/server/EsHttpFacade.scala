@@ -92,157 +92,22 @@ final class EsHttpFacade(
 
   /** Docs table over everything ingested so far. */
   def table: DocsTable =
-    if (serving) servingEngine().table
+    if (serving) servingCore.engine.table
     else DocsTable(spark.read.parquet(sinkDir), mapping)
 
-  // ---- serving-mode caches ----------------------------------------
-  // (sinkSignature, engine, date partitions newest-first) — rebuilt
-  // when the sink generation moves
-  @volatile private var engineCache: (Long, SeqEngine, Seq[String]) = null
-  @volatile private var lastSigCheckMs = 0L
-  @volatile private var lastSig = 0L
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  // ES-style request cache: identical request body → rendered response,
-  // invalidated with the engine (sink generation) like ES invalidates
-  // its shard request cache on refresh
-  private val responseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // per-query page-prefix cache (the scroll-context analogue): the top
-  // PrefixRows matches of a query are collected ONCE, and every
-  // subsequent page of the same query slices the driver-held prefix —
-  // pagination then costs memory slicing, not a Spark job per page
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
-  private val PrefixRows = 1000
+  /** Serving-mode machinery (generation-cached engine, memoized plans,
+    * response + page-prefix caches) — shared with [[grpc.GrpcSeqApi]]
+    * via [[core]] so proto clients of the same sink get the identical
+    * warm path. */
+  private lazy val servingCore = new ServingCore(spark, mapping, sinkDir)
 
-  /** Cheap sink-generation probe: top-level FS statuses (file/partition
-    * adds bump dir mtimes), re-checked at most once per second. */
-  private def sinkSignature(): Long = {
-    val now = System.currentTimeMillis()
-    if (now - lastSigCheckMs < 1000 && engineCache != null) return lastSig
-    val p = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).foldLeft(17L)((a, s) =>
-        a * 1000003L + s.getPath.getName.hashCode.toLong * 31L +
-          s.getLen * 7L + s.getModificationTime)
-    lastSigCheckMs = now
-    lastSig = sig
-    sig
-  }
-
-  private def servingEngine(): SeqEngine = servingState()._2
-
-  private def servingState(): (Long, SeqEngine, Seq[String]) = {
-    val sig = sinkSignature()
-    val cached = engineCache
-    if (cached != null && cached._1 == sig) return cached
-    synchronized {
-      val again = engineCache
-      if (again != null && again._1 == sig) return again
-      if (again != null) again._2.table.df.unpersist()
-      planCache.clear()
-      responseCache.clear()
-      prefixCache.clear()
-      // few fat in-memory partitions, clustered by date: a point query
-      // launches `servingPartitions` tasks (scheduling is the latency
-      // floor, not the scan) and the date-window filter skips whole
-      // cached batches via their min/max stats
-      val servingPartitions =
-        spark.conf.get("spark.graft.serving.partitions", "8").toInt
-      // sortWithinPartitions makes every cached batch date-contiguous,
-      // so a date-window predicate skips whole batches via their
-      // min/max stats — without it the hash shuffle interleaves days
-      // and every batch's stats span everything (no skipping)
-      val raw = spark.read.parquet(sinkDir)
-      val df = (if (raw.columns.contains("date"))
-          raw.repartition(servingPartitions, col("date"))
-            .sortWithinPartitions("date", "mid")
-        else raw.coalesce(servingPartitions))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val eng = new SeqEngine(DocsTable(df, mapping))
-      // day partitions newest-first, straight from the FS listing (no
-      // Spark job) — drives the incremental page scan below
-      val p = new org.apache.hadoop.fs.Path(sinkDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dates =
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("date=")).map(_.stripPrefix("date="))
-          .sorted.reverse.toSeq
-      val state = (sig, eng, dates)
-      engineCache = state
-      state
-    }
-  }
-
-  /** Incremental top-page scan (the reference's O3 early termination +
-    * O4 fraction-order scan, SeqEngine.searchPrefix): day partitions
-    * sort by mid across days, so the newest k days are tried first
-    * (oldest-first for asc) and the window widens only when the page
-    * comes back short. A point page over a year of data then scans one
-    * day, not 365. Falls back to the full-range plan when the sink
-    * isn't day-partitioned.
-    */
-  private def servingPage(eng: SeqEngine, req: SearchRequest): Array[org.apache.spark.sql.Row] = {
-    val need = req.offset + req.size
-    if (need <= PrefixRows) {
-      // scroll-context path: one job fills the query's top-PrefixRows
-      // prefix, every page of the same query slices it driver-side
-      val pk = s"${req.query}|${req.fromMs}|${req.toMs}|${req.asc}"
-      if (prefixCache.size() > 256) prefixCache.clear()
-      val pre = prefixCache.computeIfAbsent(pk,
-        _ => collectPrefix(eng, req, PrefixRows))
-      // a shorter-than-capacity prefix IS the complete match set, so
-      // any slice of it is exact; otherwise it covers need ≤ PrefixRows
-      pre.slice(req.offset, need)
-    } else {
-      collectPrefix(eng, req, need).drop(req.offset)
-    }
-  }
-
-  /** Top-`n` matches via the incremental day-window scan. */
-  private def collectPrefix(eng: SeqEngine, req: SearchRequest,
-      n: Int): Array[org.apache.spark.sql.Row] = {
-    val dates = servingState()._3
-    val hasDate = eng.table.df.columns.contains("date")
-    val windows: Seq[Option[Seq[String]]] =
-      if (!hasDate || dates.isEmpty) Seq(None)
-      else Seq(1, 4, 16).filter(_ < dates.size).map(k =>
-        Some(if (req.asc) dates.takeRight(k) else dates.take(k))) :+ None
-    for (w <- windows) {
-      val extra = w match {
-        case Some(ds) => col("date").isin(ds: _*)
-        case None     => lit(true)
-      }
-      val key = s"page:${req.query}|${req.fromMs}|${req.toMs}|${req.asc}|$n:" +
-        w.map(_.mkString(",")).getOrElse("all")
-      val plan = cachedPlan(key) {
-        eng.withIdString(eng.searchPrefix(
-            req.query, req.fromMs, req.toMs, n, req.asc, extra))
-          .select(col("id"), col("mid"), col("rid"), col("_raw"))
-      }
-      val rows = plan.collect()
-      if (rows.length >= n || w.isEmpty) return rows
-    }
-    Array.empty
-  }
+  /** The serving core, for co-hosting a gRPC API on the same pinned
+    * table and plan cache (only meaningful with serving=true). */
+  def core: ServingCore = servingCore
 
   /** Engine for a read request: serving mode reuses the cached one. */
   private def readEngine(): SeqEngine =
-    if (serving) servingEngine() else new SeqEngine(table)
-
-  /** Memoized request plan: a repeated request re-executes the SAME
-    * DataFrame, so parse/analyze/optimize/physical-planning happen once
-    * and the warm path pays only job scheduling + execution. */
-  private def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (!serving) build
-    else {
-      if (planCache.size() > 512) planCache.clear() // crude bound; keys are request shapes
-      planCache.computeIfAbsent(key, _ => build)
-    }
+    if (serving) servingCore.engine else new SeqEngine(table)
 
   /** Async-search state: persisted partial chunks under the sink's
     * `_async` prefix (underscore → invisible to the table reader), so
@@ -384,16 +249,18 @@ final class EsHttpFacade(
 
     private def handleSearch(ex: HttpExchange): Unit = {
       val raw = body(ex)
-      if (serving) {
-        // generation probe BEFORE the cache lookup — a sink append must
-        // clear the response cache, not be masked by it
-        servingState()
-        val hit = responseCache.get(raw)
-        if (hit != null) { reply(ex, 200, hit); return }
-      }
+      // capture the generation the response will be computed against;
+      // a concurrent rebuild keys our put() under the old generation,
+      // so the stale response is never served past the rebuild
+      val gen = if (serving) {
+        servingCore.cachedResponse(raw) match {
+          case Some(hit) => reply(ex, 200, hit); return
+          case None      => servingCore.generation()
+        }
+      } else 0L
       val req = parseSearch(raw)
       val page =
-        if (serving) servingPage(readEngine(), req)
+        if (serving) servingCore.servingPage(req)
         else {
           val eng = readEngine()
           eng.withIdString(eng.search(req))
@@ -404,10 +271,7 @@ final class EsHttpFacade(
         s"""{"id":${quote(r.getString(0))},"mid":${r.getLong(1)},"rid":${r.getLong(2)},"doc":${quote(r.getString(3))}}"""
       }.mkString(",")
       val resp = s"""{"total":${page.length},"hits":[$hits]}"""
-      if (serving) {
-        if (responseCache.size() > 1024) responseCache.clear()
-        responseCache.put(raw, resp)
-      }
+      if (serving) servingCore.putResponse(gen, raw, resp)
       reply(ex, 200, resp)
     }
 
@@ -441,7 +305,16 @@ final class EsHttpFacade(
       val chunkMs = ("\"chunk_ms\"\\s*:\\s*(\\d+)").r
         .findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(86400000L)
       val eng = readEngine()
-      asyncSearcher.startAsync(id, eng, req.query, req.fromMs, req.toMs, chunkMs)
+      // clamp the requested span to the table's actual time range
+      // (matches outside it cannot exist) — the open-range request
+      // every client sends ([0, Long.MaxValue]) would otherwise
+      // enumerate ~10^14 day chunks in the background pool and hang
+      // the search in 'running' forever. Same clamp as the gRPC path.
+      val st = eng.status()
+      val lo = math.max(req.fromMs, st.oldestStorageTimeMs.getOrElse(req.fromMs))
+      val hi = math.min(req.toMs, st.newestStorageTimeMs.getOrElse(req.fromMs))
+      val (fromMs, toMs) = if (lo <= hi) (lo, hi) else (req.fromMs, req.fromMs)
+      asyncSearcher.startAsync(id, eng, req.query, fromMs, toMs, chunkMs)
       reply(ex, 200, s"""{"id":${quote(id)}}""")
     }
 

@@ -1,0 +1,189 @@
+package graft.server
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{DocsTable, SearchRequest, SeqEngine}
+import graft.model.SeqMapping
+
+/** Serving-mode machinery shared by the HTTP facade and the gRPC API:
+  * a generation-cached engine over a memory-pinned docs table, memoized
+  * request plans, a response cache, and the incremental top-page scan.
+  *
+  * Sink appends are picked up via a directory signature re-checked at
+  * most once per second — bounded staleness matching the near-real-time
+  * visibility contract ingestion already has (the reference's sealed-
+  * fraction refresh analogue). One instance per (session, sink); both
+  * servers of the same sink should share it so they also share the
+  * pinned table and plan cache.
+  */
+final class ServingCore(
+    spark: org.apache.spark.sql.SparkSession,
+    mapping: SeqMapping,
+    sinkDir: String) {
+
+  // (sinkSignature, engine, date partitions newest-first) — rebuilt
+  // when the sink generation moves
+  @volatile private var engineCache: (Long, SeqEngine, Seq[String]) = null
+  @volatile private var lastSigCheckMs = 0L
+  @volatile private var lastSig = 0L
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  // ES-style request cache: identical request body → rendered response,
+  // invalidated with the engine (sink generation) like ES invalidates
+  // its shard request cache on refresh
+  private val responseCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+  // per-query page-prefix cache (the scroll-context analogue): the top
+  // PrefixRows matches of a query are collected ONCE, and every
+  // subsequent page of the same query slices the driver-held prefix —
+  // pagination then costs memory slicing, not a Spark job per page
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  private val PrefixRows = 1000
+
+  /** Cheap sink-generation probe: top-level FS statuses (file/partition
+    * adds bump dir mtimes), re-checked at most once per second. */
+  private def sinkSignature(): Long = {
+    val now = System.currentTimeMillis()
+    if (now - lastSigCheckMs < 1000 && engineCache != null) return lastSig
+    val p = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).foldLeft(17L)((a, s) =>
+        a * 1000003L + s.getPath.getName.hashCode.toLong * 31L +
+          s.getLen * 7L + s.getModificationTime)
+    lastSigCheckMs = now
+    lastSig = sig
+    sig
+  }
+
+  def engine: SeqEngine = state()._2
+
+  /** The sink generation the current engine was built for. Probes the
+    * signature (rebuilding if stale), so the returned value is current
+    * as of this call — capture it at request start and pass it to
+    * [[putResponse]] so a response computed against generation G is
+    * never cached after a concurrent rebuild moved to G+1. */
+  def generation(): Long = state()._1
+
+  private def state(): (Long, SeqEngine, Seq[String]) = {
+    val sig = sinkSignature()
+    val cached = engineCache
+    if (cached != null && cached._1 == sig) return cached
+    synchronized {
+      val again = engineCache
+      if (again != null && again._1 == sig) return again
+      if (again != null) again._2.table.df.unpersist()
+      planCache.clear()
+      responseCache.clear()
+      prefixCache.clear()
+      // few fat in-memory partitions, clustered by date: a point query
+      // launches `servingPartitions` tasks (scheduling is the latency
+      // floor, not the scan) and the date-window filter skips whole
+      // cached batches via their min/max stats
+      val servingPartitions =
+        spark.conf.get("spark.graft.serving.partitions", "8").toInt
+      // sortWithinPartitions makes every cached batch date-contiguous,
+      // so a date-window predicate skips whole batches via their
+      // min/max stats — without it the hash shuffle interleaves days
+      // and every batch's stats span everything (no skipping)
+      val raw = spark.read.parquet(sinkDir)
+      val df = (if (raw.columns.contains("date"))
+          raw.repartition(servingPartitions, col("date"))
+            .sortWithinPartitions("date", "mid")
+        else raw.coalesce(servingPartitions))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val eng = new SeqEngine(DocsTable(df, mapping))
+      // day partitions newest-first, straight from the FS listing (no
+      // Spark job) — drives the incremental page scan below
+      val p = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dates =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("date=")).map(_.stripPrefix("date="))
+          .sorted.reverse.toSeq
+      val state0 = (sig, eng, dates)
+      engineCache = state0
+      state0
+    }
+  }
+
+  /** Cached rendered response for an identical request body at the
+    * CURRENT generation (probing first, so a sink append is never
+    * masked by a stale hit). */
+  def cachedResponse(raw: String): Option[String] =
+    Option(responseCache.get((generation(), raw)))
+
+  /** Cache a rendered response, keyed by the generation it was computed
+    * against — a response raced by a rebuild keys under the OLD
+    * generation and is simply never read again, closing the window
+    * where a stale response could outlive the rebuild's clear(). */
+  def putResponse(gen: Long, raw: String, resp: String): Unit = {
+    if (responseCache.size() > 1024) responseCache.clear()
+    responseCache.put((gen, raw), resp)
+    ()
+  }
+
+  /** Memoized request plan: a repeated request re-executes the SAME
+    * DataFrame, so parse/analyze/optimize/physical-planning happen once
+    * and the warm path pays only job scheduling + execution. */
+  def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (planCache.size() > 512) planCache.clear() // crude bound; keys are request shapes
+    planCache.computeIfAbsent(key, _ => build)
+  }
+
+  /** Incremental top-page scan (the reference's O3 early termination +
+    * O4 fraction-order scan, SeqEngine.searchPrefix): day partitions
+    * sort by mid across days, so the newest k days are tried first
+    * (oldest-first for asc) and the window widens only when the page
+    * comes back short. A point page over a year of data then scans one
+    * day, not 365. Falls back to the full-range plan when the sink
+    * isn't day-partitioned.
+    */
+  def servingPage(req: SearchRequest): Array[org.apache.spark.sql.Row] = {
+    val eng = engine
+    val need = req.offset + req.size
+    if (need <= PrefixRows) {
+      // scroll-context path: one job fills the query's top-PrefixRows
+      // prefix, every page of the same query slices it driver-side
+      val pk = s"${req.query}|${req.fromMs}|${req.toMs}|${req.asc}"
+      if (prefixCache.size() > 256) prefixCache.clear()
+      val pre = prefixCache.computeIfAbsent(pk,
+        _ => collectPrefix(eng, req, PrefixRows))
+      // a shorter-than-capacity prefix IS the complete match set, so
+      // any slice of it is exact; otherwise it covers need ≤ PrefixRows
+      pre.slice(req.offset, need)
+    } else {
+      collectPrefix(eng, req, need).drop(req.offset)
+    }
+  }
+
+  /** Top-`n` matches via the incremental day-window scan. */
+  private def collectPrefix(eng: SeqEngine, req: SearchRequest,
+      n: Int): Array[org.apache.spark.sql.Row] = {
+    val dates = state()._3
+    val hasDate = eng.table.df.columns.contains("date")
+    val windows: Seq[Option[Seq[String]]] =
+      if (!hasDate || dates.isEmpty) Seq(None)
+      else Seq(1, 4, 16).filter(_ < dates.size).map(k =>
+        Some(if (req.asc) dates.takeRight(k) else dates.take(k))) :+ None
+    for (w <- windows) {
+      val extra = w match {
+        case Some(ds) => col("date").isin(ds: _*)
+        case None     => lit(true)
+      }
+      val key = s"page:${req.query}|${req.fromMs}|${req.toMs}|${req.asc}|$n:" +
+        w.map(_.mkString(",")).getOrElse("all")
+      val plan = cachedPlan(key) {
+        eng.withIdString(eng.searchPrefix(
+            req.query, req.fromMs, req.toMs, n, req.asc, extra))
+          .select(col("id"), col("mid"), col("rid"), col("_raw"))
+      }
+      val rows = plan.collect()
+      if (rows.length >= n || w.isEmpty) return rows
+    }
+    Array.empty
+  }
+}

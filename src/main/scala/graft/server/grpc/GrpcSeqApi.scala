@@ -32,7 +32,8 @@ final class GrpcSeqApi(
     spark: SparkSession,
     table: => DocsTable,
     asyncDir: String,
-    limits: graft.server.RateLimits = graft.server.RateLimits()) {
+    limits: graft.server.RateLimits = graft.server.RateLimits(),
+    serving: Option[graft.server.ServingCore] = None) {
 
   private val Service = "seqproxyapi.v1.SeqProxyApi"
 
@@ -42,7 +43,12 @@ final class GrpcSeqApi(
   private val asyncReqs =
     new java.util.concurrent.ConcurrentHashMap[String, PStartAsyncRequest]()
 
-  private def engine = new SeqEngine(table)
+  /** Per-call engine, or the serving core's generation-cached one
+    * (memory-pinned table, shared plan cache) when serving is wired —
+    * proto clients then get the same ~ms warm path as the HTTP facade
+    * instead of the ~130 ms cold-plan floor. */
+  private def engine =
+    serving.map(_.engine).getOrElse(new SeqEngine(table))
 
   // ---- admission (storeapi/grpc_search.go:71-77 inflight guard +
   // network/ratelimiter.go token bucket): rejected calls get
@@ -226,7 +232,16 @@ final class GrpcSeqApi(
     val eng = engine
     val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
       size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
-    val docs = collectDocs(eng.search(req))
+    val docs = serving match {
+      // serving path: page-prefix cache + incremental day-window scan —
+      // a repeated/paging query slices a driver-held prefix instead of
+      // running a Spark job (same machinery as the HTTP facade)
+      case Some(core) =>
+        core.servingPage(req).map(row => Doc(row.getString(0),
+          Option(row.getString(3)).getOrElse("").getBytes("UTF-8"),
+          row.getLong(1))).toSeq
+      case None => collectDocs(eng.search(req))
+    }
     val total =
       if (r.withTotal)
         eng.total(r.q.query, r.q.fromMs, r.q.toMs).collect()(0).getLong(0)

@@ -50,13 +50,15 @@ class Round6OpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
-  test("containmentPairs DF cap: hot shingles are anti-joined out of candidate generation") {
+  test("containmentPairs DF cap: hot filtering stays in-kernel, no extra join shapes") {
     val df = stopHeavy(40)
     val out = Dedup.containmentPairs(df, "doc_id", "text", 8, 10, maxDfFrac = 0.2)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
-    // two LeftAnti joins (probe + posting side) against the hot-key set
-    assert("(?i)leftanti".r.findAllIn(plan).size >= 2, plan.take(2000))
+    // the hot set rides inside the codegen'd sorted-diff kernel: no
+    // anti-join stages, and certainly no cartesian/nested-loop shapes
+    assert("(?i)sorteddiff".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert("(?i)leftanti".r.findFirstIn(plan).isEmpty)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }

@@ -127,6 +127,37 @@ class GrpcSeqApiSpec extends SparkSpec {
     } finally { client.close(); api.stop() }
   }
 
+  test("serving mode: Search through ServingCore matches the per-call engine path") {
+    val asyncDir = java.nio.file.Files.createTempDirectory("grpc_srv").toString
+    val core = new graft.server.ServingCore(spark, mapping, tableDir)
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
+      serving = Some(core))
+    val cold = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping),
+      java.nio.file.Files.createTempDirectory("grpc_srv2").toString)
+    val (p1, p2) = (api.start(), cold.start())
+    val c1 = new GrpcSeqClient("127.0.0.1", p1, api)
+    val c2 = new GrpcSeqClient("127.0.0.1", p2, cold)
+    try {
+      val q = SearchQuery("level:error", 0L, Long.MaxValue)
+      def docsOf(r: PSearchResponse) =
+        r.docs.map(d => (d.id, d.timeMs, new String(d.data, "UTF-8")))
+      for (offset <- Seq(0, 1); asc <- Seq(false, true)) {
+        val r = PSearchRequest(q, size = 1, offset = offset,
+          withTotal = true, asc = asc)
+        assert(docsOf(c1.search(r)) == docsOf(c2.search(r)), s"offset=$offset asc=$asc")
+      }
+      // paging the same query again is served from the driver-held
+      // prefix — still correct after repeated calls
+      val again = c1.search(PSearchRequest(q, size = 10, offset = 0,
+        withTotal = false, asc = false))
+      assert(again.docs.size == 2)
+      // non-search RPCs ride the cached engine too
+      assert(c1.status().numberOfStores == c2.status().numberOfStores)
+    } finally { c1.close(); c2.close(); api.stop(); cold.stop() }
+  }
+
   test("proto codec round-trips every message shape") {
     import org.sparkproject.connect.protobuf.CodedInputStream
     def rt[A](w: A => Array[Byte], r: CodedInputStream => A, v: A): A =
