@@ -49,11 +49,23 @@ import graft.model.SeqMapping
   * `requestsPerSec` token bucket with `burst` capacity (0 = unlimited).
   * Rejections are HTTP 429 with a JSON error — the shipper/client
   * backs off and retries, the engine never sees overload.
+  *
+  * The keyed limits mirror the reference's per-key throttles (its
+  * `query-rate-limit` flag, default 2 qps): `perQueryRps` buckets
+  * IDENTICAL search queries — same query string, aggregations and
+  * interval, NOT the time range, so a sliding dashboard window still
+  * counts as the same query — and `perFetchIdRps` buckets direct
+  * fetch-by-message-ID calls per id (the hot-doc hammer case). 0
+  * disables either.
   */
 final case class RateLimits(
     maxInflight: Int = 0,
     requestsPerSec: Double = 0.0,
-    burst: Int = 1)
+    burst: Int = 1,
+    perQueryRps: Double = 0.0,
+    perQueryBurst: Int = 1,
+    perFetchIdRps: Double = 0.0,
+    perFetchIdBurst: Int = 1)
 
 final class EsHttpFacade(
     spark: SparkSession,

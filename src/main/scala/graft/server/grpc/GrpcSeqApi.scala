@@ -50,6 +50,31 @@ final class GrpcSeqApi(
   private def engine =
     serving.map(_.engine).getOrElse(new SeqEngine(table))
 
+  // ---- keyed throttles (docs/en/08-rate-limiting.md): identical
+  // queries (query string + aggs + interval — NOT the time range)
+  // share one budget; direct fetches bucket per message ID ----
+  private val queryLimiter =
+    new graft.server.KeyedRateLimiter(limits.perQueryRps, limits.perQueryBurst)
+  private val fetchLimiter =
+    new graft.server.KeyedRateLimiter(limits.perFetchIdRps, limits.perFetchIdBurst)
+
+  private final class RateLimitedException(msg: String)
+      extends RuntimeException(msg)
+
+  private def aggKey(a: PAggQuery): String =
+    s"${a.field}/${a.groupBy}/${a.func}/${a.quantiles.mkString(";")}/${a.interval}"
+
+  private def admitQuery(query: String, aggs: Seq[PAggQuery],
+      interval: String): Unit = {
+    val key = s"$query|${aggs.map(aggKey).mkString(",")}|$interval"
+    if (!queryLimiter.tryAcquire(key))
+      throw new RateLimitedException(s"query rate limit exceeded for: $query")
+  }
+
+  private def admitFetchIds(ids: Seq[String]): Unit =
+    ids.find(id => !fetchLimiter.tryAcquire(id)).foreach(id =>
+      throw new RateLimitedException(s"fetch rate limit exceeded for id: $id"))
+
   // ---- admission (storeapi/grpc_search.go:71-77 inflight guard +
   // network/ratelimiter.go token bucket): rejected calls get
   // RESOURCE_EXHAUSTED, the canonical gRPC back-off signal ----
@@ -175,12 +200,17 @@ final class GrpcSeqApi(
 
   // ---- handlers ----------------------------------------------------
 
+  private def statusOf(e: Throwable): Status = e match {
+    case _: RateLimitedException => Status.RESOURCE_EXHAUSTED
+    case _                       => Status.INTERNAL
+  }
+
   private def unary[A, B](f: A => B): org.sparkproject.connect.grpc.ServerCallHandler[A, B] =
     ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[A, B] {
       override def invoke(req: A, obs: StreamObserver[B]): Unit =
         try { obs.onNext(f(req)); obs.onCompleted() }
         catch { case e: Throwable =>
-          obs.onError(Status.INTERNAL.withDescription(
+          obs.onError(statusOf(e).withDescription(
             Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
         }
     })
@@ -190,7 +220,7 @@ final class GrpcSeqApi(
       override def invoke(req: A, obs: StreamObserver[B]): Unit =
         try { f(req, obs); obs.onCompleted() }
         catch { case e: Throwable =>
-          obs.onError(Status.INTERNAL.withDescription(
+          obs.onError(statusOf(e).withDescription(
             Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
         }
     })
@@ -229,6 +259,7 @@ final class GrpcSeqApi(
   }
 
   private def handleSearch(r: PSearchRequest): PSearchResponse = {
+    admitQuery(r.q.query, Nil, "")
     val eng = engine
     val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
       size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
@@ -321,6 +352,7 @@ final class GrpcSeqApi(
   }
 
   private def handleGetAggregation(r: PGetAggregationRequest): PGetAggregationResponse = {
+    admitQuery(r.q.query, r.aggs, "")
     val eng = engine
     PGetAggregationResponse(0L, r.aggs.map(a => runAgg(eng, r.q, a)), ErrNo)
   }
@@ -333,10 +365,12 @@ final class GrpcSeqApi(
   private def handleGetHistogram(r: PGetHistogramRequest): PGetHistogramResponse = {
     val eng = engine
     val iv = if (r.interval.nonEmpty) r.interval else "1h"
+    admitQuery(r.q.query, Nil, iv)
     PGetHistogramResponse(0L, histogramOf(eng, r.q, iv), ErrNo)
   }
 
   private def handleComplexSearch(r: PComplexSearchRequest): PComplexSearchResponse = {
+    admitQuery(r.q.query, r.aggs, r.histInterval.getOrElse(""))
     val eng = engine
     val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
       size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
@@ -351,6 +385,10 @@ final class GrpcSeqApi(
   }
 
   private def handleFetch(r: PFetchRequest, obs: StreamObserver[Doc]): Unit = {
+    // the direct fetch-by-message-ID path is the DDOS-shaped one
+    // (docs/en/08-rate-limiting.md "Rate limiting document fetching"):
+    // every requested id spends from its own bucket
+    admitFetchIds(r.ids)
     val eng = engine
     collectDocs(eng.fetchByIds(r.ids)).foreach(obs.onNext)
   }

@@ -127,6 +127,65 @@ class GrpcSeqApiSpec extends SparkSpec {
     } finally { client.close(); api.stop() }
   }
 
+  test("keyed limits: repeated identical query throttled, distinct queries pass") {
+    val asyncDir = java.nio.file.Files.createTempDirectory("grpc_kq").toString
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
+      limits = graft.server.RateLimits(perQueryRps = 0.5, perQueryBurst = 2))
+    val port = api.start()
+    val client = new GrpcSeqClient("127.0.0.1", port, api)
+    try {
+      def search(q: String): Option[String] =
+        try {
+          client.search(PSearchRequest(SearchQuery(q, 0L, Long.MaxValue),
+            size = 1, offset = 0, withTotal = false, asc = false)); None
+        } catch { case e: Exception => Some(Option(e.getMessage).getOrElse("")) }
+      // burst of the SAME query: first two pass, third throttled
+      val same = (1 to 3).map(_ => search("level:error"))
+      assert(same.take(2).forall(_.isEmpty), same)
+      assert(same(2).exists(_.contains("RESOURCE_EXHAUSTED")), same)
+      // a DISTINCT query passes while the first key is exhausted
+      assert(search("level:info").isEmpty)
+      // same query TEXT with a different TIME RANGE is the same key
+      // (sliding dashboard window) — still throttled
+      val slid = try {
+        client.search(PSearchRequest(SearchQuery("level:error", 1L, Long.MaxValue),
+          size = 1, offset = 0, withTotal = false, asc = false)); None
+      } catch { case e: Exception => Some(Option(e.getMessage).getOrElse("")) }
+      assert(slid.exists(_.contains("RESOURCE_EXHAUSTED")), slid)
+      // ...and an aggregation rides a different key than a bare search
+      val ag = try {
+        client.getAggregation(PGetAggregationRequest(
+          SearchQuery("level:error", 0L, Long.MaxValue),
+          Seq(PAggQuery("", "level", func = 0, Nil, "")))); None
+      } catch { case e: Exception => Some(Option(e.getMessage).getOrElse("")) }
+      assert(ag.isEmpty, ag)
+    } finally { client.close(); api.stop() }
+  }
+
+  test("keyed limits: fetch-by-message-ID throttled per id") {
+    val asyncDir = java.nio.file.Files.createTempDirectory("grpc_kf").toString
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
+      limits = graft.server.RateLimits(perFetchIdRps = 0.5, perFetchIdBurst = 2))
+    val port = api.start()
+    val client = new GrpcSeqClient("127.0.0.1", port, api)
+    try {
+      val ids = client.search(PSearchRequest(
+        SearchQuery("level:error", 0L, Long.MaxValue),
+        size = 10, offset = 0, withTotal = false, asc = false)).docs.map(_.id)
+      assert(ids.size == 2)
+      def fetch(id: String): Option[String] =
+        try { client.fetch(PFetchRequest(Seq(id))); None }
+        catch { case e: Exception => Some(Option(e.getMessage).getOrElse("")) }
+      val same = (1 to 3).map(_ => fetch(ids.head))
+      assert(same.take(2).forall(_.isEmpty), same)
+      assert(same(2).exists(_.contains("RESOURCE_EXHAUSTED")), same)
+      // a different id has its own bucket
+      assert(fetch(ids.last).isEmpty)
+    } finally { client.close(); api.stop() }
+  }
+
   test("serving mode: Search through ServingCore matches the per-call engine path") {
     val asyncDir = java.nio.file.Files.createTempDirectory("grpc_srv").toString
     val core = new graft.server.ServingCore(spark, mapping, tableDir)
