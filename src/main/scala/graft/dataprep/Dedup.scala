@@ -620,10 +620,22 @@ object Dedup {
     *    brute-force oracle checks; the LSH path trades bounded recall
     *    for O(candidates) cost, the only shape that survives 10^9 docs.
     */
+  /** @param knownCount corpus size, if the caller already knows it —
+    *   skips the counting job the brute/LSH cutover otherwise runs at
+    *   plan-construction time.
+    *
+    * Cache note (same caller-unpersist contract as [[clusters]] /
+    * [[containmentPairs]]): the LSH branch persists the signature
+    * frame (three consumers: band join sides and the vector
+    * re-attach); the returned plan reads it lazily, so long-lived
+    * sessions should `spark.catalog.clearCache()` once the result is
+    * consumed.
+    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bruteForceMax: Long = 10000L): DataFrame = {
+      threshold: Double, bruteForceMax: Long = 10000L,
+      knownCount: Option[Long] = None): DataFrame = {
     val pts = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (pts.count() <= bruteForceMax) {
+    if (knownCount.getOrElse(pts.count()) <= bruteForceMax) {
       val a = pts.select(col("id").as("id_a"), col("v").as("v_a"))
       val b = pts.select(col("id").as("id_b"), col("v").as("v_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))

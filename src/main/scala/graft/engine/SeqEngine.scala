@@ -358,13 +358,52 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def aggregateQuantileAuto(query: String, fromMs: Long, toMs: Long,
       agg: AggRequest,
       cap: Long = graft.functions.SeqAggregates.ReservoirCap.toLong): DataFrame = {
-    val maxBucket = quantileFrame(query, fromMs, toMs, agg)
+    // One shared persisted frame: the routing probe is the action that
+    // materializes it, so the chosen plan reads the cache instead of
+    // re-scanning the match set (the probe would otherwise be a full
+    // second scan). The probe is necessarily eager — the ROUTE decides
+    // the plan shape — but it now doubles as the cache warm-up.
+    // Caller-unpersist contract as with clusters/containmentPairs: the
+    // returned plan reads the cached frame lazily; long-lived sessions
+    // should clearCache() once it is consumed.
+    val qf = quantileFrame(query, fromMs, toMs, agg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxBucket = qf
       .where(col("v").isNotNull)
       .groupBy(col("b"), col("n")).agg(count(lit(1)).as("c"))
       .agg(max(col("c"))).collect()(0)
     val maxN = if (maxBucket.isNullAt(0)) 0L else maxBucket.getLong(0)
-    if (maxN <= cap) aggregateOver(matches(query, fromMs, toMs), agg)
-    else aggregateQuantileSketch(query, fromMs, toMs, agg)
+    if (maxN <= cap) exactQuantileFromFrame(qf, agg)
+    else sketchQuantileFromFrame(qf, agg)
+  }
+
+  /** Exact window-rank quantiles over a prepared (b, n, v, u) frame —
+    * identical rows to the Quantile branch of [[aggregateOver]] (same
+    * name/bucket/value derivation: [[quantileFrame]] mirrors it), but
+    * reading the auto-route's persisted frame instead of re-deriving
+    * from the match set. */
+  private def exactQuantileFromFrame(qf: DataFrame, agg: AggRequest): DataFrame = {
+    val qs = agg.func match {
+      case AggFunc.Quantile(x) => x
+      case other => throw new SeqQlError(s"quantile called with $other")
+    }
+    val hasBucket = agg.intervalMs > 0
+    val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
+      (if (agg.groupBy.isDefined) Seq("name") else Nil)
+    val withV = qf.select(col("b").as("bucket_ms"), col("n").as("name"),
+        col("v").as("__v")).where(col("__v").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val w = if (keyNames.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyNames.map(col): _*)
+    val ranked = withV
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v").asc)) - 1)
+      .withColumn("__n", count(lit(1)).over(w))
+    val spark = table.df.sparkSession
+    val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    ranked.join(qDf,
+        col("__rn") === round(col("q") * (col("__n") - 1)).cast(LongType))
+      .select(keyNames.map(col) ++ Seq(col("q"), col("__v").as("value")): _*)
+      .orderBy((keyNames.map(c => col(c).asc) :+ col("q").asc): _*)
   }
 
   /** Quantiles via the deterministic bottom-k sketch
@@ -378,7 +417,10 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     * Output shape matches the Quantile branch of [[aggregateOver]].
     */
   def aggregateQuantileSketch(query: String, fromMs: Long, toMs: Long,
-      agg: AggRequest): DataFrame = {
+      agg: AggRequest): DataFrame =
+    sketchQuantileFromFrame(quantileFrame(query, fromMs, toMs, agg), agg)
+
+  private def sketchQuantileFromFrame(qf: DataFrame, agg: AggRequest): DataFrame = {
     val qs = agg.func match {
       case AggFunc.Quantile(x) => x
       case other => throw new SeqQlError(s"quantile sketch called with $other")
@@ -387,8 +429,7 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     import spark.implicits._
     import graft.functions.SeqAggregates
     val hasBucket = agg.intervalMs > 0
-    val ds = quantileFrame(query, fromMs, toMs, agg)
-      .as[(Long, String, Option[Double], Long)]
+    val ds = qf.as[(Long, String, Option[Double], Long)]
     val agged = ds.groupByKey(t => (t._1, t._2))
       .mapValues(t => SeqAggregates.DetIn(t._3, t._4))
       .agg(SeqAggregates.detSamplesAgg(qs).toColumn)
