@@ -634,8 +634,13 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bruteForceMax: Long = 10000L,
       knownCount: Option[Long] = None): DataFrame = {
+    // session-conf override of the cutover (plan-shape tests force the
+    // LSH path on small fixtures with it; a deployment can tune it
+    // without threading the parameter through compositions)
+    val cut = df.sparkSession.conf.getOption("spark.graft.dedup.bruteForceMax")
+      .map(_.toLong).getOrElse(bruteForceMax)
     val pts = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (knownCount.getOrElse(pts.count()) <= bruteForceMax) {
+    if (knownCount.getOrElse(pts.count()) <= cut) {
       val a = pts.select(col("id").as("id_a"), col("v").as("v_a"))
       val b = pts.select(col("id").as("id_b"), col("v").as("v_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
