@@ -612,6 +612,43 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
   def fetchByIds(ids: Seq[String]): DataFrame =
     fetch(ids.map(graft.model.SeqId.parse).map(id => (id.mid, id.rid)))
 
+  /** Fetch with per-id routing hints — the store API's IdWithHint
+    * analogue (store_api.proto:167-170; integration test
+    * TestFetchHints). A hint names the day partition the doc is
+    * expected to live in (the fraction analogue, `date` value): a
+    * correct hint statically prunes the scan to the hinted partitions
+    * before the id join, an empty hint falls back to the full pruned
+    * path, and a WRONG hint finds nothing for that id — hints are
+    * routing constraints, not suggestions (the reference's broken-hint
+    * fetch comes back empty). On a table without a `date` column hints
+    * are unverifiable and ignored.
+    */
+  def fetchByIdsWithHints(idsWithHints: Seq[(String, String)]): DataFrame = {
+    val spark = table.df.sparkSession
+    import spark.implicits._
+    if (!table.df.columns.contains("date"))
+      return fetchByIds(idsWithHints.map(_._1))
+    val idsDf = idsWithHints.zipWithIndex
+      .map { case ((s, h), i) =>
+        val id = graft.model.SeqId.parse(s); (id.mid, id.rid, h, i)
+      }
+      .toDF("mid", "rid", "__hint", "__fetch_ord")
+    val hints = idsWithHints.map(_._2)
+    // all-hinted requests prune statically: only the hinted day
+    // partitions are scanned at all (the point of sending hints)
+    val base =
+      if (hints.forall(_.nonEmpty))
+        table.df.where(col("date").isin(hints.distinct: _*))
+      else table.df
+    base
+      .join(broadcast(idsDf),
+        base("mid") === idsDf("mid") && base("rid") === idsDf("rid") &&
+          (idsDf("__hint") === lit("") || idsDf("__hint") === base("date")))
+      .drop(idsDf("mid")).drop(idsDf("rid"))
+      .orderBy(col("__fetch_ord").asc)
+      .drop("__fetch_ord", "__hint")
+  }
+
   /** Attach the wire-format id string column (responses carry ids as
     * `hex(LE mid)-hex(LE rid)`). */
   def withIdString(df: DataFrame, as: String = "id"): DataFrame =

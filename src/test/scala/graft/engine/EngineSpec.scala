@@ -209,6 +209,38 @@ class EngineSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("fetch hints: correct hints prune, empty hints fall back, broken hints find nothing") {
+    import spark.implicits._
+    // hints name day partitions, so this test needs the ingest path's
+    // date-partitioned layout (TestFetchHints analogue)
+    val mapping = SeqMapping.of("level" -> IndexType.Keyword)
+    val lines = Seq(
+      """{"timestamp":"2024-03-10 09:00:00","level":"error"}""",
+      """{"timestamp":"2024-03-09 13:00:00","level":"info"}""") // 23h back, within drift
+    val dir = java.nio.file.Files.createTempDirectory("hints").toString
+    graft.ingest.BulkIngest.writePartitioned(
+      graft.ingest.BulkIngest.project(lines.toDF("value"), mapping, 1710072000000L), dir)
+    val t = DocsTable(spark.read.parquet(dir), mapping)
+    val e = new SeqEngine(t)
+    val rows = t.df.select(col("mid"), col("rid"), col("date").cast("string"))
+      .collect()
+      .map(r => (graft.model.SeqId(r.getLong(0), r.getLong(1)).toString,
+        r.getString(2))).sortBy(_._2).toSeq
+    assert(rows.map(_._2).distinct.size == 2) // two day partitions
+    def fetched(hints: Seq[(String, String)]): Seq[String] =
+      e.fetchByIdsWithHints(hints).select(col("date").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+    // correct hints: all docs found, request order preserved
+    assert(fetched(rows) == rows.map(_._2))
+    // no hints: same result via the fallback path
+    assert(fetched(rows.map { case (id, _) => (id, "") }) == rows.map(_._2))
+    // broken hints: routing constraint violated → nothing found
+    assert(fetched(rows.map { case (id, _) => (id, "1999-01-01") }).isEmpty)
+    // mixed: the one correct hint still resolves
+    val mixed = fetched(Seq((rows.head._1, rows.head._2), (rows.last._1, "1999-01-01")))
+    assert(mixed == Seq(rows.head._2))
+  }
+
   test("chunked async search: partial results, restart resume") {
     val dir = java.nio.file.Files.createTempDirectory("chunked").toString
     val s1 = new ChunkedAsyncSearcher(spark, dir)
