@@ -78,6 +78,7 @@ final class ServingCore(
       planCache.clear()
       responseCache.clear()
       prefixCache.clear()
+      objCache.clear()
       // few fat in-memory partitions, clustered by date: a point query
       // launches `servingPartitions` tasks (scheduling is the latency
       // floor, not the scan) and the date-window filter skips whole
@@ -125,6 +126,20 @@ final class ServingCore(
     responseCache.put((gen, raw), resp)
     ()
   }
+
+  /** Generation-keyed memoization of an arbitrary rendered response
+    * (the gRPC handlers cache whole proto responses with it, the same
+    * way [[putResponse]] caches HTTP bodies): a repeated identical
+    * aggregation/histogram request becomes a map lookup until the sink
+    * generation moves. Entries computed against a raced-out generation
+    * key under the old generation and are never read again. */
+  def cachedObj[T <: AnyRef](key: String)(build: => T): T = {
+    if (objCache.size() > 1024) objCache.clear()
+    objCache.computeIfAbsent((generation(), key), _ => build).asInstanceOf[T]
+  }
+
+  private val objCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), AnyRef]()
 
   /** Memoized request plan: a repeated request re-executes the SAME
     * DataFrame, so parse/analyze/optimize/physical-planning happen once

@@ -351,10 +351,23 @@ final class GrpcSeqApi(
     toProtoAgg(df.collect(), df.schema, a)
   }
 
+  /** Serving-mode response memoization: a repeated identical request
+    * (dashboards refreshing the same aggregation) is a map lookup at
+    * the current sink generation. Case-class toString is a complete,
+    * deterministic rendering of the request — the full cache key,
+    * unlike the rate-limit key which deliberately drops the range. */
+  private def cachedResp[T <: AnyRef](key: String)(build: => T): T =
+    serving match {
+      case Some(core) => core.cachedObj(key)(build)
+      case None       => build
+    }
+
   private def handleGetAggregation(r: PGetAggregationRequest): PGetAggregationResponse = {
     admitQuery(r.q.query, r.aggs, "")
-    val eng = engine
-    PGetAggregationResponse(0L, r.aggs.map(a => runAgg(eng, r.q, a)), ErrNo)
+    cachedResp(s"agg|$r") {
+      val eng = engine
+      PGetAggregationResponse(0L, r.aggs.map(a => runAgg(eng, r.q, a)), ErrNo)
+    }
   }
 
   private def histogramOf(eng: SeqEngine, q: SearchQuery, interval: String): PHistogram = {
@@ -363,14 +376,19 @@ final class GrpcSeqApi(
   }
 
   private def handleGetHistogram(r: PGetHistogramRequest): PGetHistogramResponse = {
-    val eng = engine
     val iv = if (r.interval.nonEmpty) r.interval else "1h"
     admitQuery(r.q.query, Nil, iv)
-    PGetHistogramResponse(0L, histogramOf(eng, r.q, iv), ErrNo)
+    cachedResp(s"hist|$r") {
+      PGetHistogramResponse(0L, histogramOf(engine, r.q, iv), ErrNo)
+    }
   }
 
   private def handleComplexSearch(r: PComplexSearchRequest): PComplexSearchResponse = {
     admitQuery(r.q.query, r.aggs, r.histInterval.getOrElse(""))
+    cachedResp(s"cs|$r") { handleComplexSearchUncached(r) }
+  }
+
+  private def handleComplexSearchUncached(r: PComplexSearchRequest): PComplexSearchResponse = {
     val eng = engine
     val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
       size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)

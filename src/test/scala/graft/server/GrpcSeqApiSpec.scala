@@ -214,7 +214,46 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(again.docs.size == 2)
       // non-search RPCs ride the cached engine too
       assert(c1.status().numberOfStores == c2.status().numberOfStores)
+      // serving-mode response memoization: a repeated identical
+      // aggregation returns the identical response (map lookup), and
+      // matches the uncached engine's answer
+      val ar = PGetAggregationRequest(SearchQuery("*", 0L, Long.MaxValue),
+        Seq(PAggQuery("", "level", func = 0, Nil, "")))
+      val (a1, a2, a3) = (c1.getAggregation(ar), c1.getAggregation(ar),
+        c2.getAggregation(ar))
+      assert(a1 == a2 && a1.aggs == a3.aggs)
+      val hr = PGetHistogramRequest(SearchQuery("*", 0L, Long.MaxValue), "1h")
+      assert(c1.getHistogram(hr) == c1.getHistogram(hr))
     } finally { c1.close(); c2.close(); api.stop(); cold.stop() }
+  }
+
+  test("serving mode: sink append invalidates the memoized aggregation within the staleness bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grpc_gen").toString
+    graft.ingest.BulkIngest.project(lines.toDF("value"), mapping, reqTime)
+      .write.mode("append").parquet(dir)
+    val core = new graft.server.ServingCore(spark, mapping, dir)
+    val api = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(dir), mapping),
+      java.nio.file.Files.createTempDirectory("grpc_gen_async").toString,
+      serving = Some(core))
+    val port = api.start()
+    val client = new GrpcSeqClient("127.0.0.1", port, api)
+    try {
+      val ar = PGetAggregationRequest(SearchQuery("*", 0L, Long.MaxValue),
+        Seq(PAggQuery("", "level", func = 0, Nil, "")))
+      def counts(): Map[String, Double] =
+        client.getAggregation(ar).aggs.head.buckets.map(b => b.key -> b.value).toMap
+      assert(counts() == Map("error" -> 2.0, "info" -> 1.0))
+      // append one more error doc; the sink signature moves, so within
+      // the ~1s probe interval the memoized response must be dropped
+      graft.ingest.BulkIngest.project(Seq(
+        """{"timestamp":"2024-03-10 11:30:00","level":"error","message":"oom"}""")
+        .toDF("value"), mapping, reqTime)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+      assert(counts() == Map("error" -> 3.0, "info" -> 1.0))
+    } finally { client.close(); api.stop() }
   }
 
   test("proto codec round-trips every message shape") {
