@@ -157,6 +157,12 @@ object Bench {
       // predecessor tree's dirty pages on its own schedule, and when
       // that flush lands inside the timed window it halves the
       // apparent rate — take the best of two warm runs
+      // settle: the read sweep and the base materialization leave dirty
+      // pages the kernel flushes on its own schedule; when that flush
+      // lands inside the cold window it halves the apparent rate (cold
+      // samples swung 131-277k docs/s on identical code). A short pause
+      // after the GC lets the flusher drain before timing starts.
+      Thread.sleep(3000)
       val cold = run()
       val n0 = spark.read.parquet("/tmp/graft_bench_ingest").count() // before cleanup
       cleanOutput()
