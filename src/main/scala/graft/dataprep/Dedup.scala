@@ -177,9 +177,17 @@ object Dedup {
         // pattern as the bloom/centroid sidecars. Its size is bounded by
         // pigeonhole at totalShingleOccurrences/(maxDfFrac·N): sane caps
         // keep it in the KBs–MBs even at corpus scale.
+        // Size guard: ANY subset of the over-cap shingles is a valid
+        // exclusion set (the widened-prefix proof only needs probe,
+        // posting and per-doc widening to agree on membership, which
+        // sortedDiff guarantees), so an adversarial corpus with a huge
+        // hot vocabulary degrades to excluding the 2^20 HOTTEST keys —
+        // the dominant skew — instead of bloating the plan object.
+        val maxHot = 1 << 20
         val hotArr = s.select(explode(col("hs")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("df"))
           .where(col("df") > cap)
+          .orderBy(col("df").desc, col("h").asc).limit(maxHot)
           .select("h").collect().map(_.getLong(0)).sorted
         if (hotArr.isEmpty) (probes0, posts0)
         else {
