@@ -363,18 +363,27 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     // re-scanning the match set (the probe would otherwise be a full
     // second scan). The probe is necessarily eager — the ROUTE decides
     // the plan shape — but it now doubles as the cache warm-up.
-    // Caller-unpersist contract as with clusters/containmentPairs: the
-    // returned plan reads the cached frame lazily; long-lived sessions
-    // should clearCache() once it is consumed.
     val qf = quantileFrame(query, fromMs, toMs, agg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxBucket = qf
-      .where(col("v").isNotNull)
-      .groupBy(col("b"), col("n")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).collect()(0)
-    val maxN = if (maxBucket.isNullAt(0)) 0L else maxBucket.getLong(0)
-    if (maxN <= cap) exactQuantileFromFrame(qf, agg)
-    else sketchQuantileFromFrame(qf, agg)
+    try {
+      val maxBucket = qf
+        .where(col("v").isNotNull)
+        .groupBy(col("b"), col("n")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0)
+      val maxN = if (maxBucket.isNullAt(0)) 0L else maxBucket.getLong(0)
+      val out = if (maxN <= cap) exactQuantileFromFrame(qf, agg)
+        else sketchQuantileFromFrame(qf, agg)
+      // Localize the result before unpersisting: aggregation output is
+      // bucket-capped by contract (A7 requireGroupCardinality; quantile
+      // rows = buckets × names × quantiles), so collecting it is the
+      // same KB-sized response assembly the servers do anyway — and it
+      // lets this call clean up its own cached frame instead of leaking
+      // one CacheManager entry per distinct request in a long-lived
+      // serving process.
+      val rows = out.collect()
+      table.df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { qf.unpersist(); () }
   }
 
   /** Exact window-rank quantiles over a prepared (b, n, v, u) frame —

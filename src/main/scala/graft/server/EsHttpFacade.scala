@@ -54,9 +54,12 @@ import graft.model.SeqMapping
   * `query-rate-limit` flag, default 2 qps): `perQueryRps` buckets
   * IDENTICAL search queries — same query string, aggregations and
   * interval, NOT the time range, so a sliding dashboard window still
-  * counts as the same query — and `perFetchIdRps` buckets direct
-  * fetch-by-message-ID calls per id (the hot-doc hammer case). 0
-  * disables either.
+  * counts as the same query — enforced on the HTTP /search, /aggregate
+  * and /histogram handlers (429) and on every gRPC query RPC
+  * (RESOURCE_EXHAUSTED). `perFetchIdRps` buckets direct
+  * fetch-by-message-ID calls per id (the hot-doc hammer case) on the
+  * gRPC Fetch path — the HTTP facade exposes no fetch-by-id endpoint.
+  * 0 disables either.
   */
 final case class RateLimits(
     maxInflight: Int = 0,
@@ -165,6 +168,22 @@ final class EsHttpFacade(
     }
   }
 
+  // keyed per-identical-query throttle (same contract as the gRPC
+  // path: key = query + aggs + interval, NOT the time range)
+  private val queryLimiter =
+    new KeyedRateLimiter(limits.perQueryRps, limits.perQueryBurst)
+
+  /** Admit `key` against the per-query buckets or answer 429. Returns
+    * whether the request may proceed. */
+  private def admitQueryKey(ex: HttpExchange, key: String): Boolean = {
+    if (queryLimiter.tryAcquire(key)) true
+    else {
+      ex.getResponseHeaders.set("Retry-After", "1")
+      reply(ex, 429, """{"error":"query rate limit exceeded"}""")
+      false
+    }
+  }
+
   private final class RootHandler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
       val path = ex.getRequestURI.getPath
@@ -261,6 +280,7 @@ final class EsHttpFacade(
 
     private def handleSearch(ex: HttpExchange): Unit = {
       val raw = body(ex)
+      if (!admitQueryKey(ex, s"search|${parseSearch(raw).query}")) return
       // capture the generation the response will be computed against;
       // a concurrent rebuild keys our put() under the old generation,
       // so the stale response is never served past the rebuild
@@ -294,6 +314,8 @@ final class EsHttpFacade(
       val raw = body(ex)
       val req = parseSearch(raw)
       val agg = parseAgg(raw)
+      if (!admitQueryKey(ex,
+        s"agg|${req.query}|${agg.func}|${agg.field}|${agg.groupBy}|${agg.intervalMs}")) return
       val eng = readEngine()
       // strict A3: a value-consuming agg over a non-numeric field fails
       // the whole request (frac/processor/aggregator.go:150-157)
@@ -381,6 +403,7 @@ final class EsHttpFacade(
         .orElse(("\"interval\"\\s*:\\s*(\\d+)").r
           .findFirstMatchIn(raw).map(_.group(1).toLong))
         .getOrElse(3600000L)
+      if (!admitQueryKey(ex, s"hist|${req.query}|$intervalMs")) return
       val eng = readEngine()
       val rows = rowsJson(eng.histogram(req.query, req.fromMs, req.toMs, intervalMs))
       reply(ex, 200, s"""{"buckets":[$rows]}""")

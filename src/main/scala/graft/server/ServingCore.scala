@@ -26,8 +26,14 @@ final class ServingCore(
   @volatile private var engineCache: (Long, SeqEngine, Seq[String]) = null
   @volatile private var lastSigCheckMs = 0L
   @volatile private var lastSig = 0L
+  // Every cache below keys by (generation, request-shape): an entry
+  // computed against generation G that loses the race with a rebuild to
+  // G+1 is inserted under G and simply never read again — clear() on
+  // rebuild bounds size, the generation key bounds STALENESS (a bare
+  // string key would let a slow in-flight build re-insert pre-append
+  // results after the rebuild cleared them).
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), org.apache.spark.sql.DataFrame]()
   // ES-style request cache: identical request body → rendered response,
   // invalidated with the engine (sink generation) like ES invalidates
   // its shard request cache on refresh
@@ -38,7 +44,7 @@ final class ServingCore(
   // subsequent page of the same query slices the driver-held prefix —
   // pagination then costs memory slicing, not a Spark job per page
   private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[org.apache.spark.sql.Row]]()
   private val PrefixRows = 1000
 
   /** Cheap sink-generation probe: top-level FS statuses (file/partition
@@ -135,7 +141,16 @@ final class ServingCore(
     * key under the old generation and are never read again. */
   def cachedObj[T <: AnyRef](key: String)(build: => T): T = {
     if (objCache.size() > 1024) objCache.clear()
-    objCache.computeIfAbsent((generation(), key), _ => build).asInstanceOf[T]
+    val k = (generation(), key)
+    val hit = objCache.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    // build OUTSIDE the map (get/build/putIfAbsent, not computeIfAbsent):
+    // a multi-second Spark job must not hold a hash-bin lock and stall
+    // unrelated cache hits that collide on the bin. A racing duplicate
+    // build is the cheaper failure mode.
+    val built = build
+    val raced = objCache.putIfAbsent(k, built)
+    (if (raced != null) raced else built).asInstanceOf[T]
   }
 
   private val objCache =
@@ -146,7 +161,7 @@ final class ServingCore(
     * and the warm path pays only job scheduling + execution. */
   def cachedPlan(key: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (planCache.size() > 512) planCache.clear() // crude bound; keys are request shapes
-    planCache.computeIfAbsent(key, _ => build)
+    planCache.computeIfAbsent((generation(), key), _ => build)
   }
 
   /** Incremental top-page scan (the reference's O3 early termination +
@@ -163,10 +178,20 @@ final class ServingCore(
     if (need <= PrefixRows) {
       // scroll-context path: one job fills the query's top-PrefixRows
       // prefix, every page of the same query slices it driver-side
-      val pk = s"${req.query}|${req.fromMs}|${req.toMs}|${req.asc}"
+      val pk = (generation(), s"${req.query}|${req.fromMs}|${req.toMs}|${req.asc}")
       if (prefixCache.size() > 256) prefixCache.clear()
-      val pre = prefixCache.computeIfAbsent(pk,
-        _ => collectPrefix(eng, req, PrefixRows))
+      // get/build/putIfAbsent (not computeIfAbsent): the prefix fill is
+      // a Spark job and must not hold a hash-bin lock over other
+      // queries' instant cache hits
+      val pre = {
+        val hit = prefixCache.get(pk)
+        if (hit != null) hit
+        else {
+          val built = collectPrefix(eng, req, PrefixRows)
+          val raced = prefixCache.putIfAbsent(pk, built)
+          if (raced != null) raced else built
+        }
+      }
       // a shorter-than-capacity prefix IS the complete match set, so
       // any slice of it is exact; otherwise it covers need ≤ PrefixRows
       pre.slice(req.offset, need)

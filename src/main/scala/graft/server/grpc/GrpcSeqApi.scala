@@ -72,7 +72,10 @@ final class GrpcSeqApi(
   }
 
   private def admitFetchIds(ids: Seq[String]): Unit =
-    ids.find(id => !fetchLimiter.tryAcquire(id)).foreach(id =>
+    // all-or-nothing: a batch rejected on one id must not charge the
+    // others (the client retries the whole batch — partial spends would
+    // drain innocent ids' buckets without ever serving them)
+    fetchLimiter.tryAcquireAll(ids).foreach(id =>
       throw new RateLimitedException(s"fetch rate limit exceeded for id: $id"))
 
   // ---- admission (storeapi/grpc_search.go:71-77 inflight guard +

@@ -63,6 +63,26 @@ class Round6OpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embeddingNearDupPairs knownCount selects the branch without counting") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 3 + d) % 7).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    // a pipeline that already tracks its corpus size can force either
+    // branch; the declared count wins over the actual row count
+    val brute = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, knownCount = Some(40L))
+    val lsh = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, knownCount = Some(1000000L))
+    brute.collect(); lsh.collect()
+    assert(brute.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    // both branches agree on the qualifying pairs (LSH recall ≈ 1 at
+    // this threshold on identical/near-identical vectors)
+    val bp = brute.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lp = lsh.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp.subsetOf(bp) && lp.nonEmpty)
+  }
+
   test("containmentPairs DF cap: bounded posting lists on a stop-word-heavy corpus") {
     // Mirror the internal capping arithmetic observably: with the cap,
     // no candidate-join key may originate from more docs than cap·N.

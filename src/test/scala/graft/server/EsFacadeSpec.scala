@@ -117,6 +117,26 @@ class EsFacadeSpec extends SparkSpec {
     } finally rl.stop()
   }
 
+  test("keyed query limit: identical /search throttled, distinct query passes") {
+    val sinkK = java.nio.file.Files.createTempDirectory("graft_es_kq").toString + "/docs"
+    val rl = new EsHttpFacade(spark, mapping, sinkK,
+      limits = RateLimits(perQueryRps = 0.5, perQueryBurst = 2))
+    rl.start()
+    try {
+      def searchCode(q: String): Int = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${rl.port}/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"query":"$q","from":0,"to":1,"size":1}"""))
+        .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      // same query text: burst of 2 admitted, third 429
+      val same = (1 to 3).map(_ => searchCode("level:error"))
+      assert(same.take(2).forall(_ != 429), same)
+      assert(same(2) == 429, same)
+      // a distinct query has its own bucket while the first is dry
+      assert(searchCode("level:info") != 429)
+    } finally rl.stop()
+  }
+
   test("inflight cap rejects when saturated") {
     val sink4 = java.nio.file.Files.createTempDirectory("graft_es_if").toString + "/docs"
     // maxInflight=0 means unlimited; a facade capped at -1... use a
