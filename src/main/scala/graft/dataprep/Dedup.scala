@@ -48,12 +48,15 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // unconditional: file count is NOT split count (many small files
-    // pack into few input splits and huge files split into many), so
-    // any cheap skip heuristic misfires in both directions. AQE
-    // coalesces the exchange's output when it is overkill, and pair
-    // generation downstream dwarfs its cost.
-    df.repartition(n)
+    // skip the exchange when the plan already has enough splits: the
+    // physical RDD's partition count is the real split count (file
+    // count is not — many small files pack into few splits and huge
+    // files split into many), costs no job to read, and at corpus
+    // scale an unconditional repartition would shuffle the whole
+    // input once more before pair generation for nothing. Small
+    // inputs (the one-split parquet case this helper exists for)
+    // still spread to the session parallelism.
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
   // Set operations run on sorted xxhash64 mirrors of the shingle sets
