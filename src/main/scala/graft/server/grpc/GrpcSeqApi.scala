@@ -23,8 +23,8 @@ import SeqProxyProto._
   * Fetch (stream) / Mapping / Status / Export (stream) /
   * StartAsyncSearch / FetchAsyncSearchResult / CancelAsyncSearch.
   *
-  * Semantic notes: FetchRequest.fields_filter is accepted and ignored
-  * (documents stream whole, like the facade); StartAsyncSearchRequest
+  * Semantic notes: FetchRequest.fields_filter is applied (top-level
+  * fields only, per the proto contract); StartAsyncSearchRequest
   * aggs/hist/retention are accepted and ignored (the chunked searcher
   * persists the match set; aggregations run at fetch time if needed).
   */
@@ -411,7 +411,17 @@ final class GrpcSeqApi(
     // every requested id spends from its own bucket
     admitFetchIds(r.ids)
     val eng = engine
-    collectDocs(eng.fetchByIds(r.ids)).foreach(obs.onNext)
+    // FieldsFilter (top-level only, per the proto contract): allow_list
+    // keeps the listed fields, otherwise they are removed
+    val filter: Doc => Doc = r.fieldsFilter match {
+      case Some(f) if f.fields.nonEmpty || f.allowList =>
+        val set = f.fields.toSet
+        d => d.copy(data = graft.model.Json
+          .filterTopLevel(new String(d.data, "UTF-8"), set, f.allowList)
+          .getBytes("UTF-8"))
+      case _ => identity
+    }
+    collectDocs(eng.fetchByIds(r.ids)).foreach(d => obs.onNext(filter(d)))
   }
 
   private def handleExport(r: PExportRequest, obs: StreamObserver[Doc]): Unit = {

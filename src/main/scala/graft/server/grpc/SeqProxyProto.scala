@@ -96,7 +96,11 @@ object SeqProxyProto {
   final case class PHistogram(buckets: Seq[HistBucket])
   final case class PGetHistogramRequest(q: SearchQuery, interval: String)
   final case class PGetHistogramResponse(total: Long, hist: PHistogram, error: PError)
-  final case class PFetchRequest(ids: Seq[String])
+  /** FetchRequest.FieldsFilter (seq_proxy_api.proto:287-295): allowList
+    * true keeps only `fields`, false removes them; top-level only. */
+  final case class PFieldsFilter(fields: Seq[String], allowList: Boolean)
+  final case class PFetchRequest(ids: Seq[String],
+      fieldsFilter: Option[PFieldsFilter] = None)
   final case class PMappingResponse(data: Array[Byte])
   final case class PStatusResponse(numberOfStores: Int, oldestMs: Option[Long])
   final case class PExportRequest(q: SearchQuery, size: Long, offset: Long)
@@ -445,21 +449,43 @@ object SeqProxyProto {
 
   // ---- Fetch {ids=1, fields_filter=2(ignored)} --------------------
 
-  def writeFetchRequest(r: PFetchRequest): Array[Byte] = encode { o =>
-    r.ids.foreach(id => o.writeString(1, id))
+  def writeFieldsFilter(f: PFieldsFilter): Array[Byte] = encode { o =>
+    f.fields.foreach(s => o.writeString(1, s))
+    if (f.allowList) o.writeBool(2, true)
   }
 
-  def readFetchRequest(in: CodedInputStream): PFetchRequest = {
-    var ids = Vector.empty[String]
+  def readFieldsFilter(in: CodedInputStream): PFieldsFilter = {
+    var fields = Vector.empty[String]; var allow = false
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
-        case 1 => ids :+= in.readStringRequireUtf8()
+        case 1 => fields :+= in.readStringRequireUtf8()
+        case 2 => allow = in.readBool()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
     }
-    PFetchRequest(ids)
+    PFieldsFilter(fields, allow)
+  }
+
+  def writeFetchRequest(r: PFetchRequest): Array[Byte] = encode { o =>
+    r.ids.foreach(id => o.writeString(1, id))
+    r.fieldsFilter.foreach(f => writeMsgAlways(o, 2, writeFieldsFilter(f)))
+  }
+
+  def readFetchRequest(in: CodedInputStream): PFetchRequest = {
+    var ids = Vector.empty[String]
+    var ff: Option[PFieldsFilter] = None
+    var tag = in.readTag()
+    while (tag != 0) {
+      WireFormat.getTagFieldNumber(tag) match {
+        case 1 => ids :+= in.readStringRequireUtf8()
+        case 2 => ff = Some(nested(in)(readFieldsFilter))
+        case _ => in.skipField(tag)
+      }
+      tag = in.readTag()
+    }
+    PFetchRequest(ids, ff)
   }
 
   // ---- Mapping / Status --------------------------------------------

@@ -122,6 +122,26 @@ class ReservoirSpec extends AnyFunSuite {
     assert(math.abs(a.quantiles(0) - 10005.0) / 10005.0 < 0.05)
   }
 
+  test("Json.filterTopLevel: allow/deny lists on top-level fields only") {
+    val doc = """{"a": 1, "b": {"a": "x}y", "c": [1,2]}, "c": "q\"r", "d": [true, {"e": 0}]}"""
+    // deny list removes top-level keys, nested same-named keys untouched
+    assert(graft.model.Json.filterTopLevel(doc, Set("a", "d"), allow = false) ==
+      """{"b": {"a": "x}y", "c": [1,2]},"c": "q\"r"}""")
+    // allow list keeps only the listed top-level keys
+    assert(graft.model.Json.filterTopLevel(doc, Set("b"), allow = true) ==
+      """{"b": {"a": "x}y", "c": [1,2]}}""")
+    // allow of nothing empties the object
+    assert(graft.model.Json.filterTopLevel(doc, Set(), allow = true) == "{}")
+    // deny of nothing is identity (modulo separator normalization)
+    assert(graft.model.Json.filterTopLevel("""{"a":1}""", Set(), allow = false) == """{"a":1}""")
+    // non-object and malformed docs pass through verbatim
+    assert(graft.model.Json.filterTopLevel("[1,2,3]", Set("a"), allow = false) == "[1,2,3]")
+    assert(graft.model.Json.filterTopLevel("""{"a": """, Set("a"), allow = false) == """{"a": """)
+    // escaped keys resolve before matching
+    assert(graft.model.Json.filterTopLevel("""{"a": 1, "b": 2}""", Set("a"), allow = true) ==
+      """{"a": 1}""")
+  }
+
   test("reservoir caps at 8096 and merge stays bounded") {
     val agg = SeqAggregates.samplesAgg(Seq(0.5, 0.99))
     var a = agg.zero

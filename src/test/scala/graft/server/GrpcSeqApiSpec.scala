@@ -71,6 +71,21 @@ class GrpcSeqApiSpec extends SparkSpec {
       val fd = client.fetch(PFetchRequest(ids))
       assert(fd.map(_.id) == ids)
 
+      // Fetch with fields_filter: allow-list keeps only the listed
+      // top-level fields, deny-list removes them
+      val fAllow = client.fetch(PFetchRequest(ids,
+        Some(PFieldsFilter(Seq("level"), allowList = true))))
+      fAllow.map(d => new String(d.data, "UTF-8")).foreach { s =>
+        assert(s.contains("\"level\"") && !s.contains("\"message\"") &&
+          !s.contains("\"timestamp\""), s)
+      }
+      val fDeny = client.fetch(PFetchRequest(ids,
+        Some(PFieldsFilter(Seq("message"), allowList = false))))
+      fDeny.map(d => new String(d.data, "UTF-8")).foreach { s =>
+        assert(s.contains("\"level\"") && s.contains("\"timestamp\"") &&
+          !s.contains("\"message\""), s)
+      }
+
       // Export: stream all docs ascending match set
       val ex = client.export(PExportRequest(SearchQuery("*", 0L, Long.MaxValue), 0, 0))
       assert(ex.size == 3)

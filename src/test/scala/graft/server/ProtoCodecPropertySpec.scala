@@ -63,6 +63,25 @@ class ProtoCodecPropertySpec extends AnyFunSuite {
     sample(aqGen, 150).foreach(v => assert(rt(writeAggQuery, readAggQuery, v) == v))
   }
 
+  test("FetchRequest with fields_filter round-trips") {
+    val filterGen: Gen[Option[PFieldsFilter]] = Gen.option(
+      for {
+        fs <- Gen.listOf(strGen)
+        allow <- Gen.oneOf(true, false)
+      } yield PFieldsFilter(fs.toSeq, allow))
+    val reqGen: Gen[PFetchRequest] = for {
+      ids <- Gen.listOf(strGen)
+      ff <- filterGen
+    } yield PFetchRequest(ids.toSeq, ff)
+    sample(reqGen, 200).foreach { r =>
+      val got = rt(writeFetchRequest, readFetchRequest, r)
+      // message fields carry presence in proto3: an all-default filter
+      // (no fields, allow=false) is zero body bytes, but the field tag
+      // is still written (writeMsgAlways), so Some(default) != None
+      assert(got == r, s"$r -> $got")
+    }
+  }
+
   test("ComplexSearchRequest/Response and async messages round-trip") {
     val docGen = for {
       id <- strGen; data <- Gen.listOf(Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray)
