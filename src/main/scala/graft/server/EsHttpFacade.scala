@@ -173,6 +173,15 @@ final class EsHttpFacade(
   private val queryLimiter =
     new KeyedRateLimiter(limits.perQueryRps, limits.perQueryBurst)
 
+  // ingest-path circuit breaker (the reference arms one per store
+  // shard around bulk sends): a persistently failing sink write —
+  // disk full, permissions, lost mount — fails fast with 503 instead
+  // of running every bulk request into the same multi-second failure,
+  // and a half-open probe re-admits traffic once the sink recovers
+  private val bulkBreaker = new CircuitBreaker(
+    requestVolumeThreshold = 5, errorThresholdPercentage = 50,
+    sleepWindowMs = 5000L)
+
   /** Admit `key` against the per-query buckets or answer 429. Returns
     * whether the request may proceed. */
   private def admitQueryKey(ex: HttpExchange, key: String): Boolean = {
@@ -250,9 +259,16 @@ final class EsHttpFacade(
       // sent.
       val actionRe = """^\s*\{\s*"(index|create|update|delete)"\s*:""".r
       val nActions = lines.count(l => actionRe.findFirstIn(l).isEmpty)
-      bulkLock.synchronized {
-        BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
-          .write.mode("append").parquet(sinkDir)
+      try bulkBreaker.run {
+        bulkLock.synchronized {
+          BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
+            .write.mode("append").parquet(sinkDir)
+        }
+      } catch {
+        case _: bulkBreaker.CircuitOpenException =>
+          ex.getResponseHeaders.set("Retry-After", "5")
+          reply(ex, 503, """{"error":"ingest circuit open"}""")
+          return
       }
       val tookMs = (System.nanoTime() - t0) / 1000000
       // stream the repeated item template instead of building an O(n)

@@ -137,6 +137,25 @@ class EsFacadeSpec extends SparkSpec {
     } finally rl.stop()
   }
 
+  test("bulk circuit breaker: persistent sink failures trip to fast 503") {
+    // sink path whose PARENT is a regular file -> every write fails
+    val parent = java.nio.file.Files.createTempFile("graft_es_cb", ".blk")
+    val badSink = parent.toString + "/docs"
+    val fc = new EsHttpFacade(spark, mapping, badSink)
+    fc.start()
+    try {
+      def bulkCode(): Int = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${fc.port}/_bulk"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"index":{}}""" + "\n" + """{"timestamp":"2024-03-10 09:00:00","level":"x"}""" + "\n"))
+        .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      // failures accumulate until the breaker opens (volume floor 5)
+      val codes = (1 to 6).map(_ => bulkCode())
+      assert(codes.take(5).forall(_ == 500), codes)
+      assert(codes(5) == 503, codes) // fail-fast, no write attempted
+    } finally fc.stop()
+  }
+
   test("inflight cap rejects when saturated") {
     val sink4 = java.nio.file.Files.createTempDirectory("graft_es_if").toString + "/docs"
     // maxInflight=0 means unlimited; a facade capped at -1... use a
