@@ -25,8 +25,10 @@ import SeqProxyProto._
   *
   * Semantic notes: FetchRequest.fields_filter is applied (top-level
   * fields only, per the proto contract); StartAsyncSearchRequest
-  * aggs/hist/retention are accepted and ignored (the chunked searcher
-  * persists the match set; aggregations run at fetch time if needed).
+  * aggs/hist run over the persisted partial match set at FETCH time
+  * (a partial answer while running, the full one when done);
+  * retention is accepted and ignored (partials persist until
+  * explicitly canceled).
   */
 final class GrpcSeqApi(
     spark: SparkSession,
@@ -471,10 +473,34 @@ final class GrpcSeqApi(
             else df.orderBy(col("mid").desc, col("rid").desc)
           collectDocs(ordered.offset(r.offset).limit(size))
       }
+    // aggs/hist requested at start run over the PERSISTED partials at
+    // fetch time (partial answer while running, full when done) — the
+    // chunked searcher stores the match set, not pre-aggregated rows,
+    // so one fetch-time aggregation serves every requested shape
+    val (aggs, hist) =
+      if (req == null || (req.aggs.isEmpty && req.histInterval.isEmpty)) (Nil, None)
+      else asyncSearcher.fetchPartial(r.searchId) match {
+        case None => (Nil, None)
+        case Some(df) =>
+          val eng = engine
+          val as = req.aggs.map { a =>
+            val out = eng.aggregateOver(df, toAggRequest(a))
+            toProtoAgg(out.collect(), out.schema, a)
+          }
+          val h = req.histInterval.filter(_.nonEmpty).map { iv =>
+            val ms = graft.model.Intervals.parseMs(iv)
+            val rows = df
+              .groupBy((col("mid") - col("mid") % lit(ms)).as("bucket_ms"))
+              .agg(count(lit(1)).as("cnt")).orderBy(col("bucket_ms").asc)
+              .collect()
+            PHistogram(rows.map(x => HistBucket(x.getLong(1), x.getLong(0))).toSeq)
+          }
+          (as, h)
+      }
     val err =
       if (done || !asyncSearcher.isCanceled(r.searchId)) ErrNo
       else PError(2, "canceled: persisted partial result")
-    PFetchAsyncResponse(done, PComplexSearchResponse(0L, docs, Nil, None, err))
+    PFetchAsyncResponse(done, PComplexSearchResponse(0L, docs, aggs, hist, err))
   }
 }
 

@@ -108,7 +108,8 @@ object SeqProxyProto {
       histInterval: Option[String], size: Long, offset: Long, withTotal: Boolean, asc: Boolean)
   final case class PComplexSearchResponse(total: Long, docs: Seq[Doc],
       aggs: Seq[PAggregation], hist: Option[PHistogram], error: PError)
-  final case class PStartAsyncRequest(q: SearchQuery, asc: Boolean)
+  final case class PStartAsyncRequest(q: SearchQuery, asc: Boolean,
+      aggs: Seq[PAggQuery] = Nil, histInterval: Option[String] = None)
   final case class PStartAsyncResponse(searchId: String)
   final case class PFetchAsyncRequest(searchId: String, withDocs: Boolean, size: Int, offset: Int)
   final case class PFetchAsyncResponse(done: Boolean, resp: PComplexSearchResponse)
@@ -637,21 +638,37 @@ object SeqProxyProto {
   // StartAsyncSearchRequest {retention=1(skipped), query=2, aggs=3, hist=4, order=5}
   def writeStartAsyncRequest(r: PStartAsyncRequest): Array[Byte] = encode { o =>
     writeMsg(o, 2, writeSearchQuery(r.q))
+    r.aggs.foreach(a => writeMsgAlways(o, 3, writeAggQuery(a)))
+    r.histInterval.foreach(iv =>
+      writeMsgAlways(o, 4, encode(h => if (iv.nonEmpty) h.writeString(1, iv))))
     if (r.asc) o.writeEnum(5, 1)
   }
 
   def readStartAsyncRequest(in: CodedInputStream): PStartAsyncRequest = {
     var q = SearchQuery("", 0, 0); var asc = false
+    var aggs = Vector.empty[PAggQuery]
+    var hist: Option[String] = None
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
         case 2 => q = nested(in)(readSearchQuery)
+        case 3 => aggs :+= nested(in)(readAggQuery)
+        case 4 => hist = Some(nested(in) { h => // HistQuery {interval=1}
+          var iv = ""
+          var t = h.readTag()
+          while (t != 0) {
+            if (WireFormat.getTagFieldNumber(t) == 1) iv = h.readStringRequireUtf8()
+            else h.skipField(t)
+            t = h.readTag()
+          }
+          iv
+        })
         case 5 => asc = in.readEnum() == 1
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
     }
-    PStartAsyncRequest(q, asc)
+    PStartAsyncRequest(q, asc, aggs, hist)
   }
 
   def writeStartAsyncResponse(r: PStartAsyncResponse): Array[Byte] = encode { o =>

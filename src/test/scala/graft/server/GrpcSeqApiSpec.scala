@@ -104,8 +104,11 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(cs.total == 3 && cs.docs.size == 1)
       assert(cs.aggs.head.buckets.nonEmpty && cs.hist.exists(_.buckets.size == 3))
 
-      // async: start → poll done → docs fetchable
-      val started = client.startAsync(PStartAsyncRequest(q, asc = false))
+      // async: start (with aggs + histogram) → poll done → docs,
+      // aggregations and histogram all fetchable from the partials
+      val started = client.startAsync(PStartAsyncRequest(q, asc = false,
+        aggs = Seq(PAggQuery("", "level", func = 0, Nil, "")),
+        histInterval = Some("1h")))
       assert(started.searchId.nonEmpty)
       val deadline = System.currentTimeMillis() + 60000
       var done = false
@@ -116,6 +119,11 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(done)
       val far = client.fetchAsync(PFetchAsyncRequest(started.searchId, withDocs = true, 10, 0))
       assert(far.resp.docs.size == 2)
+      // fetch-time aggregation over the persisted match set: 2 error docs
+      val asyncBuckets = far.resp.aggs.head.buckets.map(b => b.key -> b.value).toMap
+      assert(asyncBuckets == Map("error" -> 2.0))
+      // histogram: the two error docs sit in distinct 1h buckets
+      assert(far.resp.hist.exists(_.buckets.map(_.docCount).sum == 2))
       client.cancelAsync(PCancelAsyncRequest(started.searchId)) // no-op when done
     } finally {
       client.close()
