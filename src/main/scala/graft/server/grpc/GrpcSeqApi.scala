@@ -26,9 +26,10 @@ import SeqProxyProto._
   * Semantic notes: FetchRequest.fields_filter is applied (top-level
   * fields only, per the proto contract); StartAsyncSearchRequest
   * aggs/hist run over the persisted partial match set at FETCH time
-  * (a partial answer while running, the full one when done);
-  * retention is accepted and ignored (partials persist until
-  * explicitly canceled).
+  * (a partial answer while running, the full one when done), and
+  * retention bounds the result lifetime — fetches past the expiration
+  * drop the persisted partials and report expiry (enforced lazily;
+  * default 24 h when unset).
   */
 final class GrpcSeqApi(
     spark: SparkSession,
@@ -41,9 +42,11 @@ final class GrpcSeqApi(
 
   @volatile private var server: Server = _
   private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, asyncDir)
-  // async searches need fixed request params at fetch time
+  // async searches need fixed request params + start time at fetch time
   private val asyncReqs =
-    new java.util.concurrent.ConcurrentHashMap[String, PStartAsyncRequest]()
+    new java.util.concurrent.ConcurrentHashMap[String, (PStartAsyncRequest, Long)]()
+  // default result retention when the request leaves it unset
+  private val DefaultRetentionMs = 24L * 3600 * 1000
 
   /** Per-call engine, or the serving core's generation-cached one
     * (memory-pinned table, shared plan cache) when serving is wired —
@@ -444,7 +447,7 @@ final class GrpcSeqApi(
 
   private def handleStartAsync(r: PStartAsyncRequest): PStartAsyncResponse = {
     val id = java.util.UUID.randomUUID().toString
-    asyncReqs.put(id, r)
+    asyncReqs.put(id, (r, System.currentTimeMillis()))
     val eng = engine
     // the proto has no chunk parameter — the server picks the chunk
     // layout. Clamp the requested span to the table's actual time
@@ -460,7 +463,21 @@ final class GrpcSeqApi(
 
   private def handleFetchAsync(r: PFetchAsyncRequest): PFetchAsyncResponse = {
     val done = asyncSearcher.isComplete(r.searchId)
-    val req = asyncReqs.get(r.searchId)
+    val entry = asyncReqs.get(r.searchId)
+    val req = if (entry == null) null else entry._1
+    // retention (StartAsyncSearchRequest field 1): past the expiration
+    // the persisted partials are dropped and the fetch reports expiry —
+    // the reference's result-lifetime contract, enforced lazily
+    val expirationMs = Option(entry).map { case (rq, startedMs) =>
+      startedMs + (if (rq.retentionMs > 0) rq.retentionMs else DefaultRetentionMs)
+    }
+    if (expirationMs.exists(_ < System.currentTimeMillis())) {
+      asyncSearcher.cancel(r.searchId, spark)
+      asyncReqs.remove(r.searchId)
+      return PFetchAsyncResponse(done = false,
+        PComplexSearchResponse(0L, Nil, Nil, None,
+          PError(2, "async search result expired")), expirationMs)
+    }
     val asc = req != null && req.asc
     val docs =
       if (!r.withDocs) Nil
@@ -500,7 +517,8 @@ final class GrpcSeqApi(
     val err =
       if (done || !asyncSearcher.isCanceled(r.searchId)) ErrNo
       else PError(2, "canceled: persisted partial result")
-    PFetchAsyncResponse(done, PComplexSearchResponse(0L, docs, aggs, hist, err))
+    PFetchAsyncResponse(done,
+      PComplexSearchResponse(0L, docs, aggs, hist, err), expirationMs)
   }
 }
 

@@ -109,10 +109,12 @@ object SeqProxyProto {
   final case class PComplexSearchResponse(total: Long, docs: Seq[Doc],
       aggs: Seq[PAggregation], hist: Option[PHistogram], error: PError)
   final case class PStartAsyncRequest(q: SearchQuery, asc: Boolean,
-      aggs: Seq[PAggQuery] = Nil, histInterval: Option[String] = None)
+      aggs: Seq[PAggQuery] = Nil, histInterval: Option[String] = None,
+      retentionMs: Long = 0L)
   final case class PStartAsyncResponse(searchId: String)
   final case class PFetchAsyncRequest(searchId: String, withDocs: Boolean, size: Int, offset: Int)
-  final case class PFetchAsyncResponse(done: Boolean, resp: PComplexSearchResponse)
+  final case class PFetchAsyncResponse(done: Boolean, resp: PComplexSearchResponse,
+      expirationMs: Option[Long] = None)
   final case class PCancelAsyncRequest(searchId: String)
 
   val ErrNo = PError(1, "")
@@ -637,6 +639,11 @@ object SeqProxyProto {
 
   // StartAsyncSearchRequest {retention=1(skipped), query=2, aggs=3, hist=4, order=5}
   def writeStartAsyncRequest(r: PStartAsyncRequest): Array[Byte] = encode { o =>
+    // google.protobuf.Duration {seconds=1, nanos=2}
+    if (r.retentionMs > 0) writeMsgAlways(o, 1, encode { d =>
+      if (r.retentionMs / 1000 != 0) d.writeInt64(1, r.retentionMs / 1000)
+      if ((r.retentionMs % 1000) != 0) d.writeInt32(2, (r.retentionMs % 1000).toInt * 1000000)
+    })
     writeMsg(o, 2, writeSearchQuery(r.q))
     r.aggs.foreach(a => writeMsgAlways(o, 3, writeAggQuery(a)))
     r.histInterval.foreach(iv =>
@@ -648,9 +655,23 @@ object SeqProxyProto {
     var q = SearchQuery("", 0, 0); var asc = false
     var aggs = Vector.empty[PAggQuery]
     var hist: Option[String] = None
+    var retentionMs = 0L
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
+        case 1 => retentionMs = nested(in) { d =>
+          var sec = 0L; var nanos = 0
+          var t = d.readTag()
+          while (t != 0) {
+            WireFormat.getTagFieldNumber(t) match {
+              case 1 => sec = d.readInt64()
+              case 2 => nanos = d.readInt32()
+              case _ => d.skipField(t)
+            }
+            t = d.readTag()
+          }
+          sec * 1000L + nanos / 1000000L
+        }
         case 2 => q = nested(in)(readSearchQuery)
         case 3 => aggs :+= nested(in)(readAggQuery)
         case 4 => hist = Some(nested(in) { h => // HistQuery {interval=1}
@@ -668,7 +689,7 @@ object SeqProxyProto {
       }
       tag = in.readTag()
     }
-    PStartAsyncRequest(q, asc, aggs, hist)
+    PStartAsyncRequest(q, asc, aggs, hist, retentionMs)
   }
 
   def writeStartAsyncResponse(r: PStartAsyncResponse): Array[Byte] = encode { o =>
@@ -715,21 +736,24 @@ object SeqProxyProto {
   // FetchAsyncSearchResultResponse {done=1, response=3}
   def writeFetchAsyncResponse(r: PFetchAsyncResponse): Array[Byte] = encode { o =>
     if (r.done) o.writeBool(1, true)
+    r.expirationMs.foreach(ms => writeMsgAlways(o, 2, writeTimestampMs(ms)))
     writeMsgAlways(o, 3, writeComplexSearchResponse(r.resp))
   }
 
   def readFetchAsyncResponse(in: CodedInputStream): PFetchAsyncResponse = {
     var done = false; var resp = PComplexSearchResponse(0, Nil, Nil, None, PError(0, ""))
+    var exp: Option[Long] = None
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
         case 1 => done = in.readBool()
+        case 2 => exp = Some(nested(in)(readTimestampMs))
         case 3 => resp = nested(in)(readComplexSearchResponse)
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
     }
-    PFetchAsyncResponse(done, resp)
+    PFetchAsyncResponse(done, resp, exp)
   }
 
   // CancelAsyncSearchRequest {search_id=1} / empty response

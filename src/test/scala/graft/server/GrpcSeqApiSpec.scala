@@ -124,7 +124,19 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(asyncBuckets == Map("error" -> 2.0))
       // histogram: the two error docs sit in distinct 1h buckets
       assert(far.resp.hist.exists(_.buckets.map(_.docCount).sum == 2))
+      // default retention: an expiration ~24h out rides the response
+      assert(far.expirationMs.exists(_ > System.currentTimeMillis() + 23L * 3600 * 1000))
       client.cancelAsync(PCancelAsyncRequest(started.searchId)) // no-op when done
+
+      // retention: a 1 ms-retention search expires — the fetch drops the
+      // partials and reports expiry instead of results
+      val shortLived = client.startAsync(PStartAsyncRequest(q, asc = false,
+        retentionMs = 1L))
+      Thread.sleep(50)
+      val expired = client.fetchAsync(
+        PFetchAsyncRequest(shortLived.searchId, withDocs = true, 10, 0))
+      assert(!expired.done && expired.resp.error.message.contains("expired"))
+      assert(expired.resp.docs.isEmpty)
     } finally {
       client.close()
       api.stop()
