@@ -396,18 +396,42 @@ final class GrpcSeqApi(
     cachedResp(s"cs|$r") { handleComplexSearchUncached(r) }
   }
 
+  /** The Catalyst physical plan as the proto's ExplainEntry tracing
+    * tree (one node per operator, bounded depth/fan-out so a deep plan
+    * cannot balloon the response); wall time lands on the root. */
+  private def explainTree(df: org.apache.spark.sql.DataFrame,
+      durationMs: Long): PExplainEntry = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): PExplainEntry =
+      PExplainEntry(p.simpleStringWithNodeId(), 0L,
+        if (depth >= 8) Nil else p.children.take(8).map(walk(_, depth + 1)))
+    val root = walk(df.queryExecution.executedPlan, 0)
+    root.copy(durationMs = durationMs)
+  }
+
   private def handleComplexSearchUncached(r: PComplexSearchRequest): PComplexSearchResponse = {
     val eng = engine
     val req = SearchRequest(r.q.query, r.q.fromMs, r.q.toMs,
       size = r.size.toInt, offset = r.offset.toInt, asc = r.asc)
-    val docs = if (r.size > 0) collectDocs(eng.search(req)) else Nil
+    val t0 = System.nanoTime()
+    val searchDf = if (r.size > 0) Some(eng.search(req)) else None
+    val docs = searchDf.map(collectDocs).getOrElse(Nil)
     val total =
       if (r.withTotal)
         eng.total(r.q.query, r.q.fromMs, r.q.toMs).collect()(0).getLong(0)
       else 0L
     val aggs = r.aggs.map(a => runAgg(eng, r.q, a))
     val hist = r.histInterval.map(iv => histogramOf(eng, r.q, iv))
-    PComplexSearchResponse(total, docs, aggs, hist, ErrNo)
+    // SearchQuery.explain (proto field 4): the reference returns its
+    // per-node tracing tree; the analogue is the executed Catalyst
+    // plan of the docs query, request wall time at the root
+    val explain =
+      if (!r.q.explain) None
+      else {
+        val ms = (System.nanoTime() - t0) / 1000000L
+        searchDf.map(df => explainTree(df, ms)).orElse(
+          Some(PExplainEntry(s"complex search (no docs requested)", ms, Nil)))
+      }
+    PComplexSearchResponse(total, docs, aggs, hist, ErrNo, explain)
   }
 
   private def handleFetch(r: PFetchRequest, obs: StreamObserver[Doc]): Unit = {

@@ -79,7 +79,14 @@ object SeqProxyProto {
 
   // ---- messages ----------------------------------------------------
 
-  final case class SearchQuery(query: String, fromMs: Long, toMs: Long)
+  final case class SearchQuery(query: String, fromMs: Long, toMs: Long,
+      explain: Boolean = false)
+  /** ExplainEntry {message=1, duration=2, children=3} — the reference's
+    * per-node tracing tree; here each node is a Catalyst physical-plan
+    * operator (duration recorded at the root only: Spark does not
+    * attribute wall time per operator without the metrics UI). */
+  final case class PExplainEntry(message: String, durationMs: Long,
+      children: Seq[PExplainEntry])
   final case class PSearchRequest(q: SearchQuery, size: Long, offset: Long,
       withTotal: Boolean, asc: Boolean)
   final case class Doc(id: String, data: Array[Byte], timeMs: Long)
@@ -107,7 +114,8 @@ object SeqProxyProto {
   final case class PComplexSearchRequest(q: SearchQuery, aggs: Seq[PAggQuery],
       histInterval: Option[String], size: Long, offset: Long, withTotal: Boolean, asc: Boolean)
   final case class PComplexSearchResponse(total: Long, docs: Seq[Doc],
-      aggs: Seq[PAggregation], hist: Option[PHistogram], error: PError)
+      aggs: Seq[PAggregation], hist: Option[PHistogram], error: PError,
+      explain: Option[PExplainEntry] = None)
   final case class PStartAsyncRequest(q: SearchQuery, asc: Boolean,
       aggs: Seq[PAggQuery] = Nil, histInterval: Option[String] = None,
       retentionMs: Long = 0L)
@@ -125,21 +133,62 @@ object SeqProxyProto {
     if (q.query.nonEmpty) o.writeString(1, q.query)
     writeMsg(o, 2, writeTimestampMs(q.fromMs))
     writeMsg(o, 3, writeTimestampMs(q.toMs))
+    if (q.explain) o.writeBool(4, true)
   }
 
   def readSearchQuery(in: CodedInputStream): SearchQuery = {
-    var query = ""; var from = 0L; var to = 0L
+    var query = ""; var from = 0L; var to = 0L; var explain = false
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
         case 1 => query = in.readStringRequireUtf8()
         case 2 => from = nested(in)(readTimestampMs)
         case 3 => to = nested(in)(readTimestampMs)
+        case 4 => explain = in.readBool()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
     }
-    SearchQuery(query, from, to)
+    SearchQuery(query, from, to, explain)
+  }
+
+  // ---- ExplainEntry {message=1, duration=2, children=3} (recursive)
+
+  def writeExplainEntry(e: PExplainEntry): Array[Byte] = encode { o =>
+    if (e.message.nonEmpty) o.writeString(1, e.message)
+    if (e.durationMs > 0) writeMsgAlways(o, 2, encode { d =>
+      if (e.durationMs / 1000 != 0) d.writeInt64(1, e.durationMs / 1000)
+      if ((e.durationMs % 1000) != 0) d.writeInt32(2, (e.durationMs % 1000).toInt * 1000000)
+    })
+    e.children.foreach(c => writeMsgAlways(o, 3, writeExplainEntry(c)))
+  }
+
+  def readExplainEntry(in: CodedInputStream): PExplainEntry = {
+    var msg = ""; var durMs = 0L
+    var children = Vector.empty[PExplainEntry]
+    var tag = in.readTag()
+    while (tag != 0) {
+      WireFormat.getTagFieldNumber(tag) match {
+        case 1 => msg = in.readStringRequireUtf8()
+        case 2 => durMs = nested(in) { d =>
+          var sec = 0L; var nanos = 0
+          var t = d.readTag()
+          while (t != 0) {
+            WireFormat.getTagFieldNumber(t) match {
+              case 1 => sec = d.readInt64()
+              case 2 => nanos = d.readInt32()
+              case _ => d.skipField(t)
+            }
+            t = d.readTag()
+          }
+          sec * 1000L + nanos / 1000000L
+        }
+        case 3 => children :+= nested(in)(readExplainEntry)
+        case _ => in.skipField(tag)
+      }
+      tag = in.readTag()
+    }
+    PExplainEntry(msg, durMs, children)
   }
 
   // ---- SearchRequest {query=1, size=2, offset=3, with_total=4, order=5}
@@ -614,12 +663,14 @@ object SeqProxyProto {
     r.aggs.foreach(a => writeMsgAlways(o, 4, writeAggregation(a)))
     r.hist.foreach(h => writeMsgAlways(o, 5, writeHistogram(h)))
     writeMsg(o, 6, writeError(r.error))
+    r.explain.foreach(e => writeMsgAlways(o, 7, writeExplainEntry(e)))
   }
 
   def readComplexSearchResponse(in: CodedInputStream): PComplexSearchResponse = {
     var total = 0L; var docs = Vector.empty[Doc]
     var aggs = Vector.empty[PAggregation]; var hist: Option[PHistogram] = None
     var err = PError(0, "")
+    var explain: Option[PExplainEntry] = None
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
@@ -628,11 +679,12 @@ object SeqProxyProto {
         case 4 => aggs :+= nested(in)(readAggregation)
         case 5 => hist = Some(nested(in)(readHistogram))
         case 6 => err = nested(in)(readError)
+        case 7 => explain = Some(nested(in)(readExplainEntry))
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
     }
-    PComplexSearchResponse(total, docs, aggs, hist, err)
+    PComplexSearchResponse(total, docs, aggs, hist, err, explain)
   }
 
   // ---- Async -------------------------------------------------------

@@ -103,6 +103,17 @@ class GrpcSeqApiSpec extends SparkSpec {
         Some("1h"), size = 1, offset = 0, withTotal = true, asc = false))
       assert(cs.total == 3 && cs.docs.size == 1)
       assert(cs.aggs.head.buckets.nonEmpty && cs.hist.exists(_.buckets.size == 3))
+      assert(cs.explain.isEmpty) // not requested
+
+      // explain: the tracing tree is the executed Catalyst plan
+      val ce = client.complexSearch(PComplexSearchRequest(
+        SearchQuery("*", 0L, Long.MaxValue, explain = true),
+        Nil, None, size = 1, offset = 0, withTotal = false, asc = false))
+      val tree = ce.explain.get
+      def flat(e: PExplainEntry): Seq[String] = e.message +: e.children.flatMap(flat)
+      val nodes = flat(tree)
+      assert(nodes.exists(_.contains("Scan")), nodes) // reaches the parquet scan
+      assert(tree.durationMs >= 0)
 
       // async: start (with aggs + histogram) → poll done → docs,
       // aggregations and histogram all fetchable from the partials
@@ -319,5 +330,20 @@ class GrpcSeqApiSpec extends SparkSpec {
 
     // negative-epoch timestamp round-trip (floorDiv/floorMod path)
     assert(rt((ms: Long) => writeTimestampMs(ms), readTimestampMs, -1500L) == -1500L)
+
+    // recursive ExplainEntry tree with sub-second duration
+    val ex = PExplainEntry("root", 1234L, Seq(
+      PExplainEntry("scan", 0L, Nil),
+      PExplainEntry("filter", 0L, Seq(PExplainEntry("leaf", 0L, Nil)))))
+    assert(rt(writeExplainEntry, readExplainEntry, ex) == ex)
+
+    // async request with retention + aggs + hist round-trips
+    val sar = PStartAsyncRequest(q, asc = true,
+      aggs = Seq(aq), histInterval = Some("1h"), retentionMs = 90500L)
+    assert(rt(writeStartAsyncRequest, readStartAsyncRequest, sar) == sar)
+
+    // explain flag on the query survives the wire
+    val qe = SearchQuery("x", 0L, 1L, explain = true)
+    assert(rt(writeSearchQuery, readSearchQuery, qe) == qe)
   }
 }
