@@ -48,15 +48,20 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // skip the exchange when the plan already has enough splits: the
-    // physical RDD's partition count is the real split count (file
-    // count is not — many small files pack into few splits and huge
-    // files split into many), costs no job to read, and at corpus
-    // scale an unconditional repartition would shuffle the whole
-    // input once more before pair generation for nothing. Small
-    // inputs (the one-split parquet case this helper exists for)
-    // still spread to the session parallelism.
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    // Skip the exchange when the plan already has enough splits — at
+    // corpus scale an unconditional repartition shuffles the whole
+    // input once more before pair generation for nothing. The probe is
+    // only free on exchange-free plans (a scan's RDD partition count is
+    // its real split count, no job); for a plan that already shuffles,
+    // .rdd under AQE would EXECUTE the upstream stages just to read a
+    // count the caller's new query couldn't reuse — there the old
+    // unconditional repartition stays (AQE coalesces it when overkill).
+    val hasExchange = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isDefined
+    if (!hasExchange && df.rdd.getNumPartitions >= n) df
+    else df.repartition(n)
   }
 
   // Set operations run on sorted xxhash64 mirrors of the shingle sets

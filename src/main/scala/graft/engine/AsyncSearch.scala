@@ -152,6 +152,22 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
 
   def isCanceled(id: String): Boolean = Files.exists(cancelMarker(id))
 
+  /** Delete `id`'s persisted results entirely — the retention-expiry
+    * reclaim (unlike [[cancel]], works on COMPLETE searches too: a
+    * finished result past its retention must actually leave the disk).
+    * Stops any in-flight work first. Idempotent. */
+  def purge(id: String, spark: SparkSession): Unit = {
+    if (!isComplete(id)) {
+      try cancel(id, spark) catch { case _: Throwable => () }
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val d = new java.io.File(idDir(id))
+    if (d.exists()) rm(d)
+  }
+
   def startAsync(id: String, engine: SeqEngine, query: String,
       fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit =
     pool.submit(new Runnable {

@@ -72,23 +72,30 @@ final class CircuitBreaker(
       try f
       catch {
         case e: Throwable =>
+          // outcome bookkeeping uses the CURRENT clock, not the entry
+          // time: the motivating failures are slow (multi-second sink
+          // writes), and stamping them at entry would backdate
+          // openSinceMs past the sleep window (no fail-fast) and land
+          // counts in rolling-window buckets that have already aged out
+          // (threshold never reached)
+          val end = clock()
           synchronized {
-            if (isProbe) { probing = false; openSinceMs = now } // re-open
+            if (isProbe) { probing = false; openSinceMs = end } // re-open
             else {
-              val b = bucket(now)
+              val b = bucket(end)
               b.fail += 1
-              val (ok, fail) = windowCounts(now)
+              val (ok, fail) = windowCounts(end)
               val total = ok + fail
               if (total >= requestVolumeThreshold &&
                 fail * 100 >= errorThresholdPercentage.toLong * total)
-                openSinceMs = now
+                openSinceMs = end
             }
           }
           throw e
       }
     synchronized {
       if (isProbe) { probing = false; openSinceMs = -1L; reset() }
-      else bucket(now).ok += 1
+      else bucket(clock()).ok += 1
     }
     result
   }

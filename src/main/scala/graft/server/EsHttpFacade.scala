@@ -296,7 +296,8 @@ final class EsHttpFacade(
 
     private def handleSearch(ex: HttpExchange): Unit = {
       val raw = body(ex)
-      if (!admitQueryKey(ex, s"search|${parseSearch(raw).query}")) return
+      val req = parseSearch(raw)
+      if (!admitQueryKey(ex, s"search|${req.query}")) return
       // capture the generation the response will be computed against;
       // a concurrent rebuild keys our put() under the old generation,
       // so the stale response is never served past the rebuild
@@ -306,7 +307,6 @@ final class EsHttpFacade(
           case None      => servingCore.generation()
         }
       } else 0L
-      val req = parseSearch(raw)
       val page =
         if (serving) servingCore.servingPage(req)
         else {

@@ -496,31 +496,38 @@ final class GrpcSeqApi(
       startedMs + (if (rq.retentionMs > 0) rq.retentionMs else DefaultRetentionMs)
     }
     if (expirationMs.exists(_ < System.currentTimeMillis())) {
-      asyncSearcher.cancel(r.searchId, spark)
-      asyncReqs.remove(r.searchId)
+      // purge (not cancel — cancel is a no-op once complete) actually
+      // reclaims the persisted chunks; the asyncReqs entry is KEPT so
+      // every later fetch keeps reporting expiry instead of falling
+      // through to an unknown-id empty answer
+      asyncSearcher.purge(r.searchId, spark)
       return PFetchAsyncResponse(done = false,
         PComplexSearchResponse(0L, Nil, Nil, None,
           PError(2, "async search result expired")), expirationMs)
     }
     val asc = req != null && req.asc
-    val docs =
-      if (!r.withDocs) Nil
-      else asyncSearcher.fetchPartial(r.searchId) match {
-        case None => Nil
-        case Some(df) =>
-          val size = if (r.size > 0) r.size else 100
-          val ordered =
-            if (asc) df.orderBy(col("mid").asc, col("rid").asc)
-            else df.orderBy(col("mid").desc, col("rid").desc)
-          collectDocs(ordered.offset(r.offset).limit(size))
-      }
+    // one directory-listing/parquet resolution per request — both the
+    // docs page and the aggregations read the same partial frame
+    val partial =
+      if (r.withDocs) asyncSearcher.fetchPartial(r.searchId) else None
+    val docs = partial match {
+      case None => Nil
+      case Some(df) =>
+        val size = if (r.size > 0) r.size else 100
+        val ordered =
+          if (asc) df.orderBy(col("mid").asc, col("rid").asc)
+          else df.orderBy(col("mid").desc, col("rid").desc)
+        collectDocs(ordered.offset(r.offset).limit(size))
+    }
     // aggs/hist requested at start run over the PERSISTED partials at
     // fetch time (partial answer while running, full when done) — the
-    // chunked searcher stores the match set, not pre-aggregated rows,
-    // so one fetch-time aggregation serves every requested shape
+    // chunked searcher stores the match set, not pre-aggregated rows.
+    // Computed only on withDocs fetches: a status poll (withDocs=false,
+    // the completion-wait loop every client runs) must stay a marker
+    // check, not a growing pile of Spark jobs per poll.
     val (aggs, hist) =
       if (req == null || (req.aggs.isEmpty && req.histInterval.isEmpty)) (Nil, None)
-      else asyncSearcher.fetchPartial(r.searchId) match {
+      else partial match {
         case None => (Nil, None)
         case Some(df) =>
           val eng = engine

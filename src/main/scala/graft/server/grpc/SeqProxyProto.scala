@@ -154,12 +154,13 @@ object SeqProxyProto {
 
   // ---- ExplainEntry {message=1, duration=2, children=3} (recursive)
 
+  // google.protobuf.Duration has the same {seconds=1, nanos=2} wire
+  // shape as Timestamp — the Timestamp ms codec (floorDiv/floorMod,
+  // negative-safe) is reused for both.
+
   def writeExplainEntry(e: PExplainEntry): Array[Byte] = encode { o =>
     if (e.message.nonEmpty) o.writeString(1, e.message)
-    if (e.durationMs > 0) writeMsgAlways(o, 2, encode { d =>
-      if (e.durationMs / 1000 != 0) d.writeInt64(1, e.durationMs / 1000)
-      if ((e.durationMs % 1000) != 0) d.writeInt32(2, (e.durationMs % 1000).toInt * 1000000)
-    })
+    if (e.durationMs > 0) writeMsgAlways(o, 2, writeTimestampMs(e.durationMs))
     e.children.foreach(c => writeMsgAlways(o, 3, writeExplainEntry(c)))
   }
 
@@ -170,19 +171,7 @@ object SeqProxyProto {
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
         case 1 => msg = in.readStringRequireUtf8()
-        case 2 => durMs = nested(in) { d =>
-          var sec = 0L; var nanos = 0
-          var t = d.readTag()
-          while (t != 0) {
-            WireFormat.getTagFieldNumber(t) match {
-              case 1 => sec = d.readInt64()
-              case 2 => nanos = d.readInt32()
-              case _ => d.skipField(t)
-            }
-            t = d.readTag()
-          }
-          sec * 1000L + nanos / 1000000L
-        }
+        case 2 => durMs = nested(in)(readTimestampMs)
         case 3 => children :+= nested(in)(readExplainEntry)
         case _ => in.skipField(tag)
       }
@@ -499,7 +488,7 @@ object SeqProxyProto {
     PGetHistogramResponse(total, h, err)
   }
 
-  // ---- Fetch {ids=1, fields_filter=2(ignored)} --------------------
+  // ---- Fetch {ids=1, fields_filter=2 {fields=1, allow_list=2}} -----
 
   def writeFieldsFilter(f: PFieldsFilter): Array[Byte] = encode { o =>
     f.fields.foreach(s => o.writeString(1, s))
@@ -689,13 +678,10 @@ object SeqProxyProto {
 
   // ---- Async -------------------------------------------------------
 
-  // StartAsyncSearchRequest {retention=1(skipped), query=2, aggs=3, hist=4, order=5}
+  // StartAsyncSearchRequest {retention=1, query=2, aggs=3, hist=4, order=5}
   def writeStartAsyncRequest(r: PStartAsyncRequest): Array[Byte] = encode { o =>
-    // google.protobuf.Duration {seconds=1, nanos=2}
-    if (r.retentionMs > 0) writeMsgAlways(o, 1, encode { d =>
-      if (r.retentionMs / 1000 != 0) d.writeInt64(1, r.retentionMs / 1000)
-      if ((r.retentionMs % 1000) != 0) d.writeInt32(2, (r.retentionMs % 1000).toInt * 1000000)
-    })
+    // retention: Duration, same wire shape as Timestamp (see above)
+    if (r.retentionMs > 0) writeMsgAlways(o, 1, writeTimestampMs(r.retentionMs))
     writeMsg(o, 2, writeSearchQuery(r.q))
     r.aggs.foreach(a => writeMsgAlways(o, 3, writeAggQuery(a)))
     r.histInterval.foreach(iv =>
@@ -711,19 +697,7 @@ object SeqProxyProto {
     var tag = in.readTag()
     while (tag != 0) {
       WireFormat.getTagFieldNumber(tag) match {
-        case 1 => retentionMs = nested(in) { d =>
-          var sec = 0L; var nanos = 0
-          var t = d.readTag()
-          while (t != 0) {
-            WireFormat.getTagFieldNumber(t) match {
-              case 1 => sec = d.readInt64()
-              case 2 => nanos = d.readInt32()
-              case _ => d.skipField(t)
-            }
-            t = d.readTag()
-          }
-          sec * 1000L + nanos / 1000000L
-        }
+        case 1 => retentionMs = nested(in)(readTimestampMs)
         case 2 => q = nested(in)(readSearchQuery)
         case 3 => aggs :+= nested(in)(readAggQuery)
         case 4 => hist = Some(nested(in) { h => // HistQuery {interval=1}
@@ -785,7 +759,7 @@ object SeqProxyProto {
     PFetchAsyncRequest(id, wd, size, off)
   }
 
-  // FetchAsyncSearchResultResponse {done=1, response=3}
+  // FetchAsyncSearchResultResponse {done=1, expiration=2, response=3}
   def writeFetchAsyncResponse(r: PFetchAsyncResponse): Array[Byte] = encode { o =>
     if (r.done) o.writeBool(1, true)
     r.expirationMs.foreach(ms => writeMsgAlways(o, 2, writeTimestampMs(ms)))

@@ -70,6 +70,24 @@ class CircuitBreakerSpec extends AnyFunSuite {
     assert(!cb.isOpen)
   }
 
+  test("slow failures stamp at completion time, preserving the sleep window") {
+    val (cb, setNow) = mk(volume = 2, pct = 50, sleepMs = 1000L)
+    setNow(5900L)
+    assert(fail(cb)) // quick failure at 5900
+    // slow failure: enters at 5900, completes at 6800 — the open must
+    // be stamped at COMPLETION (6800), not entry, else the sleep
+    // window is already half-spent for exactly the slow-sink case
+    intercept[RuntimeException](cb.run { setNow(6800L); throw new RuntimeException("slow") })
+    assert(cb.isOpen)
+    setNow(7500L) // 700 ms after the completion stamp: still open
+    var executed = false
+    intercept[Exception](cb.run { executed = true; 1 })
+    assert(!executed)
+    setNow(7900L) // past the window: probe runs and closes
+    assert(cb.run(1) == 1)
+    assert(!cb.isOpen)
+  }
+
   test("old buckets age out of the rolling window") {
     val (cb, setNow) = mk(volume = 3, pct = 50)
     fail(cb); fail(cb)

@@ -148,6 +148,12 @@ class GrpcSeqApiSpec extends SparkSpec {
         PFetchAsyncRequest(shortLived.searchId, withDocs = true, 10, 0))
       assert(!expired.done && expired.resp.error.message.contains("expired"))
       assert(expired.resp.docs.isEmpty)
+      // expiry is sticky (the retention record outlives the purge): a
+      // SECOND fetch still reports expiry rather than serving results
+      val expired2 = client.fetchAsync(
+        PFetchAsyncRequest(shortLived.searchId, withDocs = true, 10, 0))
+      assert(!expired2.done && expired2.resp.error.message.contains("expired"))
+      assert(expired2.resp.docs.isEmpty)
     } finally {
       client.close()
       api.stop()
