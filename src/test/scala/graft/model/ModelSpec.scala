@@ -142,6 +142,45 @@ class ReservoirSpec extends AnyFunSuite {
       """{"a": 1}""")
   }
 
+  test("Json.filterTopLevel: randomized structural invariants") {
+    // seeded pseudo-random JSON objects with nested arrays/objects/
+    // escaped strings; invariants: deny-nothing is identity, allow-all
+    // keeps every key, allow/deny partition the keys, filtering is
+    // idempotent, and output stays parseable by the same scanner
+    val rnd = new scala.util.Random(42)
+    def mkValue(depth: Int): String = rnd.nextInt(6) match {
+      case 0 => rnd.nextInt(1000).toString
+      case 1 => "\"s" + ("\\\"" * rnd.nextInt(2)) + "}{[,:" + rnd.nextInt(10) + "\""
+      case 2 => "true"
+      case 3 if depth < 2 =>
+        (0 until rnd.nextInt(3)).map(i => s""""n$i": ${mkValue(depth + 1)}""")
+          .mkString("{", ", ", "}")
+      case 4 if depth < 2 =>
+        (0 until rnd.nextInt(3)).map(_ => mkValue(depth + 1)).mkString("[", ", ", "]")
+      case _ => "null"
+    }
+    for (_ <- 1 to 200) {
+      val keys = (0 until (1 + rnd.nextInt(5))).map(i => s"k$i")
+      val doc = keys.map(k => s""""$k": ${mkValue(0)}""").mkString("{", ", ", "}")
+      import graft.model.Json.filterTopLevel
+      // deny nothing: every key survives (formatting may normalize)
+      val denyNone = filterTopLevel(doc, Set(), allow = false)
+      keys.foreach(k => assert(denyNone.contains(s""""$k":"""), s"$doc -> $denyNone"))
+      // allow-all == deny-none
+      assert(filterTopLevel(doc, keys.toSet, allow = true) == denyNone)
+      // allow/deny of the same set partition the keys
+      val chosen = keys.filter(_ => rnd.nextBoolean()).toSet
+      val allowed = filterTopLevel(doc, chosen, allow = true)
+      val denied = filterTopLevel(doc, chosen, allow = false)
+      keys.foreach { k =>
+        assert(allowed.contains(s""""$k":""") == chosen(k), s"$doc allow $chosen -> $allowed")
+        assert(denied.contains(s""""$k":""") != chosen(k), s"$doc deny $chosen -> $denied")
+      }
+      // idempotence
+      assert(filterTopLevel(allowed, chosen, allow = true) == allowed)
+    }
+  }
+
   test("reservoir caps at 8096 and merge stays bounded") {
     val agg = SeqAggregates.samplesAgg(Seq(0.5, 0.99))
     var a = agg.zero
