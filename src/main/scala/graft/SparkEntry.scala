@@ -1629,7 +1629,7 @@ object SparkEntry {
                   unnest(CAST(embedding AS DOUBLE[])) AS v
            FROM embeddings)
          SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
-                sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS sum_e6
+                CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6
          FROM u GROUP BY grp, dim ORDER BY grp, dim""",
 
     // Quantization mirrored integer-for-integer: q = floor(x·127/amax

@@ -62,6 +62,16 @@ for name in sorted(oracle):
     mismatch = None
     for c in gcols:
         gv, ev = g[c], e[c]
+        # The driver's hasher renders values per-dtype: an int64 Spark column
+        # vs a float64 oracle column (e.g. DuckDB sum(BIGINT)->HUGEINT->float)
+        # hash-mismatches even when numerically equal. Fail loudly here so
+        # local green always implies driver green.
+        if gv.dtype.kind in 'iu' and ev.dtype.kind == 'f' or \
+           gv.dtype.kind == 'f' and ev.dtype.kind in 'iu':
+            mismatch = (f"col {c}: dtype kind mismatch spark={gv.dtype} "
+                        f"oracle={ev.dtype} (int vs float hashes differently "
+                        f"driver-side; cast the oracle SQL)")
+            break
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             eq = [(a == b) or (pd.isna(a) and pd.isna(b)) or
                   (isinstance(a, float) and isinstance(b, float) and a == b)
