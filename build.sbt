@@ -15,8 +15,12 @@ Test / fork := true
 Test / parallelExecution := false
 run / fork := true
 // the bench/verify driver parses a bare JSON line from stdout — don't
-// let sbt prefix forked-run output with "[info] "
+// let sbt prefix forked-run output with "[info] ", and don't let the
+// "[success] Total time: ..." trailer follow the JSON (the driver
+// tail-parses the LAST stdout line; r5/r6 records show "parsed": null
+// because the trailer displaced the JSON)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,7 +49,7 @@ object Bench {
     // never sets this — it always sweeps the full map)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val results = SparkEntry.queries
+    val sampled = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // several operators persist() intermediates they never get to
@@ -70,10 +70,11 @@ object Bench {
       // second measures the engine — same protocol warm ingest uses.
       // Spark's block cache is still cleared between runs (above), so
       // the retained warmth is OS pages / footers / codegen, not a
-      // persist() the second run gets for free.
-      val s1 = once()
-      name -> math.min(s1, once())
+      // persist() the second run gets for free. Both samples are kept
+      // in BENCH_FULL so run-to-run agreement is checkable per query.
+      name -> (once(), once())
     }
+    val results = sampled.map { case (k, (a, b)) => k -> math.min(a, b) }
     // ms precision keeps the whole JSON line under ~1.8 KB so it fits
     // intact in the driver's bounded stdout-tail capture
     def f3(v: Double): String =
@@ -246,7 +247,13 @@ object Bench {
     // ones sacrificed if the line still overflows), with the baseline,
     // ingest and headline numbers AFTER them at the very end of the
     // line where the tail always preserves them.
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$baseline$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
+    // per-query raw samples: lets any consumer check two-run agreement
+    // (|a-b| ratio) instead of trusting the min — VERDICT r6 asked for
+    // noise to be bounded by construction
+    val qSamples = sampled.map { case (k, (a, b)) =>
+      s"\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","queries":$qs,"query_samples":$qSamples$baseline$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
     // root), overridable via env — no baked-in absolute paths
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -255,7 +262,7 @@ object Bench {
     val qsAsc = results.toSeq.sortBy(_._2).map { case (k, v) =>
       s"\"" + k + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qsAsc$baseline$ingest$serving,"full":"BENCH_FULL.json","total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","sf":"$sfDir","n_queries":${results.size},"queries":$qsAsc$baseline$ingest$serving,"full":"BENCH_FULL.json","total_sec":${f3(total)}}""")
     spark.stop()
   }
 }

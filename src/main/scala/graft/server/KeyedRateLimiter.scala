@@ -25,7 +25,10 @@ final class KeyedRateLimiter(ratePerSec: Double, burst: Int, maxKeys: Int = 4096
   }
 
   private val buckets = new java.util.HashMap[String, Bucket]()
-  private var lastEvictNs = 0L
+  // nanoTime has an arbitrary (possibly negative) origin: seed one
+  // sweep-interval in the past so the first over-capacity sweep always
+  // fires (0L would read as "swept just now" whenever nanoTime < 1e9)
+  private var lastEvictNs = System.nanoTime() - 1000000000L
 
   /** Take one token from `key`'s bucket; false = throttled. */
   def tryAcquire(key: String): Boolean =

@@ -45,6 +45,12 @@ final class GrpcSeqApi(
   // async searches need fixed request params + start time at fetch time
   private val asyncReqs =
     new java.util.concurrent.ConcurrentHashMap[String, (PStartAsyncRequest, Long)]()
+  // agg/hist results memoized per (search, chunk progress): repeated
+  // fetches at the same generation (status polls of an agg-bearing
+  // search) reuse the collected result instead of re-running Spark
+  // jobs per poll; a new completed chunk invalidates by key mismatch
+  private val asyncAggCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Seq[PAggregation], Option[PHistogram])]()
   // default result retention when the request leaves it unset
   private val DefaultRetentionMs = 24L * 3600 * 1000
 
@@ -501,49 +507,63 @@ final class GrpcSeqApi(
       // every later fetch keeps reporting expiry instead of falling
       // through to an unknown-id empty answer
       asyncSearcher.purge(r.searchId, spark)
+      asyncAggCache.remove(r.searchId)
       return PFetchAsyncResponse(done = false,
         PComplexSearchResponse(0L, Nil, Nil, None,
           PError(2, "async search result expired")), expirationMs)
     }
     val asc = req != null && req.asc
+    val wantsAggs = req != null &&
+      (req.aggs.nonEmpty || req.histInterval.exists(_.nonEmpty))
     // one directory-listing/parquet resolution per request — both the
-    // docs page and the aggregations read the same partial frame
+    // docs page and the aggregations read the same partial frame.
+    // with_docs gates only the docs page (reference proto semantics): a
+    // fetch that requested aggregations gets them even with
+    // with_docs=false, while a bare status poll (withDocs=false, no
+    // aggs — the completion-wait loop every client runs) stays a
+    // marker check, not a pile of Spark jobs per poll.
     val partial =
-      if (r.withDocs) asyncSearcher.fetchPartial(r.searchId) else None
-    val docs = partial match {
-      case None => Nil
-      case Some(df) =>
-        val size = if (r.size > 0) r.size else 100
-        val ordered =
-          if (asc) df.orderBy(col("mid").asc, col("rid").asc)
-          else df.orderBy(col("mid").desc, col("rid").desc)
-        collectDocs(ordered.offset(r.offset).limit(size))
-    }
+      if (r.withDocs || wantsAggs) asyncSearcher.fetchPartial(r.searchId)
+      else None
+    val docs =
+      if (!r.withDocs) Nil
+      else partial match {
+        case None => Nil
+        case Some(df) =>
+          val size = if (r.size > 0) r.size else 100
+          val ordered =
+            if (asc) df.orderBy(col("mid").asc, col("rid").asc)
+            else df.orderBy(col("mid").desc, col("rid").desc)
+          collectDocs(ordered.offset(r.offset).limit(size))
+      }
     // aggs/hist requested at start run over the PERSISTED partials at
     // fetch time (partial answer while running, full when done) — the
     // chunked searcher stores the match set, not pre-aggregated rows.
-    // Computed only on withDocs fetches: a status poll (withDocs=false,
-    // the completion-wait loop every client runs) must stay a marker
-    // check, not a growing pile of Spark jobs per poll.
     val (aggs, hist) =
-      if (req == null || (req.aggs.isEmpty && req.histInterval.isEmpty)) (Nil, None)
+      if (!wantsAggs) (Nil, None)
       else partial match {
         case None => (Nil, None)
         case Some(df) =>
-          val eng = engine
-          val as = req.aggs.map { a =>
-            val out = eng.aggregateOver(df, toAggRequest(a))
-            toProtoAgg(out.collect(), out.schema, a)
+          val gen = asyncSearcher.completedChunks(r.searchId)
+          val cached = asyncAggCache.get(r.searchId)
+          if (cached != null && cached._1 == gen) (cached._2, cached._3)
+          else {
+            val eng = engine
+            val as = req.aggs.map { a =>
+              val out = eng.aggregateOver(df, toAggRequest(a))
+              toProtoAgg(out.collect(), out.schema, a)
+            }
+            val h = req.histInterval.filter(_.nonEmpty).map { iv =>
+              val ms = graft.model.Intervals.parseMs(iv)
+              val rows = df
+                .groupBy((col("mid") - col("mid") % lit(ms)).as("bucket_ms"))
+                .agg(count(lit(1)).as("cnt")).orderBy(col("bucket_ms").asc)
+                .collect()
+              PHistogram(rows.map(x => HistBucket(x.getLong(1), x.getLong(0))).toSeq)
+            }
+            asyncAggCache.put(r.searchId, (gen, as, h))
+            (as, h)
           }
-          val h = req.histInterval.filter(_.nonEmpty).map { iv =>
-            val ms = graft.model.Intervals.parseMs(iv)
-            val rows = df
-              .groupBy((col("mid") - col("mid") % lit(ms)).as("bucket_ms"))
-              .agg(count(lit(1)).as("cnt")).orderBy(col("bucket_ms").asc)
-              .collect()
-            PHistogram(rows.map(x => HistBucket(x.getLong(1), x.getLong(0))).toSeq)
-          }
-          (as, h)
       }
     val err =
       if (done || !asyncSearcher.isCanceled(r.searchId)) ErrNo

@@ -246,10 +246,21 @@ class Round5OpsSpec extends SparkSpec {
       Packing.selectByBudget(df, Seq(col("id").asc), "sz", budget = 500L))
     assert(plan.contains("rangepartitioning"),
       s"phase-1 range exchange missing:\n$plan")
-    // a Window with an EMPTY partition spec ("[], [ordering]") would be
-    // the single-task global scan this operator exists to avoid
-    assert(!"""Window \[[^\n]*\], \[\], \[""".r.findFirstIn(plan).isDefined,
-      s"global (empty-partition) window found:\n$plan")
+    // Empty-partition Windows are allowed ONLY over the per-partition
+    // totals (one row per partition); one whose frame mentions the raw
+    // size column would be the single-task global scan this operator
+    // exists to avoid.
+    val globalWins =
+      """Window \[[^\n]*\], \[\], \[[^\n]*""".r.findAllIn(plan).toList
+    assert(globalWins.forall(_.contains("__total")),
+      s"global (empty-partition) window on the data path:\n$plan")
+    // Phases 2 and 3 must read the SAME materialized range exchange —
+    // sampled-boundary + partition-id consistency between the totals
+    // branch and the running-sum branch is what makes the scan exact.
+    assert(plan.contains("ReusedExchange") ||
+        "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toList.groupBy(identity).exists(_._2.size > 1),
+      s"range exchange not reused between phases:\n$plan")
   }
 
   test("containmentPairs plan: equi-join candidates, no cartesian or nested loop") {

@@ -120,7 +120,7 @@ class EsFacadeSpec extends SparkSpec {
   test("keyed query limit: identical /search throttled, distinct query passes") {
     val sinkK = java.nio.file.Files.createTempDirectory("graft_es_kq").toString + "/docs"
     val rl = new EsHttpFacade(spark, mapping, sinkK,
-      limits = RateLimits(perQueryRps = 0.5, perQueryBurst = 2))
+      limits = RateLimits(perQueryRps = 0.001, perQueryBurst = 2))
     rl.start()
     try {
       def searchCode(q: String): Int = client.send(HttpRequest.newBuilder(

@@ -137,6 +137,14 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(far.resp.hist.exists(_.buckets.map(_.docCount).sum == 2))
       // default retention: an expiration ~24h out rides the response
       assert(far.expirationMs.exists(_ > System.currentTimeMillis() + 23L * 3600 * 1000))
+      // with_docs gates only the docs page: a withDocs=false fetch of a
+      // search that requested aggregations still gets aggs + histogram
+      val noDocs = client.fetchAsync(
+        PFetchAsyncRequest(started.searchId, withDocs = false, 10, 0))
+      assert(noDocs.done && noDocs.resp.docs.isEmpty)
+      assert(noDocs.resp.aggs.head.buckets.map(b => b.key -> b.value).toMap ==
+        Map("error" -> 2.0))
+      assert(noDocs.resp.hist.exists(_.buckets.map(_.docCount).sum == 2))
       client.cancelAsync(PCancelAsyncRequest(started.searchId)) // no-op when done
 
       // retention: a 1 ms-retention search expires — the fetch drops the
@@ -183,7 +191,7 @@ class GrpcSeqApiSpec extends SparkSpec {
     val asyncDir = java.nio.file.Files.createTempDirectory("grpc_kq").toString
     val api = new GrpcSeqApi(spark,
       DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
-      limits = graft.server.RateLimits(perQueryRps = 0.5, perQueryBurst = 2))
+      limits = graft.server.RateLimits(perQueryRps = 0.001, perQueryBurst = 2))
     val port = api.start()
     val client = new GrpcSeqClient("127.0.0.1", port, api)
     try {
@@ -219,7 +227,7 @@ class GrpcSeqApiSpec extends SparkSpec {
     val asyncDir = java.nio.file.Files.createTempDirectory("grpc_kf").toString
     val api = new GrpcSeqApi(spark,
       DocsTable(spark.read.parquet(tableDir), mapping), asyncDir,
-      limits = graft.server.RateLimits(perFetchIdRps = 0.5, perFetchIdBurst = 2))
+      limits = graft.server.RateLimits(perFetchIdRps = 0.001, perFetchIdBurst = 2))
     val port = api.start()
     val client = new GrpcSeqClient("127.0.0.1", port, api)
     try {
