@@ -76,7 +76,18 @@ final class EsHttpFacade(
     sinkDir: String,
     esVersion: String = "8.9.0",
     serving: Boolean = false,
-    limits: RateLimits = RateLimits()) {
+    limits: RateLimits = RateLimits(),
+    mappingPath: Option[String] = None) {
+
+  /** Live mapping: when `mappingPath` is set the file is re-read (the
+    * serving core folds its signature into the generation probe, the
+    * per-call path re-reads on each request — both within the 1 s
+    * staleness bound); parse failures keep the constructor mapping. */
+  private def currentMapping: SeqMapping =
+    if (serving) servingCore.currentMapping
+    else mappingPath.fold(mapping) { mp =>
+      try SeqMapping.loadYaml(mp) catch { case _: Exception => mapping }
+    }
 
   @volatile private var server: HttpServer = _
 
@@ -108,13 +119,14 @@ final class EsHttpFacade(
   /** Docs table over everything ingested so far. */
   def table: DocsTable =
     if (serving) servingCore.engine.table
-    else DocsTable(spark.read.parquet(sinkDir), mapping)
+    else DocsTable(spark.read.parquet(sinkDir), currentMapping)
 
   /** Serving-mode machinery (generation-cached engine, memoized plans,
     * response + page-prefix caches) — shared with [[grpc.GrpcSeqApi]]
     * via [[core]] so proto clients of the same sink get the identical
     * warm path. */
-  private lazy val servingCore = new ServingCore(spark, mapping, sinkDir)
+  private lazy val servingCore =
+    new ServingCore(spark, mapping, sinkDir, mappingPath)
 
   /** The serving core, for co-hosting a gRPC API on the same pinned
     * table and plan cache (only meaningful with serving=true). */
@@ -261,7 +273,7 @@ final class EsHttpFacade(
       val nActions = lines.count(l => actionRe.findFirstIn(l).isEmpty)
       try bulkBreaker.run {
         bulkLock.synchronized {
-          BulkIngest.project(df, mapping, requestTimeMs = System.currentTimeMillis())
+          BulkIngest.project(df, currentMapping, requestTimeMs = System.currentTimeMillis())
             .write.mode("append").parquet(sinkDir)
         }
       } catch {

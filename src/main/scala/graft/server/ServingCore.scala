@@ -12,14 +12,22 @@ import graft.model.SeqMapping
   * Sink appends are picked up via a directory signature re-checked at
   * most once per second — bounded staleness matching the near-real-time
   * visibility contract ingestion already has (the reference's sealed-
-  * fraction refresh analogue). One instance per (session, sink); both
+  * fraction refresh analogue). When `mappingPath` is set, the mapping
+  * FILE's signature rides the same probe: editing the mapping swaps a
+  * reloaded engine in live, within the same 1 s staleness bound — the
+  * reference's timer-based hot reload
+  * (mappingprovider/mapping_provider.go:96-110) without a background
+  * thread. A mapping file that fails to parse keeps the last good
+  * mapping (and keeps probing), matching the reference's
+  * log-and-keep-old behavior. One instance per (session, sink); both
   * servers of the same sink should share it so they also share the
   * pinned table and plan cache.
   */
 final class ServingCore(
     spark: org.apache.spark.sql.SparkSession,
     mapping: SeqMapping,
-    sinkDir: String) {
+    sinkDir: String,
+    mappingPath: Option[String] = None) {
 
   // (sinkSignature, engine, date partitions newest-first) — rebuilt
   // when the sink generation moves
@@ -47,22 +55,32 @@ final class ServingCore(
     new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[org.apache.spark.sql.Row]]()
   private val PrefixRows = 1000
 
-  /** Cheap sink-generation probe: top-level FS statuses (file/partition
-    * adds bump dir mtimes), re-checked at most once per second. */
+  /** Cheap generation probe: top-level sink FS statuses (file/partition
+    * adds bump dir mtimes) folded with the mapping file's (len, mtime)
+    * when hot-reload is wired — re-checked at most once per second. */
   private def sinkSignature(): Long = {
     val now = System.currentTimeMillis()
     if (now - lastSigCheckMs < 1000 && engineCache != null) return lastSig
     val p = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig =
+    val sinkSig =
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).foldLeft(17L)((a, s) =>
         a * 1000003L + s.getPath.getName.hashCode.toLong * 31L +
           s.getLen * 7L + s.getModificationTime)
+    val mapSig = mappingPath.fold(0L) { mp =>
+      val f = new java.io.File(mp)
+      if (!f.exists()) 0L else f.length() * 1000003L + f.lastModified()
+    }
+    val sig = sinkSig * 31L + mapSig
     lastSigCheckMs = now
     lastSig = sig
     sig
   }
+
+  /** The mapping the engine serves with right now (reloaded from
+    * `mappingPath` on generation moves; constructor mapping otherwise). */
+  def currentMapping: SeqMapping = engine.table.mapping
 
   def engine: SeqEngine = state()._2
 
@@ -85,6 +103,19 @@ final class ServingCore(
       responseCache.clear()
       prefixCache.clear()
       objCache.clear()
+      // mapping hot-reload: re-read the file on every generation move
+      // (mapping edits move the signature; sink appends re-read an
+      // unchanged file — cheap, it's a KB-scale YAML). Parse failures
+      // keep the last good mapping rather than taking serving down.
+      val liveMapping = mappingPath.fold(mapping) { mp =>
+        try SeqMapping.loadYaml(mp)
+        catch {
+          case _: Exception =>
+            if (again != null) again._2.table.mapping else mapping
+        }
+      }
+      val p = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // few fat in-memory partitions, clustered by date: a point query
       // launches `servingPartitions` tasks (scheduling is the latency
       // floor, not the scan) and the date-window filter skips whole
@@ -96,16 +127,28 @@ final class ServingCore(
       // min/max stats — without it the hash shuffle interleaves days
       // and every batch's stats span everything (no skipping)
       val raw = spark.read.parquet(sinkDir)
+      // Pin policy: MEMORY_AND_DISK caches the whole sink — right for
+      // the log-store page-serving scale it was built for, an OOM risk
+      // for a year-scale (100×) sink. Above `maxPinnedBytes` of
+      // on-disk parquet (compressed — the in-memory columnar form is
+      // larger still) degrade to DISK_ONLY: still one materialized,
+      // date-clustered copy with batch-stat skipping, but the unified
+      // memory region stays free for query execution.
+      val maxPinned = spark.conf
+        .get("spark.graft.serving.maxPinnedBytes", (8L << 30).toString).toLong
+      val sinkBytes =
+        if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+      val level =
+        if (sinkBytes > maxPinned) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val df = (if (raw.columns.contains("date"))
           raw.repartition(servingPartitions, col("date"))
             .sortWithinPartitions("date", "mid")
         else raw.coalesce(servingPartitions))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val eng = new SeqEngine(DocsTable(df, mapping))
+        .persist(level)
+      val eng = new SeqEngine(DocsTable(df, liveMapping))
       // day partitions newest-first, straight from the FS listing (no
       // Spark job) — drives the incremental page scan below
-      val p = new org.apache.hadoop.fs.Path(sinkDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dates =
         if (!fs.exists(p)) Nil
         else fs.listStatus(p).map(_.getPath.getName)
