@@ -506,6 +506,12 @@ object SparkEntry {
       dataprep.Similarity.groupCentroids(TestTables.embeddings(s, dir),
         "label", "embedding")),
 
+    // ---- distributed Lloyd k-means on the e6 integer lattice (cell
+    //      assignment for cluster-balanced sampling / SemDeDup prep) ----
+    "dp_kmeans" -> ((s, dir) =>
+      dataprep.Similarity.kmeansAssign(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
     // ---- int8 quantization (exploded to scalars, integer-verifiable) ----
     "dp_quantize_int8" -> ((s, dir) =>
       dataprep.Similarity.quantizeInt8(TestTables.embeddings(s, dir),
@@ -1632,6 +1638,47 @@ object SparkEntry {
          SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
                 CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6
          FROM u GROUP BY grp, dim ORDER BY grp, dim""",
+
+    // Lloyd k-means replayed iteration-for-iteration in SQL: e6
+    // integer lattice, integer squared-L2 distances, ties to the
+    // lowest cell, centroid update floor(sum/n) with empty cells
+    // keeping the previous centroid — every step exact, so the
+    // assignment must match bit-for-bit. Seed = the 8 smallest ids'
+    // vectors (cell = rank in id order), 2 assignment passes with one
+    // update between, mirroring Similarity.kmeansAssign.
+    "dp_kmeans" ->
+      """WITH pts AS (
+           SELECT vec_id AS id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         u AS (SELECT id, unnest(range(1, len(v)+1)) - 1 AS dim,
+                      unnest(v) AS val
+               FROM pts),
+         seed AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
+                  FROM (SELECT id FROM pts ORDER BY id LIMIT 8)),
+         c0 AS (SELECT s.cell, u.dim, u.val FROM seed s JOIN u ON u.id = s.id),
+         d1 AS (SELECT u.id, c.cell,
+                       sum((u.val - c.val) * (u.val - c.val)) AS dist
+                FROM u JOIN c0 c USING (dim) GROUP BY u.id, c.cell),
+         a1 AS (SELECT id, cell FROM (
+                  SELECT id, cell,
+                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                  FROM d1) WHERE rn = 1),
+         m1 AS (SELECT a.cell, u.dim,
+                       CAST(floor(sum(u.val) / count(*)) AS BIGINT) AS val
+                FROM u JOIN a1 a USING (id) GROUP BY a.cell, u.dim),
+         c1 AS (SELECT c0.cell, c0.dim, COALESCE(m1.val, c0.val) AS val
+                FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.dim = c0.dim),
+         d2 AS (SELECT u.id, c.cell,
+                       sum((u.val - c.val) * (u.val - c.val)) AS dist
+                FROM u JOIN c1 c USING (dim) GROUP BY u.id, c.cell),
+         a2 AS (SELECT id, cell, dist FROM (
+                  SELECT id, cell, dist,
+                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                  FROM d2) WHERE rn = 1)
+         SELECT id, CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist
+         FROM a2 ORDER BY id""",
 
     // Quantization mirrored integer-for-integer: q = floor(x·127/amax
     // + 0.5) — identical IEEE division/mult order on both engines.

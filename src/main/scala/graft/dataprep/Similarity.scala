@@ -232,6 +232,72 @@ object Similarity {
     cent
   }
 
+  /** Distributed Lloyd k-means on an e6 integer lattice — the general
+    * form of the IVF cell trainer, exposed as a first-class operator
+    * (embedding clustering is the standard pre-step for cluster-
+    * balanced sampling and SemDeDup-style curation at corpus scale).
+    *
+    * Determinism by construction: inputs are quantized ONCE to e6
+    * fixed point; distances are integer squared-L2 sums; the centroid
+    * update is floor(sum/n) on integer sums (exact — |sum| stays far
+    * below 2^53, see bound note below). Every reduction is therefore
+    * associative and partitioning-independent, so any engine
+    * replaying the same arithmetic (the DuckDB oracle does) produces
+    * the identical assignment — no float-mean order sensitivity.
+    *
+    * Scale shape: the argmin pass ships the k×d centroid table as
+    * plan literals — each iteration is a NARROW map over the points
+    * (no shuffle, no join); the only exchange per iteration is the
+    * k×d-row partial-aggregated centroid update, collected to the
+    * driver (KBs — same pattern as [[trainIvfCentroids]], which is
+    * the Spark analogue of a parameter-server sync). `iters`
+    * assignment passes run in total, with an update between
+    * consecutive passes; the seed is the k smallest ids' vectors
+    * (cell j = rank j in that id order).
+    *
+    * Magnitude bound: floor(sum/n) goes through one double division;
+    * it is exact while |sum| < 2^53, i.e. for corpora up to ~2^53/
+    * (|v|·1e6) ≈ 10^9 unit-scale vectors per cell — beyond that,
+    * switch the mean to BigDecimal without changing the contract.
+    *
+    * Output: (id, cell, dist) — dist in e12 units, ordered by id.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val pts = df.select(col(idCol).as("id"),
+      expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")
+        .as("v"))
+    var cent: IndexedSeq[Seq[Long]] = pts.orderBy(col("id").asc).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toIndexedSeq
+      .sortBy(_._1).map(_._2)
+    def assigned(c: IndexedSeq[Seq[Long]]): DataFrame = {
+      val dists = array(c.map(cv =>
+        aggregate(zip_with(col("v"), lit(cv.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)): _*)
+      // array_position finds the FIRST occurrence of the min, so ties
+      // break to the lowest cell index on both engines
+      pts.withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cell", expr("CAST(array_position(dists, dist) - 1 AS BIGINT)"))
+    }
+    var a = assigned(cent)
+    for (_ <- 2 to iters) {
+      val rows = a.select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val updated = rows.groupBy(_.getLong(0)).map { case (cell, rs) =>
+        cell.toInt -> rs.sortBy(_.getInt(1))
+          .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toSeq
+      }
+      // a cell that lost all members keeps its previous centroid
+      cent = cent.indices.map(i => updated.getOrElse(i, cent(i)))
+      a = assigned(cent)
+    }
+    a.select(col("id"), col("cell"), col("dist")).orderBy(col("id").asc)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCells`
     * Voronoi cells around k-means centroids trained with `trainIters`
     * deterministic Lloyd steps (seeds = lowest-id vectors), then

@@ -404,12 +404,30 @@ final class GrpcSeqApi(
 
   /** The Catalyst physical plan as the proto's ExplainEntry tracing
     * tree (one node per operator, bounded depth/fan-out so a deep plan
-    * cannot balloon the response); wall time lands on the root. */
+    * cannot balloon the response). Per-node spans come from the plan's
+    * own SQLMetric accumulators (populated by the execution that just
+    * produced the docs — the same numbers the Spark UI shows), so the
+    * proto consumer sees operator timings like the reference's
+    * querytracer spans; request wall time lands on the root. AQE
+    * wrappers are unwrapped so the tree is the plan that actually ran,
+    * not the pre-adaptive skeleton. */
   private def explainTree(df: org.apache.spark.sql.DataFrame,
       durationMs: Long): PExplainEntry = {
-    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): PExplainEntry =
-      PExplainEntry(p.simpleStringWithNodeId(), 0L,
-        if (depth >= 8) Nil else p.children.take(8).map(walk(_, depth + 1)))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    def nodeMs(p: SparkPlan): Long =
+      p.metrics.values.collect {
+        case m if m.metricType == "timing" && m.value > 0   => m.value
+        case m if m.metricType == "nsTiming" && m.value > 0 => m.value / 1000000L
+      }.maxOption.getOrElse(0L)
+    def walk(p: SparkPlan, depth: Int): PExplainEntry =
+      PExplainEntry(p.simpleStringWithNodeId(), nodeMs(p),
+        if (depth >= 8) Nil else kids(p).take(8).map(walk(_, depth + 1)))
     val root = walk(df.queryExecution.executedPlan, 0)
     root.copy(durationMs = durationMs)
   }

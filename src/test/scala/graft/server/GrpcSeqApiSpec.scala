@@ -113,7 +113,13 @@ class GrpcSeqApiSpec extends SparkSpec {
       def flat(e: PExplainEntry): Seq[String] = e.message +: e.children.flatMap(flat)
       val nodes = flat(tree)
       assert(nodes.exists(_.contains("Scan")), nodes) // reaches the parquet scan
-      assert(tree.durationMs >= 0)
+      // span timings: the root carries the request wall time (always a
+      // real span — this request compiled and ran a plan), child spans
+      // are the plan's own SQLMetric timings from the execution that
+      // produced the docs
+      assert(tree.durationMs > 0)
+      def spans(e: PExplainEntry): Seq[Long] = e.durationMs +: e.children.flatMap(spans)
+      assert(spans(tree).forall(_ >= 0L))
 
       // async: start (with aggs + histogram) → poll done → docs,
       // aggregations and histogram all fetchable from the partials
