@@ -21,14 +21,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // A query that throws simply has no output dir, and the driver's
+    // compare then silently omits its row (round 7 lost 42 rows to a
+    // testdata schema change this way). Make the damage impossible to
+    // miss: a summary line on stdout AND a failures artifact next to
+    // the outputs.
+    if (failed.nonEmpty) {
+      println(s"[verify] ${failed.size} of ${ran.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      Files.writeString(Paths.get(s"$outDir/_failed.json"),
+        failed.sorted.mkString("[\"", "\",\"", "\"]"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
