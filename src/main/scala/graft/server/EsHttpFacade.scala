@@ -159,6 +159,19 @@ final class EsHttpFacade(
     ex.close()
   }
 
+  // ---- metrics (reference metric/ingestor.go analogue; scraped at
+  //      GET /metrics in Prometheus text format) ---------------------
+  val metrics = new Metrics("seq_db")
+  private val mBulkTotal      = metrics.counter("bulk_total", "bulk requests")
+  private val mBulkDocs       = metrics.counter("bulk_docs_total", "documents ingested")
+  private val mBulkErrors     = metrics.counter("bulk_errors_total", "failed bulk requests")
+  private val mSearchTotal    = metrics.counter("search_total", "search/aggregate/histogram requests")
+  private val mSearchErrors   = metrics.counter("search_errors_total", "failed read requests")
+  private val mRateLimited    = metrics.counter("rate_limited_total", "429-rejected requests")
+  private val mBreakerOpen    = metrics.counter("breaker_open_total", "bulk requests shed by the open circuit")
+  private val mBulkSeconds    = metrics.histogram("bulk_duration_seconds")
+  private val mSearchSeconds  = metrics.histogram("search_duration_seconds")
+
   // ---- admission control -------------------------------------------
   private val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
   // token bucket: tokens scaled by 1e6 to stay integral; refilled by
@@ -199,6 +212,7 @@ final class EsHttpFacade(
   private def admitQueryKey(ex: HttpExchange, key: String): Boolean = {
     if (queryLimiter.tryAcquire(key)) true
     else {
+      mRateLimited.inc()
       ex.getResponseHeaders.set("Retry-After", "1")
       reply(ex, 429, """{"error":"query rate limit exceeded"}""")
       false
@@ -215,11 +229,13 @@ final class EsHttpFacade(
       if (dataPath) {
         if (limits.maxInflight > 0 && inflight.incrementAndGet() > limits.maxInflight) {
           inflight.decrementAndGet()
+          mRateLimited.inc()
           reply(ex, 429, """{"error":"too many inflight requests"}""")
           return
         }
         if (!tryAdmitBucket()) {
           if (limits.maxInflight > 0) inflight.decrementAndGet()
+          mRateLimited.inc()
           ex.getResponseHeaders.set("Retry-After", "1")
           reply(ex, 429, """{"error":"rate limit exceeded"}""")
           return
@@ -239,24 +255,39 @@ final class EsHttpFacade(
       else if (path == "/_license")
         reply(ex, 200,
           """{"license":{"mode":"basic","status":"active","type":"basic"}}""")
+      else if (path == "/metrics") {
+        val bytes = metrics.render.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
       else reply(ex, 400, """{"error":"unsupported endpoint"}""")
     } catch {
       case e: Throwable =>
         reply(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
     }
 
-    private def handleData(ex: HttpExchange, path: String): Unit = try {
-      if (path == "/_bulk") handleBulk(ex)
-      else if (path == "/search") handleSearch(ex)
-      else if (path == "/aggregate") handleAggregate(ex)
-      else if (path == "/histogram") handleHistogram(ex)
-      else if (path == "/async_search/start") handleAsyncStart(ex)
-      else if (path == "/async_search/fetch") handleAsyncFetch(ex)
-      else if (path == "/async_search/cancel") handleAsyncCancel(ex)
-      else reply(ex, 400, """{"error":"unsupported endpoint"}""")
-    } catch {
-      case e: Throwable =>
-        reply(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+    private def handleData(ex: HttpExchange, path: String): Unit = {
+      val isBulk = path == "/_bulk"
+      if (isBulk) mBulkTotal.inc() else mSearchTotal.inc()
+      val t0 = System.nanoTime()
+      try {
+        if (path == "/_bulk") handleBulk(ex)
+        else if (path == "/search") handleSearch(ex)
+        else if (path == "/aggregate") handleAggregate(ex)
+        else if (path == "/histogram") handleHistogram(ex)
+        else if (path == "/async_search/start") handleAsyncStart(ex)
+        else if (path == "/async_search/fetch") handleAsyncFetch(ex)
+        else if (path == "/async_search/cancel") handleAsyncCancel(ex)
+        else reply(ex, 400, """{"error":"unsupported endpoint"}""")
+        (if (isBulk) mBulkSeconds else mSearchSeconds)
+          .observeNanos(System.nanoTime() - t0)
+      } catch {
+        case e: Throwable =>
+          (if (isBulk) mBulkErrors else mSearchErrors).inc()
+          reply(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
+      }
     }
 
     private def handleBulk(ex: HttpExchange): Unit = {
@@ -278,10 +309,12 @@ final class EsHttpFacade(
         }
       } catch {
         case _: bulkBreaker.CircuitOpenException =>
+          mBreakerOpen.inc()
           ex.getResponseHeaders.set("Retry-After", "5")
           reply(ex, 503, """{"error":"ingest circuit open"}""")
           return
       }
+      mBulkDocs.inc(nActions)
       val tookMs = (System.nanoTime() - t0) / 1000000
       // stream the repeated item template instead of building an O(n)
       // response string on the heap (the request body is already the
