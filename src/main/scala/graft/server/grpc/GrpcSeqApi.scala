@@ -36,9 +36,16 @@ final class GrpcSeqApi(
     table: => DocsTable,
     asyncDir: String,
     limits: graft.server.RateLimits = graft.server.RateLimits(),
-    serving: Option[graft.server.ServingCore] = None) {
+    serving: Option[graft.server.ServingCore] = None,
+    /** Pass the HTTP facade's registry when co-hosting so one scrape
+      * covers both servers; defaults to a private registry. */
+    metrics: graft.server.Metrics = new graft.server.Metrics("seq_db")) {
 
   private val Service = "seqproxyapi.v1.SeqProxyApi"
+
+  private val mRpcTotal = metrics.counter("grpc_requests_total", "gRPC calls")
+  private val mRpcErrors = metrics.counter("grpc_errors_total", "failed gRPC calls")
+  private val mRpcSeconds = metrics.histogram("grpc_request_duration_seconds")
 
   @volatile private var server: Server = _
   private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, asyncDir)
@@ -221,22 +228,32 @@ final class GrpcSeqApi(
 
   private def unary[A, B](f: A => B): org.sparkproject.connect.grpc.ServerCallHandler[A, B] =
     ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[A, B] {
-      override def invoke(req: A, obs: StreamObserver[B]): Unit =
-        try { obs.onNext(f(req)); obs.onCompleted() }
+      override def invoke(req: A, obs: StreamObserver[B]): Unit = {
+        mRpcTotal.inc()
+        val t0 = System.nanoTime()
+        try { obs.onNext(f(req)); obs.onCompleted()
+              mRpcSeconds.observeNanos(System.nanoTime() - t0) }
         catch { case e: Throwable =>
+          mRpcErrors.inc()
           obs.onError(statusOf(e).withDescription(
             Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
         }
+      }
     })
 
   private def serverStream[A, B](f: (A, StreamObserver[B]) => Unit): org.sparkproject.connect.grpc.ServerCallHandler[A, B] =
     ServerCalls.asyncServerStreamingCall(new ServerCalls.ServerStreamingMethod[A, B] {
-      override def invoke(req: A, obs: StreamObserver[B]): Unit =
-        try { f(req, obs); obs.onCompleted() }
+      override def invoke(req: A, obs: StreamObserver[B]): Unit = {
+        mRpcTotal.inc()
+        val t0 = System.nanoTime()
+        try { f(req, obs); obs.onCompleted()
+              mRpcSeconds.observeNanos(System.nanoTime() - t0) }
         catch { case e: Throwable =>
+          mRpcErrors.inc()
           obs.onError(statusOf(e).withDescription(
             Option(e.getMessage).getOrElse(e.getClass.getName)).asRuntimeException())
         }
+      }
     })
 
   def serviceDefinition: ServerServiceDefinition =

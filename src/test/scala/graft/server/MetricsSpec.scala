@@ -53,4 +53,35 @@ class MetricsSpec extends SparkSpec {
       assert(text.contains("# TYPE seq_db_search_duration_seconds histogram"), text)
     } finally srv.stop()
   }
+
+  test("a co-hosted gRPC server shares the facade registry: one scrape covers both") {
+    val mapping = SeqMapping.of("level" -> IndexType.Keyword)
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics_g")
+    val sink = dir.toString + "/docs"
+    val srv = new EsHttpFacade(spark, mapping, sink)
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val ts = java.time.Instant.now().toString
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/_bulk"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"timestamp":"$ts","level":"error"}""" + "\n")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val gapi = new grpc.GrpcSeqApi(spark, srv.table, dir.toString + "/_async",
+        metrics = srv.metrics)
+      val gport = gapi.start()
+      val gclient = new grpc.GrpcSeqClient("127.0.0.1", gport, gapi)
+      try {
+        import grpc.SeqProxyProto._
+        gclient.search(PSearchRequest(SearchQuery("level:error", 0L, Long.MaxValue),
+          size = 10, offset = 0, withTotal = true, asc = false))
+      } finally { gclient.close(); gapi.stop() }
+      val text = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(text.contains("seq_db_grpc_requests_total 1"), text)
+      assert(text.contains("seq_db_grpc_request_duration_seconds_count 1"), text)
+    } finally srv.stop()
+  }
 }
