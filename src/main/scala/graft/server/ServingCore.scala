@@ -105,7 +105,12 @@ final class ServingCore(
     synchronized {
       val again = engineCache
       if (again != null && again._1 == sig) return again
-      if (again != null) again._2.table.df.unpersist()
+      // blocking: a mapping-only reload rebuilds an IDENTICAL sink
+      // plan, and an in-flight async unpersist of the old entry could
+      // land after the new persist and evict it by plan equality —
+      // leaving serving silently uncached. Rebuilds are ≤1/s and off
+      // the request path, so the synchronous drop costs nothing.
+      if (again != null) again._2.table.df.unpersist(blocking = true)
       planCache.clear()
       responseCache.clear()
       prefixCache.clear()
