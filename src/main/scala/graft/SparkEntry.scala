@@ -512,6 +512,17 @@ object SparkEntry {
       dataprep.Similarity.kmeansAssign(TestTables.embeddings(s, dir),
         "vec_id", "embedding", k = 8, iters = 2)),
 
+    // ---- cluster-balanced selection: kmeans cells → exactly-k
+    //      uniform per cell (same priority sampler as
+    //      dp_sample_stratified, partitioned by CELL) ----
+    "dp_cluster_sample" -> ((s, dir) => {
+      val cells = dataprep.Similarity.kmeansAssign(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2).select(col("id"), col("cell"))
+      dataprep.Sampling.stratifiedSample(cells, "cell", "id", k = 25)
+        .select(col("cell"), col("sample_rank"), col("id"))
+        .orderBy("cell", "sample_rank")
+    }),
+
     // ---- int8 quantization (exploded to scalars, integer-verifiable) ----
     "dp_quantize_int8" -> ((s, dir) =>
       dataprep.Similarity.quantizeInt8(TestTables.embeddings(s, dir),
@@ -879,6 +890,43 @@ object SparkEntry {
     */
   /** `p` prefixes both CTE and computed-column names so two chains can
     * compose in one WITH (e.g. prio = mix64(xor(mix64(mid), rid))). */
+  // The integer-lattice Lloyd iteration chain (Similarity.kmeansAssign
+  // replayed step-for-step): pts/u quantize and explode, seed/c0 take
+  // the 8 smallest ids as cells, d1/a1 assign (ties → lowest cell),
+  // m1/c1 update floor(sum/n) with empty cells keeping c0, d2/a2
+  // reassign. Shared by dp_kmeans and dp_cluster_sample.
+  private val kmeansCtes: String =
+    """pts AS (
+           SELECT vec_id AS id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         u AS (SELECT id, unnest(range(1, len(v)+1)) - 1 AS dim,
+                      unnest(v) AS val
+               FROM pts),
+         seed AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
+                  FROM (SELECT id FROM pts ORDER BY id LIMIT 8)),
+         c0 AS (SELECT s.cell, u.dim, u.val FROM seed s JOIN u ON u.id = s.id),
+         d1 AS (SELECT u.id, c.cell,
+                       sum((u.val - c.val) * (u.val - c.val)) AS dist
+                FROM u JOIN c0 c USING (dim) GROUP BY u.id, c.cell),
+         a1 AS (SELECT id, cell FROM (
+                  SELECT id, cell,
+                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                  FROM d1) WHERE rn = 1),
+         m1 AS (SELECT a.cell, u.dim,
+                       CAST(floor(sum(u.val) / count(*)) AS BIGINT) AS val
+                FROM u JOIN a1 a USING (id) GROUP BY a.cell, u.dim),
+         c1 AS (SELECT c0.cell, c0.dim, COALESCE(m1.val, c0.val) AS val
+                FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.dim = c0.dim),
+         d2 AS (SELECT u.id, c.cell,
+                       sum((u.val - c.val) * (u.val - c.val)) AS dist
+                FROM u JOIN c1 c USING (dim) GROUP BY u.id, c.cell),
+         a2 AS (SELECT id, cell, dist FROM (
+                  SELECT id, cell, dist,
+                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                  FROM d2) WHERE rn = 1)"""
+
   private def mix64Ctes(baseSelect: String, p: String = ""): String = {
     val M = "18446744073709551616"
     def u64(x: String) = s"(((CAST($x AS HUGEINT)) % $M + $M) % $M)"
@@ -1647,38 +1695,22 @@ object SparkEntry {
     // vectors (cell = rank in id order), 2 assignment passes with one
     // update between, mirroring Similarity.kmeansAssign.
     "dp_kmeans" ->
-      """WITH pts AS (
-           SELECT vec_id AS id,
-                  list_transform(CAST(embedding AS DOUBLE[]),
-                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
-           FROM embeddings),
-         u AS (SELECT id, unnest(range(1, len(v)+1)) - 1 AS dim,
-                      unnest(v) AS val
-               FROM pts),
-         seed AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
-                  FROM (SELECT id FROM pts ORDER BY id LIMIT 8)),
-         c0 AS (SELECT s.cell, u.dim, u.val FROM seed s JOIN u ON u.id = s.id),
-         d1 AS (SELECT u.id, c.cell,
-                       sum((u.val - c.val) * (u.val - c.val)) AS dist
-                FROM u JOIN c0 c USING (dim) GROUP BY u.id, c.cell),
-         a1 AS (SELECT id, cell FROM (
-                  SELECT id, cell,
-                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
-                  FROM d1) WHERE rn = 1),
-         m1 AS (SELECT a.cell, u.dim,
-                       CAST(floor(sum(u.val) / count(*)) AS BIGINT) AS val
-                FROM u JOIN a1 a USING (id) GROUP BY a.cell, u.dim),
-         c1 AS (SELECT c0.cell, c0.dim, COALESCE(m1.val, c0.val) AS val
-                FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.dim = c0.dim),
-         d2 AS (SELECT u.id, c.cell,
-                       sum((u.val - c.val) * (u.val - c.val)) AS dist
-                FROM u JOIN c1 c USING (dim) GROUP BY u.id, c.cell),
-         a2 AS (SELECT id, cell, dist FROM (
-                  SELECT id, cell, dist,
-                         row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
-                  FROM d2) WHERE rn = 1)
+      s"""WITH $kmeansCtes
          SELECT id, CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist
          FROM a2 ORDER BY id""",
+
+    // Cluster-balanced selection: the kmeans CTEs feed the same mix64
+    // priority sampler dp_sample_stratified uses, partitioned by CELL
+    // — exactly-k uniform per cluster, the balanced-coverage sampling
+    // step of cluster-based curation.
+    "dp_cluster_sample" ->
+      s"""WITH $kmeansCtes,
+          ${mix64Ctes("SELECT id, cell, CAST(id AS BIGINT) AS uid FROM a2", p = "s")},
+          r AS (SELECT cell, id,
+                       row_number() OVER (PARTITION BY cell ORDER BY sh63 ASC, id ASC) AS rn
+                FROM smh)
+          SELECT CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS sample_rank, id
+          FROM r WHERE rn <= 25 ORDER BY cell, sample_rank""",
 
     // Quantization mirrored integer-for-integer: q = floor(x·127/amax
     // + 0.5) — identical IEEE division/mult order on both engines.
