@@ -268,6 +268,12 @@ object Similarity {
     val pts = df.select(col(idCol).as("id"),
       expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")
         .as("v"))
+    // the seed collect and every centroid sync are separate ACTIONS on
+    // pts — cache it for the training jobs and release it before
+    // returning, so training scans the source once (not iters+1
+    // times) and nothing leaks: the returned frame recomputes pts
+    // from source exactly once when the caller materializes it
+    pts.persist()
     var cent: IndexedSeq[Seq[Long]] = pts.orderBy(col("id").asc).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toIndexedSeq
       .sortBy(_._1).map(_._2)
@@ -295,6 +301,7 @@ object Similarity {
       cent = cent.indices.map(i => updated.getOrElse(i, cent(i)))
       a = assigned(cent)
     }
+    pts.unpersist()
     a.select(col("id"), col("cell"), col("dist")).orderBy(col("id").asc)
   }
 
