@@ -119,7 +119,10 @@ final class EsHttpFacade(
   /** Docs table over everything ingested so far. */
   def table: DocsTable =
     if (serving) servingCore.engine.table
-    else DocsTable(spark.read.parquet(sinkDir), currentMapping)
+    // mergeSchema: files written under successive mappings differ in
+    // columns; the table must carry their union (see ServingCore)
+    else DocsTable(spark.read.option("mergeSchema", "true").parquet(sinkDir),
+      currentMapping)
 
   /** Serving-mode machinery (generation-cached engine, memoized plans,
     * response + page-prefix caches) — shared with [[grpc.GrpcSeqApi]]

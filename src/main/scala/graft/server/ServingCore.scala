@@ -132,7 +132,11 @@ final class ServingCore(
       // so a date-window predicate skips whole batches via their
       // min/max stats — without it the hash shuffle interleaves days
       // and every batch's stats span everything (no skipping)
-      val raw = spark.read.parquet(sinkDir)
+      // mergeSchema: an ingest sink ACCRETES fields over time (that is
+      // what mapping hot-reload is for) — without the union schema,
+      // Spark takes one file's footer at random and a column that only
+      // newer files carry silently disappears from the engine
+      val raw = spark.read.option("mergeSchema", "true").parquet(sinkDir)
       // Pin policy: MEMORY_AND_DISK caches the whole sink — right for
       // the log-store page-serving scale it was built for, an OOM risk
       // for a year-scale (100×) sink. Above `maxPinnedBytes` of
