@@ -26,8 +26,15 @@ object TieredDocs {
       coldPath: String,
       boundaryMs: Long,
       mapping: SeqMapping): DocsTable = {
-    val hot = spark.read.parquet(hotPath).where(col("mid") >= boundaryMs)
-    val cold = spark.read.parquet(coldPath).where(col("mid") < boundaryMs)
+    // mergeSchema within each tier for the same reason the serving
+    // sink reader merges: a tier's files written under successive
+    // mappings differ in columns, and one random footer would drop
+    // the accreted fields (cross-tier drift is already handled by the
+    // allowMissingColumns union)
+    val hot = spark.read.option("mergeSchema", "true").parquet(hotPath)
+      .where(col("mid") >= boundaryMs)
+    val cold = spark.read.option("mergeSchema", "true").parquet(coldPath)
+      .where(col("mid") < boundaryMs)
     DocsTable(hot.unionByName(cold, allowMissingColumns = true), mapping)
   }
 
@@ -55,9 +62,11 @@ object TieredDocs {
       coldPath: String,
       boundaryMs: Long,
       mapping: SeqMapping): TieredTable = {
-    val hot = spark.read.parquet(hotPath).where(col("mid") >= boundaryMs)
+    val hot = spark.read.option("mergeSchema", "true").parquet(hotPath)
+      .where(col("mid") >= boundaryMs)
     try {
-      val cold = spark.read.parquet(coldPath).where(col("mid") < boundaryMs)
+      val cold = spark.read.option("mergeSchema", "true").parquet(coldPath)
+        .where(col("mid") < boundaryMs)
       TieredTable(
         DocsTable(hot.unionByName(cold, allowMissingColumns = true), mapping),
         partial = false, degraded = Nil)
