@@ -20,7 +20,15 @@ final class AsyncSearchManager(spark: SparkSession, resultsDir: String, parallel
   case object Canceled extends Status
   final case class Failed(err: String) extends Status
 
-  private val pool = Executors.newFixedThreadPool(parallelism)
+  // re-creatable: a server stop() shuts the pool down with it, and a
+  // restarted server (same searcher instance, e.g. across test
+  // lifecycles) must be able to accept new submissions
+  @volatile private var poolRef: java.util.concurrent.ExecutorService = _
+  private def pool: java.util.concurrent.ExecutorService = synchronized {
+    if (poolRef == null || poolRef.isShutdown)
+      poolRef = Executors.newFixedThreadPool(parallelism)
+    poolRef
+  }
   private val jobs = new ConcurrentHashMap[String, JFuture[_]]()
 
   private def statusPath(id: String) = Paths.get(s"$resultsDir/$id.status")
@@ -81,7 +89,9 @@ final class AsyncSearchManager(spark: SparkSession, resultsDir: String, parallel
     status(id)
   }
 
-  def shutdown(): Unit = pool.shutdownNow()
+  def shutdown(): Unit = synchronized {
+    if (poolRef != null) { poolRef.shutdownNow(); () }
+  }
 }
 
 /** Chunked async search: the reference persists per-fraction partial
@@ -95,7 +105,13 @@ final class AsyncSearchManager(spark: SparkSession, resultsDir: String, parallel
   */
 final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
 
-  private val pool = Executors.newFixedThreadPool(2)
+  // re-creatable across server stop/start — see AsyncSearcher.pool
+  @volatile private var poolRef: java.util.concurrent.ExecutorService = _
+  private def pool: java.util.concurrent.ExecutorService = synchronized {
+    if (poolRef == null || poolRef.isShutdown)
+      poolRef = Executors.newFixedThreadPool(2)
+    poolRef
+  }
 
   private def idDir(id: String) = s"$resultsDir/$id"
   private def chunkDir(id: String, startMs: Long) = s"${idDir(id)}/chunk=$startMs"
@@ -195,5 +211,7 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
     else dir.listFiles().count(_.getName.startsWith(".done_"))
   }
 
-  def shutdown(): Unit = pool.shutdownNow()
+  def shutdown(): Unit = synchronized {
+    if (poolRef != null) { poolRef.shutdownNow(); () }
+  }
 }

@@ -114,7 +114,13 @@ final class EsHttpFacade(
 
   private val bulkLock = new Object
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // stop in-flight async chunk jobs with the server — otherwise the
+    // worker threads keep running Spark jobs into JVM shutdown
+    // (already-persisted partials stay fetchable after a restart)
+    if (asyncStarted) asyncSearcher.shutdown()
+  }
 
   /** Docs table over everything ingested so far. */
   def table: DocsTable =
@@ -143,7 +149,11 @@ final class EsHttpFacade(
     * `_async` prefix (underscore → invisible to the table reader), so
     * results survive facade restarts exactly like the reference's
     * persisted per-fraction QPRs (fracmanager/async_searcher.go). */
-  private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, s"$sinkDir/_async")
+  @volatile private var asyncStarted = false
+  private lazy val asyncSearcher = {
+    asyncStarted = true
+    new ChunkedAsyncSearcher(spark, s"$sinkDir/_async")
+  }
 
   private def body(ex: HttpExchange): String = {
     val raw: InputStream =

@@ -48,7 +48,11 @@ final class GrpcSeqApi(
   private val mRpcSeconds = metrics.histogram("grpc_request_duration_seconds")
 
   @volatile private var server: Server = _
-  private lazy val asyncSearcher = new ChunkedAsyncSearcher(spark, asyncDir)
+  @volatile private var asyncStarted = false
+  private lazy val asyncSearcher = {
+    asyncStarted = true
+    new ChunkedAsyncSearcher(spark, asyncDir)
+  }
   // async searches need fixed request params + start time at fetch time
   private val asyncReqs =
     new java.util.concurrent.ConcurrentHashMap[String, (PStartAsyncRequest, Long)]()
@@ -156,7 +160,11 @@ final class GrpcSeqApi(
   }
 
   def port: Int = server.getPort
-  def stop(): Unit = if (server != null) { server.shutdownNow(); () }
+  def stop(): Unit = {
+    if (server != null) { server.shutdownNow(); () }
+    // see EsHttpFacade.stop: async workers must not outlive the server
+    if (asyncStarted) asyncSearcher.shutdown()
+  }
 
   // ---- marshalling -------------------------------------------------
 
