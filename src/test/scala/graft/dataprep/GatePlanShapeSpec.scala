@@ -61,4 +61,21 @@ class GatePlanShapeSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("no seq_*/events_*/tpch_* gate query plans a cartesian product either") {
+    // same sweep over the log-engine and TPC-H families: these are
+    // equi-join/window/scan plans by construction, so NO nested-loop
+    // allowance at all — any CartesianProduct or BNLJ is a regression
+    val failures = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("dp_"))
+      .flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad) Some(name) else None
+      }
+    assert(failures.isEmpty, failures.mkString(", "))
+  }
 }
