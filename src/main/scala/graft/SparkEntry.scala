@@ -744,6 +744,21 @@ object SparkEntry {
       dataprep.Dedup.passageDedup(TestTables.documents(s, dir),
         "doc_id", "text", passageTokens = 8).orderBy("doc_id")),
 
+    // ---- exact duplicate-substring pairs: docs sharing a rare
+    //      24-char window (maxDf=50 excludes boilerplate windows —
+    //      part of the declared semantics, mirrored in the oracle) ----
+    "dp_dedup_substring" -> ((s, dir) =>
+      dataprep.Dedup.substringDupPairs(TestTables.documents(s, dir),
+        "doc_id", "text", k = 24, maxDf = 50L)),
+
+    // ---- winnowed-fingerprint variant (SIGMOD'03): the scale path.
+    //      The md5-string selection order makes the whole fingerprint
+    //      choice oracle-checkable cross-engine, not just the pair
+    //      detection; SubstringDedupSpec proves the w+k-1 guarantee ----
+    "dp_dedup_substring_winnow" -> ((s, dir) =>
+      dataprep.Dedup.substringDupPairsWinnowed(TestTables.documents(s, dir),
+        "doc_id", "text", k = 24, w = 8, maxDf = 50L)),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -2140,6 +2155,45 @@ object SparkEntry {
                    list(passage ORDER BY p_idx ASC) FILTER (WHERE rn = 1), ' '),
                    '') AS clean_text
           FROM r GROUP BY doc_id ORDER BY doc_id ASC""",
+
+    // Brute-force window self-join; the DF cap (2..50 docs per
+    // window) is part of the operator's semantics, replicated here.
+    // DISTINCT per (doc, window) on both sides; n_shared counts
+    // distinct shared windows, which the grouped-pair engine emits
+    // exactly once per (window, pair).
+    "dp_dedup_substring" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id,
+                  substring(text, unnest(generate_series(1, length(text) - 23)), 24) AS win
+           FROM documents WHERE length(text) >= 24),
+         keep AS (SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 50)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM w a JOIN keep USING (win) JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY id_a, id_b""",
+
+    // Winnowing replayed arithmetically: same md5-hex ordering, same
+    // rightmost-min rule (first match in the reversed slice = last in
+    // the slice), 1-based gram positions on both engines.
+    "dp_dedup_substring_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 31),
+         g AS (SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 23),
+                                i -> substring(text, i, 24)) AS grams
+               FROM d),
+         h AS (SELECT doc_id, grams, list_transform(grams, x -> md5(x)) AS hs FROM g),
+         s AS (SELECT doc_id, grams,
+                 list_distinct(list_transform(generate_series(0, len(hs) - 8), p ->
+                   p + 9 - list_position(list_reverse(list_slice(hs, p + 1, p + 8)),
+                                         list_min(list_slice(hs, p + 1, p + 8))))) AS sel
+               FROM h),
+         w AS (SELECT DISTINCT doc_id, grams[CAST(s2 AS INT)] AS win
+               FROM (SELECT doc_id, grams, unnest(sel) AS s2 FROM s)),
+         keep AS (SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 50)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM w a JOIN keep USING (win) JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY id_a, id_b""",
 
     // Chunk boundaries are exact integer arithmetic; per-index
     // list_transform avoids engine-specific slice-bound semantics.

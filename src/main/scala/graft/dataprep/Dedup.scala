@@ -696,4 +696,129 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }
   }
+
+  /** All distinct character k-windows of a document, one row per
+    * (id, win). Documents shorter than k contribute nothing.
+    */
+  private def charWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.where(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(textCol)) - (k - 1)),
+          i => col(textCol).substr(i, lit(k))))).as("win"))
+
+  /** The pair algebra shared by [[substringDupPairs]] and
+    * [[substringDupPairsWinnowed]]: group windows, drop windows whose
+    * document frequency is 1 (cannot pair) or above `maxDf` (stop
+    * windows — boilerplate that would fan out quadratically), then
+    * emit every ordered pair from each surviving window's sorted doc
+    * list in-plan and count shared windows per pair.
+    *
+    * Scale: two shuffles — (1) groupBy window (key cardinality ≈
+    * corpus windows, partial-agg combines per-doc duplicates map-side),
+    * (2) groupBy pair. Pair fan-out per window is bounded by
+    * maxDf·(maxDf−1)/2, so no hot key survives candidate generation —
+    * the same guard the reference-scale literature applies before a
+    * substring-dedup join (a corpus-wide window would otherwise emit
+    * O(n²) rows).
+    */
+  private def pairsFromWindows(wins: DataFrame, idCol: String,
+      maxDf: Long): DataFrame = {
+    val grouped = wins
+      .groupBy(col("win"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2 &&
+        (if (maxDf > 0) size(col("ids")) <= maxDf else lit(true)))
+    grouped
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact duplicate-substring pair detection — the document-pair view
+    * of suffix-array substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": two texts share a
+    * duplicated span iff they share some character window of length
+    * exactly `k`). Output: ordered pairs (id_a < id_b) with
+    * `n_shared` = number of DISTINCT length-k windows the two
+    * documents share.
+    *
+    * `maxDf` caps a window's document frequency: windows present in
+    * more than `maxDf` documents are excluded from pairing (license
+    * blocks, whitespace runs — the quadratic-blow-up mass); `maxDf <=
+    * 0` disables the cap. The cap is part of the declared semantics
+    * ("pairs sharing a rare window"), so the oracle replicates it —
+    * unlike [[containmentPairs]]'s candidate-only cap, a capped window
+    * here is genuinely out of the relation.
+    *
+    * Everything is plan-local: window extraction is a codegen'd
+    * transform/explode, no UDFs, no driver state.
+    */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Long = 0L): DataFrame = {
+    require(k > 0, "window length k must be positive")
+    pairsFromWindows(charWindows(df, idCol, textCol, k), idCol, maxDf)
+  }
+
+  /** Winnowed fingerprint windows — the 100 TB path for
+    * [[substringDupPairs]]. Winnowing (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) slides a window of `w` consecutive k-gram hashes
+    * over the document and keeps, per window, the RIGHTMOST position
+    * holding the minimum hash. Selected positions depend only on the
+    * surrounding w+k-1 characters, so any substring of length >=
+    * w+k-1 shared by two documents yields at least one identical
+    * selected k-gram in both — the detection guarantee — while only
+    * ~2/(w+1) of all windows are kept, cutting the shuffled window
+    * volume by ~w/2× versus the exact operator.
+    *
+    * The pseudo-random order is the md5 hex digest compared as a
+    * string: engine-portable (identical lowercase hex and byte-wise
+    * ordering in any SQL engine), so the selection — not just the
+    * detection — is oracle-checkable cross-engine. Ties (the same
+    * gram twice in one window) resolve to the rightmost position in
+    * both engines by construction.
+    *
+    * Output: (id, win) rows over the selected windows only.
+    */
+  def winnowedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val grams = transform(
+      sequence(lit(1), length(col(textCol)) - (k - 1)),
+      i => col(textCol).substr(i, lit(k)))
+    // Rightmost-min index inside hashes[p+1 .. p+w] (1-based): the
+    // first match in the reversed slice is the last match in the
+    // slice. O(n·w) array work per row, all codegen'd.
+    val hashes = transform(col("grams"), g => md5(g.cast("binary")))
+    df.where(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), col(textCol), grams.as("grams"))
+      .select(col(idCol), col("grams"), hashes.as("hs"))
+      .select(col(idCol), col("grams"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - w),
+          p => p + (lit(w) + lit(1) -
+            array_position(reverse(slice(col("hs"), p + lit(1), lit(w))),
+              array_min(slice(col("hs"), p + lit(1), lit(w)))))
+            .cast("int"))).as("sel"))
+      .select(col(idCol),
+        explode(transform(col("sel"), s => element_at(col("grams"), s)))
+          .as("win"))
+  }
+
+  /** Duplicate-substring pairs over winnowed fingerprints: detects
+    * every pair sharing a substring of length >= w+k-1 (guarantee of
+    * [[winnowedWindows]]); a reported pair always truly shares a
+    * length-k window (selection never invents windows), so the result
+    * sits between `substringDupPairs(k)` and
+    * `substringDupPairs(w+k-1)`. `n_shared` counts shared SELECTED
+    * windows and is therefore a lower bound on the exact count.
+    */
+  def substringDupPairsWinnowed(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, maxDf: Long = 0L): DataFrame =
+    pairsFromWindows(winnowedWindows(df, idCol, textCol, k, w), idCol, maxDf)
 }

@@ -1,0 +1,109 @@
+package graft.dataprep
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Duplicate-substring detection: the exact k-window operator and its
+  * winnowed-fingerprint scale path (Schleimer et al., SIGMOD 2003).
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls"
+  private val boiler = "COMMON LICENSE HEADER TEXT BLOCK FOR EVERY FILE"
+
+  // 1,2 share a long planted span; 3 is unrelated; 4,5,6 share only
+  // the boilerplate block (high-DF window mass).
+  private def corpus = Seq(
+    (1L, s"alpha $base omega unrelated tail one"),
+    (2L, s"zeta prefix $base closing remarks two"),
+    (3L, "completely different content with no overlap at all here xyz"),
+    // bodies diverge at the first post-boiler character, so every
+    // shared window among 4,5,6 lies fully inside the boilerplate
+    (4L, s"$boiler Wgardening rakes and soil beds"),
+    (5L, s"$boiler Xastronomy scopes and star maps"),
+    (6L, s"$boiler Ysailing knots and tide charts")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact pairs: shared k-window detected, disjoint docs absent") {
+    val p = Dedup.substringDupPairs(corpus, "doc_id", "text", k = 24)
+    val s = pairSet(p)
+    assert(s.contains((1L, 2L)))
+    assert(!s.exists(t => t._1 == 3L || t._2 == 3L))
+    // boilerplate trio pairs present without a DF cap
+    assert(s.contains((4L, 5L)) && s.contains((4L, 6L)) && s.contains((5L, 6L)))
+  }
+
+  test("maxDf cap removes pairs whose only evidence is high-DF windows") {
+    val p = Dedup.substringDupPairs(corpus, "doc_id", "text", k = 24, maxDf = 2L)
+    val s = pairSet(p)
+    assert(s.contains((1L, 2L)))
+    assert(!s.contains((4L, 5L)) && !s.contains((4L, 6L)) && !s.contains((5L, 6L)))
+  }
+
+  test("n_shared counts distinct shared windows exactly") {
+    // two docs sharing exactly one 8-char window ("ABCDEFGH")
+    val df = Seq((1L, "xxABCDEFGHyy"), (2L, "qqABCDEFGHrr")).toDF("doc_id", "text")
+    val rows = Dedup.substringDupPairs(df, "doc_id", "text", k = 8).collect()
+    assert(rows.toSeq == Seq(Row(1L, 2L, 1L)))
+  }
+
+  test("winnowing guarantee: every pair sharing >= w+k-1 chars is found") {
+    val k = 24; val w = 8
+    // planted span of exactly w+k-1 = 31 chars shared by 10,11
+    val span = "SHARED-SPAN-0123456789-ABCDEFGH" // 31 chars
+    assert(span.length == w + k - 1)
+    val df = Seq(
+      (10L, s"left padding text $span right padding text"),
+      (11L, s"другой prefix $span different suffix entirely"),
+      (12L, "no shared content here at all just filler words")
+    ).toDF("doc_id", "text")
+    val winnowed = pairSet(Dedup.substringDupPairsWinnowed(df, "doc_id", "text", k, w))
+    assert(winnowed.contains((10L, 11L)))
+    assert(!winnowed.exists(t => t._1 == 12L || t._2 == 12L))
+  }
+
+  test("winnowed pairs are a subset of exact pairs, with n_shared a lower bound") {
+    val k = 16; val w = 4
+    val exact = Dedup.substringDupPairs(corpus, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val win = Dedup.substringDupPairsWinnowed(corpus, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(win.keySet.subsetOf(exact.keySet))
+    win.foreach { case (pair, n) => assert(n <= exact(pair)) }
+    assert(win.nonEmpty)
+  }
+
+  test("winnowing selects ~2/(w+1) of windows (compression really happens)") {
+    val k = 16; val w = 8
+    val docs = graft.tables.TestTables.documents(spark, sfDir)
+    val all = docs.where(length(col("text")) >= k + w - 1)
+      .select((length(col("text")) - (k - 1)).as("n")).agg(sum("n")).head.getLong(0)
+    val sel = Dedup.winnowedWindows(docs, "doc_id", "text", k, w).count()
+    assert(sel < all / 2, s"selected $sel of $all windows — winnowing not compressing")
+    assert(sel > 0)
+  }
+
+  test("gate parameters reproduce the brute-force relation on the test corpus") {
+    val docs = graft.tables.TestTables.documents(spark, sfDir)
+    val fast = Dedup.substringDupPairs(docs, "doc_id", "text", k = 24, maxDf = 50L)
+    // brute-force reference: per-doc distinct window sets intersected
+    val sets = docs.where(length(col("text")) >= 24)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 23),
+        i => col("text").substr(i, lit(24)))).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val dfCount = sets.values.toSeq.flatMap(_.toSeq).groupBy(identity).map { case (k2, v) => k2 -> v.size }
+    val rare: Set[String] = dfCount.collect { case (w2, c) if c >= 2 && c <= 50 => w2 }.toSet
+    val expected = (for {
+      (a, wa) <- sets.toSeq; (b, wb) <- sets.toSeq if a < b
+      shared = (wa intersect wb) intersect rare if shared.nonEmpty
+    } yield (a, b) -> shared.size.toLong).toMap
+    val got = fast.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+}
