@@ -702,7 +702,10 @@ object Dedup {
     */
   private def charWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.where(length(col(textCol)) >= k)
+    // spread BEFORE the explode: a small-file corpus otherwise runs
+    // the O(text·k) window extraction in one task (no-op on inputs
+    // that already have >= session-parallelism splits)
+    spread(df).where(length(col(textCol)) >= k)
       .select(col(idCol),
         explode(array_distinct(transform(
           sequence(lit(1), length(col(textCol)) - (k - 1)),
@@ -793,9 +796,10 @@ object Dedup {
       i => col(textCol).substr(i, lit(k)))
     // Rightmost-min index inside hashes[p+1 .. p+w] (1-based): the
     // first match in the reversed slice is the last match in the
-    // slice. O(n·w) array work per row, all codegen'd.
+    // slice. O(n·w) array work per row, all codegen'd — spread first
+    // so the per-row work parallelizes on small-split inputs.
     val hashes = transform(col("grams"), g => md5(g.cast("binary")))
-    df.where(length(col(textCol)) >= k + w - 1)
+    spread(df).where(length(col(textCol)) >= k + w - 1)
       .select(col(idCol), col(textCol), grams.as("grams"))
       .select(col(idCol), col("grams"), hashes.as("hs"))
       .select(col(idCol), col("grams"),
