@@ -172,6 +172,30 @@ final class EsHttpFacade(
     ex.close()
   }
 
+  /** zap-style log-level handler (docs/en/internal/debug-server.md
+    * `/log/level`): GET reports the last level set through this
+    * endpoint; PUT/POST with `{"level":"warn"}` (or `level=warn`)
+    * switches the Spark log level process-wide, so operators can turn
+    * debug logging on against a live server — the reference wires the
+    * same handler from go.uber.org/zap. */
+  @volatile private var logLevel: String = "error"
+  private def handleLogLevel(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod == "GET") reply(ex, 200, s"""{"level":"$logLevel"}""")
+    else {
+      val b = body(ex)
+      val lvl = """"level"\s*:\s*"([a-zA-Z]+)"""".r.findFirstMatchIn(b).map(_.group(1))
+        .orElse("""level=([a-zA-Z]+)""".r.findFirstMatchIn(b).map(_.group(1)))
+        .map(_.toLowerCase)
+      lvl match {
+        case Some(l) if Set("all", "trace", "debug", "info", "warn", "error", "fatal", "off")(l) =>
+          spark.sparkContext.setLogLevel(l.toUpperCase)
+          logLevel = l
+          reply(ex, 200, s"""{"level":"$l"}""")
+        case _ => reply(ex, 400, """{"error":"unrecognized level"}""")
+      }
+    }
+  }
+
   // ---- metrics (reference metric/ingestor.go analogue; scraped at
   //      GET /metrics in Prometheus text format) ---------------------
   val metrics = new Metrics("seq_db")
@@ -268,6 +292,18 @@ final class EsHttpFacade(
       else if (path == "/_license")
         reply(ex, 200,
           """{"license":{"mode":"basic","status":"active","type":"basic"}}""")
+      // debug-server surface (docs/en/internal/debug-server.md): the
+      // reference exposes liveness/readiness probes and a zap-style
+      // log-level handler on its debug port next to /metrics
+      else if (path == "/live") reply(ex, 200, """{"status":"ok"}""")
+      else if (path == "/readiness") {
+        val ready =
+          if (serving) servingCore.ready
+          else try { new java.io.File(sinkDir).exists } catch { case _: Exception => false }
+        if (ready) reply(ex, 200, """{"status":"ready"}""")
+        else reply(ex, 503, """{"status":"not ready"}""")
+      }
+      else if (path == "/log/level") handleLogLevel(ex)
       else if (path == "/metrics") {
         val bytes = metrics.render.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")

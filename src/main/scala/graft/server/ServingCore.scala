@@ -91,6 +91,14 @@ final class ServingCore(
 
   def engine: SeqEngine = state()._2
 
+  /** Readiness probe: builds (or revalidates) the serving state and
+    * reports whether the core can answer queries. Intentionally
+    * blocking on the first call — a K8s readiness gate should hold
+    * traffic until the pinned table and engine are actually warm,
+    * which is the reference debug-server's `/readiness` contract. */
+  def ready: Boolean =
+    try { state(); true } catch { case _: Exception => false }
+
   /** The sink generation the current engine was built for. Probes the
     * signature (rebuilding if stale), so the returned value is current
     * as of this call — capture it at request start and pass it to

@@ -37,6 +37,25 @@ class EsFacadeSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("debug-server surface: /live, /readiness, /log/level") {
+    facade.start()
+    try {
+      assert(get("/live").statusCode() == 200)
+      // non-serving readiness = sink parent reachable; the temp sink
+      // dir may not exist until first bulk, so accept either verdict
+      // but require the endpoint to answer with a status JSON
+      val r = get("/readiness")
+      assert(Set(200, 503)(r.statusCode()) && r.body().contains("\"status\""))
+      assert(get("/log/level").body().contains("\"level\""))
+      val set = post("/log/level", """{"level":"warn"}""")
+      assert(set.statusCode() == 200 && set.body().contains("\"warn\""))
+      assert(get("/log/level").body().contains("\"warn\""))
+      assert(post("/log/level", """{"level":"nope"}""").statusCode() == 400)
+      // restore the suite's quiet level
+      assert(post("/log/level", "level=error").statusCode() == 200)
+    } finally facade.stop()
+  }
+
   test("bulk ingest then search over HTTP round-trips") {
     facade.start()
     try {
