@@ -414,10 +414,13 @@ object SparkEntry {
     //      docs are dropped from candidate generation (verification
     //      stays exact); at θ=0.9 a true pair's evidence is never
     //      only stop-shingles here, so the oracle match is exact. ----
+    //      maxDfAbs bounds posting lists independently of corpus size
+    //      (inactive at gate SF where the fractional cap is tighter;
+    //      the knob that keeps candidate volume linear at scale) ----
     "dp_dedup_containment" -> ((s, dir) =>
       dataprep.Dedup.containmentPairs(TestTables.documents(s, dir),
         "doc_id", "text", thresholdNum = 9, thresholdDen = 10,
-        maxDfFrac = 0.1)),
+        maxDfFrac = 0.1, maxDfAbs = 500L)),
 
     // ---- MinHash + LSH near-dup pairs (exact-verified candidates) ----
     "dp_dedup_minhash_lsh" -> ((s, dir) =>

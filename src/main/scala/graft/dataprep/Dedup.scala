@@ -137,12 +137,24 @@ object Dedup {
     * unpersist via `spark.catalog.clearCache()` or re-derive once
     * materialized.
     */
+  /** @param maxDfAbs ABSOLUTE posting-list cap, composing with
+    *   `maxDfFrac` as the smaller of the two bounds (0 disables). A
+    *   fractional cap alone is NOT scale-stable: posting lists bound
+    *   at maxDfFrac·N grow linearly with the corpus and candidate
+    *   volume quadratically — a 10× corpus rehearsal measured exactly
+    *   ×100 candidate rows and a disk-filling verification shuffle.
+    *   An absolute cap makes candidate volume O(N·cap), the linear
+    *   shape a 1000-executor run needs; the exactness corner is the
+    *   same (a pair is missed only when its entire shared evidence is
+    *   capped shingles).
+    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       thresholdNum: Int, thresholdDen: Int,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, maxDfAbs: Long = 0L): DataFrame = {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen,
       "threshold must be a fraction in (0, 1]")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
+    require(maxDfAbs >= 0L, "maxDfAbs must be >= 0 (0 disables)")
     val s = spread(df).select(col(idCol).as("id"),
         graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("hs"))
       .where(size(col("hs")) > 0)
@@ -176,10 +188,13 @@ object Dedup {
     // stop-phrases, the noise the cap exists to ignore. Precision is
     // always exact. maxDfFrac = 1.0 disables the cap entirely.
     val (probes, posts) =
-      if (maxDfFrac >= 1.0) (probes0, posts0)
+      if (maxDfFrac >= 1.0 && maxDfAbs == 0L) (probes0, posts0)
       else {
         val nDocs = s.count() // s is persisted; this action warms the cache
-        val cap = math.max(1L, (maxDfFrac * nDocs).toLong)
+        val fracCap =
+          if (maxDfFrac >= 1.0) Long.MaxValue
+          else math.max(1L, (maxDfFrac * nDocs).toLong)
+        val cap = if (maxDfAbs > 0L) math.min(fracCap, maxDfAbs) else fracCap
         // The hot set itself collects to the driver and ships inside the
         // codegen'd sorted-diff kernel — the same KB-sided-metadata
         // pattern as the bloom/centroid sidecars. Its size is bounded by

@@ -50,6 +50,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("containmentPairs absolute DF cap composes as the tighter bound") {
+    val df = stopHeavy(12)
+    val uncapped = pairs(Dedup.containmentPairs(df, "doc_id", "text", 8, 10))
+    // abs cap looser than frac cap -> same exclusion set as frac alone
+    val both = pairs(Dedup.containmentPairs(df, "doc_id", "text", 8, 10,
+      maxDfFrac = 0.2, maxDfAbs = 1000L))
+    assert(both == uncapped && uncapped.nonEmpty)
+    // abs cap alone (no fractional cap) still activates hot filtering:
+    // rare-evidence pairs identical to uncapped
+    val absOnly = pairs(Dedup.containmentPairs(df, "doc_id", "text", 8, 10,
+      maxDfFrac = 1.0, maxDfAbs = 3L))
+    assert(absOnly == uncapped)
+  }
+
   test("containmentPairs DF cap: hot filtering stays in-kernel, no extra join shapes") {
     val df = stopHeavy(40)
     val out = Dedup.containmentPairs(df, "doc_id", "text", 8, 10, maxDfFrac = 0.2)
