@@ -565,6 +565,19 @@ object SparkEntry {
     "dp_ann_ivf_indexed" -> ((s, dir) =>
       TestTables.embeddingsIvfTopK(s, dir, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- ANN: product quantization ADC scan (m=4 subspaces × 8
+    //      codes, integer-lattice codebooks → bit-replayable) ----
+    "dp_ann_pq" -> ((s, dir) =>
+      dataprep.Similarity.pqTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // ---- ANN: PQ shortlist + exact integer re-rank (the IVF-PQ
+    //      two-stage shape at 10^9 vectors) ----
+    "dp_ann_pq_rerank" -> ((s, dir) =>
+      dataprep.Similarity.pqRerankTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        shortlist = 40)),
+
     // ---- A4 + A5: per-day quantiles (time-series) ----
     "seq_agg_quantile_ts" -> ((s, dir) =>
       ev(s, dir).aggregate("event_type:purchase", T0, T31,
@@ -899,6 +912,93 @@ object SparkEntry {
        FROM r WHERE rn <= $k ORDER BY query_id, rank"""
   }
 
+  /** PQ replayed arithmetically (Similarity.trainPqCodebooks /
+    * pqTopK): per subspace j over dims [j·sub, (j+1)·sub), the same
+    * two-iteration integer-lattice Lloyd chain as [[kmeansCtes]]
+    * (seeds = kSub lowest ids, ties → lowest cell, floor(sum/n)
+    * updates, empty cells keep c0), then the ADC sum — per query a
+    * subspace-distance LUT against the final codebooks, per neighbor
+    * the sum of its m looked-up entries. All BIGINT on the e6
+    * lattice. `rerank` appends the exact-distance re-scoring of the
+    * shortlist. */
+  private def pqOracleSql(m: Int, sub: Int, kSub: Int, k: Int,
+      rerank: Option[Int] = None): String = {
+    val qIn = "(0, 1, 2, 3, 4)"
+    def subCtes(j: Int): String = {
+      val lo = j * sub; val hi = (j + 1) * sub
+      s"""s${j}c0 AS (SELECT s.cell, u.dim, u.val FROM seedids s JOIN u ON u.id = s.id
+                      WHERE u.dim >= $lo AND u.dim < $hi),
+         s${j}d1 AS (SELECT u.id, c.cell,
+                            sum((u.val - c.val) * (u.val - c.val)) AS dist
+                     FROM u JOIN s${j}c0 c USING (dim) GROUP BY u.id, c.cell),
+         s${j}a1 AS (SELECT id, cell FROM (
+                       SELECT id, cell,
+                              row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                       FROM s${j}d1) WHERE rn = 1),
+         s${j}m1 AS (SELECT a.cell, u.dim,
+                            CAST(floor(sum(u.val) / count(*)) AS BIGINT) AS val
+                     FROM u JOIN s${j}a1 a USING (id)
+                     WHERE u.dim >= $lo AND u.dim < $hi GROUP BY a.cell, u.dim),
+         s${j}c1 AS (SELECT s${j}c0.cell, s${j}c0.dim,
+                            COALESCE(s${j}m1.val, s${j}c0.val) AS val
+                     FROM s${j}c0 LEFT JOIN s${j}m1
+                       ON s${j}m1.cell = s${j}c0.cell AND s${j}m1.dim = s${j}c0.dim),
+         s${j}d2 AS (SELECT u.id, c.cell,
+                            sum((u.val - c.val) * (u.val - c.val)) AS dist
+                     FROM u JOIN s${j}c1 c USING (dim) GROUP BY u.id, c.cell),
+         s${j}a2 AS (SELECT id, cell FROM (
+                       SELECT id, cell,
+                              row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                       FROM s${j}d2) WHERE rn = 1),
+         lut$j AS (SELECT uq.id AS query_id, c.cell,
+                          sum((uq.val - c.val) * (uq.val - c.val)) AS d
+                   FROM u uq JOIN s${j}c1 c USING (dim)
+                   WHERE uq.id IN $qIn GROUP BY uq.id, c.cell)"""
+    }
+    val contrib = (0 until m).map(j =>
+      s"SELECT l.query_id, a.id AS neighbor_id, l.d FROM s${j}a2 a JOIN lut$j l ON l.cell = a.cell")
+      .mkString("\n UNION ALL ")
+    val head =
+      s"""WITH pts AS (
+           SELECT vec_id AS id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         u AS (SELECT id, unnest(range(1, len(v)+1)) - 1 AS dim, unnest(v) AS val
+               FROM pts),
+         seedids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
+                     FROM (SELECT id FROM pts ORDER BY id LIMIT $kSub)),
+         ${(0 until m).map(subCtes).mkString(",\n")},
+         contrib AS ($contrib),
+         adist AS (SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adist
+                   FROM contrib WHERE query_id <> neighbor_id GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adist,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist ASC, neighbor_id ASC) AS rn
+               FROM adist)"""
+    rerank match {
+      case None =>
+        s"""$head
+           SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, adist
+           FROM r WHERE rn <= $k ORDER BY query_id, rank"""
+      case Some(shortlist) =>
+        s"""$head,
+           short AS (SELECT query_id, neighbor_id FROM r WHERE rn <= $shortlist),
+           ed AS (SELECT x.query_id, x.neighbor_id,
+                         CAST(sum((uq.val - un.val) * (uq.val - un.val)) AS BIGINT) AS dist
+                  FROM short x
+                  JOIN u uq ON uq.id = x.query_id
+                  JOIN u un ON un.id = x.neighbor_id AND un.dim = uq.dim
+                  GROUP BY 1, 2),
+           r2 AS (SELECT query_id, neighbor_id, dist,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY dist ASC, neighbor_id ASC) AS rn
+                  FROM ed)
+           SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist
+           FROM r2 WHERE rn <= $k ORDER BY query_id, rank"""
+    }
+  }
+
   /** Macro-free splitmix64 (graft.functions.SeqAggregates.mix64) as a
     * DuckDB CTE chain over HUGEINT mod-2^64 arithmetic; the 64x64
     * multiply is split 32/32 so no intermediate exceeds HUGEINT range.
@@ -1063,6 +1163,9 @@ object SparkEntry {
     // the persisted index replays the same deterministic training, so
     // the same oracle applies verbatim
     "dp_ann_ivf_indexed" -> ivfOracleSql(nCells = 16, nProbe = 4, iters = 2, k = 10),
+    "dp_ann_pq" -> pqOracleSql(m = 4, sub = 16, kSub = 8, k = 10),
+    "dp_ann_pq_rerank" -> pqOracleSql(m = 4, sub = 16, kSub = 8, k = 10,
+      rerank = Some(40)),
 
     "dp_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

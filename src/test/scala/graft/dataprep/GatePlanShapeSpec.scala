@@ -26,6 +26,8 @@ class GatePlanShapeSpec extends SparkSpec {
     "dp_ann_lsh",         // bucket-pruned scan, still k queries broadcast
     "dp_ann_ivf",         // probed-cell scan, k queries broadcast
     "dp_ann_ivf_indexed", // same over the prebuilt cell index
+    "dp_ann_pq",          // 5 query LUTs (m·kSub longs each) broadcast
+    "dp_ann_pq_rerank",   // + stage-2 rerank of the top-40 shortlist
     "dp_mmr",             // greedy re-rank over a TakeOrdered pool
     "dp_hybrid_rrf",      // RRF fusion of two <= poolK rank lists
     "dp_decontaminate_embed", // bench-centroid (k rows) probe vs corpus
