@@ -578,6 +578,12 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
         shortlist = 40)),
 
+    // ---- ANN: IVF-PQ composition (probe cells, ADC the survivors —
+    //      equi-joins only, the FAISS IVFPQ shape) ----
+    "dp_ann_ivfpq" -> ((s, dir) =>
+      dataprep.Similarity.ivfPqTopK(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // ---- A4 + A5: per-day quantiles (time-series) ----
     "seq_agg_quantile_ts" -> ((s, dir) =>
       ev(s, dir).aggregate("event_type:purchase", T0, T31,
@@ -921,9 +927,12 @@ object SparkEntry {
     * the sum of its m looked-up entries. All BIGINT on the e6
     * lattice. `rerank` appends the exact-distance re-scoring of the
     * shortlist. */
-  private def pqOracleSql(m: Int, sub: Int, kSub: Int, k: Int,
-      rerank: Option[Int] = None): String = {
-    val qIn = "(0, 1, 2, 3, 4)"
+  private val qIn = "(0, 1, 2, 3, 4)"
+
+  /** The shared PQ CTE chain (pts/u/seedids + per-subspace Lloyd +
+    * LUTs) and the per-subspace contribution union — composed by both
+    * [[pqOracleSql]] and [[ivfPqOracleSql]]. */
+  private def pqChain(m: Int, sub: Int, kSub: Int): (String, String) = {
     def subCtes(j: Int): String = {
       val lo = j * sub; val hi = (j + 1) * sub
       s"""s${j}c0 AS (SELECT s.cell, u.dim, u.val FROM seedids s JOIN u ON u.id = s.id
@@ -958,8 +967,8 @@ object SparkEntry {
     val contrib = (0 until m).map(j =>
       s"SELECT l.query_id, a.id AS neighbor_id, l.d FROM s${j}a2 a JOIN lut$j l ON l.cell = a.cell")
       .mkString("\n UNION ALL ")
-    val head =
-      s"""WITH pts AS (
+    val ctes =
+      s"""pts AS (
            SELECT vec_id AS id,
                   list_transform(CAST(embedding AS DOUBLE[]),
                     x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
@@ -969,7 +978,15 @@ object SparkEntry {
          seedids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
                      FROM (SELECT id FROM pts ORDER BY id LIMIT $kSub)),
          ${(0 until m).map(subCtes).mkString(",\n")},
-         contrib AS ($contrib),
+         contrib AS ($contrib)"""
+    (ctes, contrib)
+  }
+
+  private def pqOracleSql(m: Int, sub: Int, kSub: Int, k: Int,
+      rerank: Option[Int] = None): String = {
+    val (chain, _) = pqChain(m, sub, kSub)
+    val head =
+      s"""WITH $chain,
          adist AS (SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adist
                    FROM contrib WHERE query_id <> neighbor_id GROUP BY 1, 2),
          r AS (SELECT query_id, neighbor_id, adist,
@@ -997,6 +1014,64 @@ object SparkEntry {
            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist
            FROM r2 WHERE rn <= $k ORDER BY query_id, rank"""
     }
+  }
+
+  /** IVF-PQ replayed: the float IVF training/probing CTEs of
+    * [[ivfOracleSql]] (cell argmin key |c|²−2v·c, e6-exact means)
+    * produce the candidate set, the [[pqChain]] CTEs produce the ADC
+    * contributions, and the final sum runs over candidates only —
+    * exactly Similarity.ivfPqTopK's algebra. */
+  private def ivfPqOracleSql(nCells: Int, nProbe: Int, ivfIters: Int,
+      m: Int, sub: Int, kSub: Int, k: Int): String = {
+    def assignCte(name: String, centName: String): String =
+      s"""$name AS (
+         SELECT neighbor_id, v, cell FROM (
+           SELECT e.vec_id AS neighbor_id, e.v, c.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) ASC,
+                             c.cell ASC) AS rn
+           FROM e, $centName c) WHERE rn = 1)"""
+    def recomputeCte(name: String, asgName: String): String =
+      s"""$name AS (
+         SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv
+         FROM (SELECT cell, d, sum(xi) AS s, count(*) AS n
+               FROM (SELECT cell, CAST(generate_subscripts(v, 1) AS INT) AS d,
+                            CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xi
+                     FROM $asgName)
+               GROUP BY cell, d)
+         GROUP BY cell)"""
+    val train = (1 to ivfIters).flatMap { i =>
+      Seq(assignCte(s"asg$i", s"cent${i - 1}"), recomputeCte(s"cent$i", s"asg$i"))
+    }
+    val ivfCtes = (Seq(
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"cent0 AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id ASC LIMIT $nCells)"
+    ) ++ train ++ Seq(
+      assignCte("asgF", s"cent$ivfIters"),
+      s"""probes AS (
+         SELECT query_id, cell FROM (
+           SELECT e.vec_id AS query_id, c.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) ASC,
+                             c.cell ASC) AS rn
+           FROM e, cent$ivfIters c WHERE e.vec_id IN $qIn) WHERE rn <= $nProbe)""",
+      """cand AS (
+         SELECT p.query_id, a.neighbor_id
+         FROM probes p JOIN asgF a ON p.cell = a.cell AND p.query_id <> a.neighbor_id)"""
+    )).mkString(",\n")
+    val (chain, _) = pqChain(m, sub, kSub)
+    s"""WITH $ivfCtes,
+       $chain,
+       adist AS (SELECT c.query_id, c.neighbor_id, CAST(sum(ct.d) AS BIGINT) AS adist
+                 FROM cand c JOIN contrib ct
+                   ON ct.query_id = c.query_id AND ct.neighbor_id = c.neighbor_id
+                 GROUP BY 1, 2),
+       r AS (SELECT query_id, neighbor_id, adist,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist ASC, neighbor_id ASC) AS rn
+             FROM adist)
+       SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, adist
+       FROM r WHERE rn <= $k ORDER BY query_id, rank"""
   }
 
   /** Macro-free splitmix64 (graft.functions.SeqAggregates.mix64) as a
@@ -1166,6 +1241,8 @@ object SparkEntry {
     "dp_ann_pq" -> pqOracleSql(m = 4, sub = 16, kSub = 8, k = 10),
     "dp_ann_pq_rerank" -> pqOracleSql(m = 4, sub = 16, kSub = 8, k = 10,
       rerank = Some(40)),
+    "dp_ann_ivfpq" -> ivfPqOracleSql(nCells = 16, nProbe = 4, ivfIters = 2,
+      m = 4, sub = 16, kSub = 8, k = 10),
 
     "dp_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

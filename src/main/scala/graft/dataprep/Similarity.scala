@@ -756,6 +756,71 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ — the composition every 10^9+-vector system converges on
+    * (FAISS IVFPQ): IVF cell probing prunes the candidate set to
+    * ~nProbe/nCells of the corpus, PQ ADC scores the survivors with m
+    * table lookups each, never touching a float vector. The whole
+    * per-vector index footprint is a cell id + m small codes; the
+    * candidate scan is an EQUI-join on cell against the broadcast
+    * probe list (partition-prunable with [[buildIvfIndex]]'s
+    * cell-partitioned layout) plus a broadcast LUT join on query id —
+    * no nested loop anywhere in the plan.
+    *
+    * Training stays deterministic on both axes (float-exact IVF
+    * means, integer-lattice PQ codebooks), so the composed result
+    * replays bit-for-bit in SQL. Output: query_id, neighbor_id,
+    * rank, adist (BIGINT e12 ADC distance; ties break by id).
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      ivfIters: Int = 2, m: Int = 4, kSub: Int = 8,
+      pqIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(vecCol).cast("array<double>")
+    val points = df.select(col(idCol).as("neighbor_id"), v.as("v")).persist()
+    val centroids = trainIvfCentroids(points, nCells, ivfIters)
+    val books = trainPqCodebooks(df, idCol, vecCol, m, kSub, pqIters)
+    points.unpersist()
+    val sub = books.head.head.length
+    // one projection: cell (over the double vector) + codes (over its
+    // e6 quantization) — codebooks and centroids ride as literals
+    val enc = withPqCodes(
+      points
+        .withColumn("cell", nearestCells(col("v"), centroids).getItem(0))
+        .withColumn("v",
+          expr("transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")),
+      books, sub)
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val probes = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        explode(slice(nearestCells(v, centroids), 1, nProbe)).as("cell"))
+    val pts = e6Points(df, idCol, vecCol)
+    val qVecs = pts.where(col("id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val luts = qVecs.map { case (qid, qv) =>
+      (qid, books.indices.flatMap { j =>
+        val qs = qv.slice(j * sub, (j + 1) * sub)
+        books(j).map(cv => qs.zip(cv).map { case (a, b) =>
+          val d = a - b; d * d
+        }.sum)
+      }.toArray)
+    }
+    import spark.implicits._
+    val scored = enc
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(luts.toDF("query_id", "lut")), Seq("query_id"))
+      .withColumn("adist", books.indices.map(j =>
+        element_at(col("lut"), lit(j * kSub) + element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Two-stage PQ retrieval: ADC shortlists `shortlist` candidates per
     * query ([[pqTopK]]), then ONLY those are re-scored with the exact
     * integer squared distance on the e6 lattice and re-ranked to the

@@ -49,6 +49,27 @@ class PqSpec extends SparkSpec {
     assert(reranked == expected)
   }
 
+  test("IVF-PQ: candidates come only from probed cells; plan is equi-joins only") {
+    val out = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 10)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) >= 0L))
+    // every reported neighbor must rank no better under full-corpus ADC
+    // (IVF pruning can only REMOVE candidates, never invent them)
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getLong(3),
+        "ADC distance must not depend on the probing")
+    }
+    // plan: no nested loop of any kind — cell probe and LUT attach are
+    // broadcast EQUI-joins (this op needs no BNLJ allowance at all)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ADC scan plan: no shuffle before the ranked window (scan + broadcast only)") {
     val df = Similarity.pqTopK(emb, "vec_id", "embedding", queryIds = Seq(0L), k = 10)
     val plan = df.queryExecution.executedPlan.toString
