@@ -781,6 +781,12 @@ object SparkEntry {
       dataprep.Dedup.substringDupPairsWinnowed(TestTables.documents(s, dir),
         "doc_id", "text", k = 24, w = 8, maxDf = 50L)),
 
+    // ---- incremental substring dedup: new batch probed against the
+    //      persisted winnowed-window index (df sidecar caps hot
+    //      windows before the posting join) ----
+    "dp_dedup_substring_incr" -> ((s, dir) =>
+      TestTables.documentsIncrementalSubstring(s, dir)),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -928,6 +934,25 @@ object SparkEntry {
     * lattice. `rerank` appends the exact-distance re-scoring of the
     * shortlist. */
   private val qIn = "(0, 1, 2, 3, 4)"
+
+  /** Winnowed fingerprint selection (Dedup.winnowedWindows, k=24 w=8)
+    * as CTEs ending in `w` = (doc_id, win): md5-hex ordering,
+    * rightmost-min per window, 1-based gram positions — shared by the
+    * batch and incremental substring-winnow oracles. */
+  private val winnowWinCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 31),
+       g AS (SELECT doc_id,
+               list_transform(generate_series(1, length(text) - 23),
+                              i -> substring(text, i, 24)) AS grams
+             FROM d),
+       h AS (SELECT doc_id, grams, list_transform(grams, x -> md5(x)) AS hs FROM g),
+       s AS (SELECT doc_id, grams,
+               list_distinct(list_transform(generate_series(0, len(hs) - 8), p ->
+                 p + 9 - list_position(list_reverse(list_slice(hs, p + 1, p + 8)),
+                                       list_min(list_slice(hs, p + 1, p + 8))))) AS sel
+             FROM h),
+       w AS (SELECT DISTINCT doc_id, grams[CAST(s2 AS INT)] AS win
+             FROM (SELECT doc_id, grams, unnest(sel) AS s2 FROM s))"""
 
   /** The shared PQ CTE chain (pts/u/seedids + per-subspace Lloyd +
     * LUTs) and the per-subspace contribution union — composed by both
@@ -2359,24 +2384,25 @@ object SparkEntry {
     // rightmost-min rule (first match in the reversed slice = last in
     // the slice), 1-based gram positions on both engines.
     "dp_dedup_substring_winnow" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 31),
-         g AS (SELECT doc_id,
-                 list_transform(generate_series(1, length(text) - 23),
-                                i -> substring(text, i, 24)) AS grams
-               FROM d),
-         h AS (SELECT doc_id, grams, list_transform(grams, x -> md5(x)) AS hs FROM g),
-         s AS (SELECT doc_id, grams,
-                 list_distinct(list_transform(generate_series(0, len(hs) - 8), p ->
-                   p + 9 - list_position(list_reverse(list_slice(hs, p + 1, p + 8)),
-                                         list_min(list_slice(hs, p + 1, p + 8))))) AS sel
-               FROM h),
-         w AS (SELECT DISTINCT doc_id, grams[CAST(s2 AS INT)] AS win
-               FROM (SELECT doc_id, grams, unnest(sel) AS s2 FROM s)),
+      s"""WITH $winnowWinCtes,
          keep AS (SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 50)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(count(*) AS BIGINT) AS n_shared
          FROM w a JOIN keep USING (win) JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY id_a, id_b""",
+
+    // Incremental run replayed: the same winnow selection, split into
+    // index (doc_id % 5 != 0) and batch sides; the DF cap counts INDEX
+    // postings only, matching the sidecar semantics.
+    "dp_dedup_substring_incr" ->
+      s"""WITH $winnowWinCtes,
+         wi AS (SELECT doc_id, win FROM w WHERE doc_id % 5 <> 0),
+         wb AS (SELECT doc_id, win FROM w WHERE doc_id % 5 = 0),
+         keep AS (SELECT win FROM wi GROUP BY win HAVING count(*) <= 50)
+         SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM wb b JOIN keep USING (win) JOIN wi a ON a.win = b.win
+         GROUP BY 1, 2 ORDER BY new_id, old_id""",
 
     // Chunk boundaries are exact integer arithmetic; per-index
     // list_transform avoids engine-specific slice-bound semantics.

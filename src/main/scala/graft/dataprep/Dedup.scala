@@ -829,6 +829,66 @@ object Dedup {
           .as("win"))
   }
 
+  /** Persisted winnowed-fingerprint index for INCREMENTAL substring
+    * dedup — the [[buildMinhashIndex]] companion for the
+    * duplicate-substring relation. Two range-partitioned posting sets:
+    * `wins` (win → id, the probe target) and `df` (win → posting
+    * count, the KB-per-batch sidecar that lets a probe drop hot
+    * windows BEFORE touching the posting list, so a boilerplate
+    * window shared by millions of indexed docs costs one sidecar row,
+    * not a million-row join fan-out).
+    */
+  def buildSubstringIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, indexPath: String, mode: String = "overwrite"): Unit = {
+    val wins = winnowedWindows(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("win"))
+      .persist()
+    wins
+      .repartitionByRange(col("win"))
+      .sortWithinPartitions(col("win"))
+      .write.mode(mode).parquet(s"$indexPath/wins")
+    wins.groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("win"))
+      .sortWithinPartitions(col("win"))
+      .write.mode(mode).parquet(s"$indexPath/df")
+    wins.unpersist()
+  }
+
+  /** Duplicate-substring pairs of a NEW batch against the indexed
+    * corpus. Winnowing selection is content-local (a function of the
+    * surrounding w+k-1 characters only), so batch and corpus pick the
+    * SAME fingerprint inside any shared span of length >= w+k-1 — the
+    * incremental run detects exactly the cross pairs the full
+    * [[substringDupPairsWinnowed]] run would. The batch's windows are
+    * broadcast twice (df-sidecar filter, then posting probe): the
+    * corpus postings never shuffle, one index pass per batch. Windows
+    * with more than `maxDf` INDEX postings are dropped at the sidecar
+    * (same declared semantics as the batch operator's cap).
+    * Output: new_id, old_id, n_shared (distinct shared selected
+    * windows), ordered.
+    */
+  def substringDedupAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, indexPath: String,
+      maxDf: Long = 0L): DataFrame = {
+    val spark = newDf.sparkSession
+    val probe = winnowedWindows(newDf, idCol, textCol, k, w)
+      .select(col(idCol).as("new_id"), col("win"))
+    val kept =
+      if (maxDf <= 0L) probe
+      else spark.read.parquet(s"$indexPath/df")
+        .join(broadcast(probe), Seq("win"))
+        .where(col("df") <= maxDf)
+        .select(col("new_id"), col("win"))
+    spark.read.parquet(s"$indexPath/wins")
+      .join(broadcast(kept), Seq("win"))
+      .where(col("id") =!= col("new_id"))
+      // windows are distinct per doc on both sides, so each (win,
+      // new, old) row is unique and count(*) = distinct shared wins
+      .groupBy(col("new_id"), col("id").as("old_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("new_id", "old_id")
+  }
+
   /** Duplicate-substring pairs over winnowed fingerprints: detects
     * every pair sharing a substring of length >= w+k-1 (guarantee of
     * [[winnowedWindows]]); a reported pair always truly shares a

@@ -190,6 +190,23 @@ object TestTables {
       thresholdNum = 1, thresholdDen = 2, indexPath = path)
   }
 
+  /** Incremental substring dedup: winnowed-window index over docs with
+    * doc_id % 5 != 0, batch = the rest — same split as
+    * [[documentsIncrementalDedup]]. */
+  def documentsIncrementalSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"/tmp/graft_ssidx_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "documents")
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/wins/_SUCCESS").exists())
+        graft.dataprep.Dedup.buildSubstringIndex(
+          documents(spark, sfDir).where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", k = 24, w = 8, indexPath = path)
+    }
+    graft.dataprep.Dedup.substringDedupAgainstIndex(
+      documents(spark, sfDir).where(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 24, w = 8, indexPath = path, maxDf = 50L)
+  }
+
   /** documents docs table materialized with Bloom sidecars over the
     * text tokens, source path prefixes and language — the sealed-index
     * analogue for the corpus table (see [[eventsDocsBloom]]).

@@ -88,6 +88,36 @@ class SubstringDedupSpec extends SparkSpec {
     assert(sel > 0)
   }
 
+  test("incremental index: batch-vs-index pairs equal the full run's cross pairs") {
+    val k = 16; val w = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssidx").toString
+    val old = corpus.where($"doc_id" <= 4L)
+    val batch = corpus.where($"doc_id" > 4L)
+    Dedup.buildSubstringIndex(old, "doc_id", "text", k, w, dir)
+    val incr = Dedup.substringDedupAgainstIndex(batch, "doc_id", "text", k, w, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // full winnowed run, restricted to (new, old) cross pairs
+    val full = Dedup.substringDupPairsWinnowed(corpus, "doc_id", "text", k, w)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .collect { case ((a, b), n) if a <= 4L && b > 4L => (b, a) -> n }
+      .toMap
+    assert(incr == full && incr.nonEmpty)
+  }
+
+  test("incremental index df cap: hot windows drop at the sidecar") {
+    val k = 16; val w = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssidx_cap").toString
+    Dedup.buildSubstringIndex(corpus.where($"doc_id" =!= 1L), "doc_id", "text", k, w, dir)
+    val uncapped = Dedup.substringDedupAgainstIndex(
+      corpus.where($"doc_id" === 1L), "doc_id", "text", k, w, dir).collect()
+    val capped = Dedup.substringDedupAgainstIndex(
+      corpus.where($"doc_id" === 1L), "doc_id", "text", k, w, dir, maxDf = 1L).collect()
+    // doc 1 shares the planted span with doc 2 only (df=1 postings
+    // survive the cap); any window indexed by 2+ docs is dropped
+    assert(uncapped.nonEmpty)
+    assert(capped.map(_.getLong(2)).sum <= uncapped.map(_.getLong(2)).sum)
+  }
+
   test("gate parameters reproduce the brute-force relation on the test corpus") {
     val docs = graft.tables.TestTables.documents(spark, sfDir)
     val fast = Dedup.substringDupPairs(docs, "doc_id", "text", k = 24, maxDf = 50L)
