@@ -825,7 +825,12 @@ object Dedup {
               array_min(slice(col("hs"), p + lit(1), lit(w)))))
             .cast("int"))).as("sel"))
       .select(col(idCol),
-        explode(transform(col("sel"), s => element_at(col("grams"), s)))
+        // distinct on the WINDOW STRINGS, not just positions: a k-gram
+        // repeated inside one document can be selected at two
+        // positions (both local minima), and a duplicate (id, win) row
+        // would let the pair algebra emit a self-pair and double-count
+        // shared windows — caught by the 10× rehearsal's oracle diff
+        explode(array_distinct(transform(col("sel"), s => element_at(col("grams"), s))))
           .as("win"))
   }
 

@@ -78,6 +78,22 @@ class SubstringDedupSpec extends SparkSpec {
     assert(win.nonEmpty)
   }
 
+  test("repeated spans never yield duplicate windows or self-pairs") {
+    // heavily self-repetitive text: the same k-gram is selected at
+    // many positions — output must still be one (id, win) row each,
+    // and the pair algebra must never emit (a, a)
+    val df = Seq(
+      (1L, "abcdefghij" * 30),
+      (2L, "abcdefghij" * 25 + " trailer content here")
+    ).toDF("doc_id", "text")
+    val wins = Dedup.winnowedWindows(df, "doc_id", "text", k = 24, w = 8)
+    assert(wins.count() == wins.distinct().count())
+    val pairs = Dedup.substringDupPairsWinnowed(df, "doc_id", "text", k = 24, w = 8)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("winnowing selects ~2/(w+1) of windows (compression really happens)") {
     val k = 16; val w = 8
     val docs = graft.tables.TestTables.documents(spark, sfDir)
