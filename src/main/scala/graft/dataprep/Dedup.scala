@@ -843,19 +843,27 @@ object Dedup {
     * window shared by millions of indexed docs costs one sidecar row,
     * not a million-row join fan-out).
     */
+  /** `partition`: optional `key=value` subdirectory both posting sets
+    * are written under (the streaming path appends one per batch,
+    * replay-idempotent under overwrite — same contract as
+    * [[buildMinhashIndex]]). With per-batch partitions the df sidecar
+    * is per-batch too; [[substringDedupAgainstIndex]] re-aggregates it
+    * at probe time, so the cap always reflects the WHOLE index. */
   def buildSubstringIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, indexPath: String, mode: String = "overwrite"): Unit = {
+      k: Int, w: Int, indexPath: String, mode: String = "overwrite",
+      partition: Option[String] = None): Unit = {
+    val sub = partition.map("/" + _).getOrElse("")
     val wins = winnowedWindows(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("win"))
       .persist()
     wins
       .repartitionByRange(col("win"))
       .sortWithinPartitions(col("win"))
-      .write.mode(mode).parquet(s"$indexPath/wins")
+      .write.mode(mode).parquet(s"$indexPath/wins$sub")
     wins.groupBy(col("win")).agg(count(lit(1)).as("df"))
       .repartitionByRange(col("win"))
       .sortWithinPartitions(col("win"))
-      .write.mode(mode).parquet(s"$indexPath/df")
+      .write.mode(mode).parquet(s"$indexPath/df$sub")
     wins.unpersist()
   }
 
@@ -882,6 +890,10 @@ object Dedup {
       if (maxDf <= 0L) probe
       else spark.read.parquet(s"$indexPath/df")
         .join(broadcast(probe), Seq("win"))
+        // per-batch sidecar partitions each carry a partial count —
+        // re-aggregate so the cap reflects the whole index
+        .groupBy(col("new_id"), col("win"))
+        .agg(sum(col("df")).as("df"))
         .where(col("df") <= maxDf)
         .select(col("new_id"), col("win"))
     spark.read.parquet(s"$indexPath/wins")
