@@ -134,6 +134,46 @@ class SubstringDedupSpec extends SparkSpec {
     assert(capped.map(_.getLong(2)).sum <= uncapped.map(_.getLong(2)).sum)
   }
 
+  test("randomized parity: exact pairs match brute force, winnow obeys its invariants") {
+    val rnd = new scala.util.Random(4111)
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "kappa",
+      "sigma", "theta", "zeta", "lambda")
+    def sentence(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    for (round <- 1 to 5) {
+      val k = 12 + rnd.nextInt(10) // 12..21
+      val w = 2 + rnd.nextInt(6)   // 2..7
+      // random docs plus planted shared spans between random pairs
+      val span = sentence(8)
+      val docs = (0 until 14).map { i =>
+        val base = sentence(6 + rnd.nextInt(10))
+        val text = if (i % 3 == 0) s"$base $span ${sentence(3)}" else base
+        (i.toLong, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.substringDupPairs(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // in-memory brute force
+      val sets = docs.filter(_._2.length >= k).map { case (id, t) =>
+        id -> (0 to t.length - k).map(i => t.substring(i, i + k)).toSet
+      }.toMap
+      val brute = (for {
+        (a, wa) <- sets.toSeq; (b, wb) <- sets.toSeq if a < b
+        shared = wa intersect wb if shared.nonEmpty
+      } yield (a, b) -> shared.size.toLong).toMap
+      assert(exact == brute, s"round $round k=$k")
+      val win = Dedup.substringDupPairsWinnowed(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(win.keySet.subsetOf(brute.keySet), s"round $round k=$k w=$w")
+      win.foreach { case (p, n) => assert(n <= brute(p), s"round $round") }
+      // guarantee: docs sharing the planted span (length >= w+k-1
+      // chars) must all be detected by the winnowed run
+      val planted = docs.collect { case (id, t) if t.contains(span) => id }
+      if (span.length >= w + k - 1)
+        for (a <- planted; b <- planted if a < b)
+          assert(win.contains((a, b)), s"round $round missed planted ($a,$b) k=$k w=$w")
+    }
+  }
+
   test("gate parameters reproduce the brute-force relation on the test corpus") {
     val docs = graft.tables.TestTables.documents(spark, sfDir)
     val fast = Dedup.substringDupPairs(docs, "doc_id", "text", k = 24, maxDf = 50L)
