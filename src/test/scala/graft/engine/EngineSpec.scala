@@ -25,6 +25,25 @@ class EngineSpec extends SparkSpec {
     assert(page2.sameElements(all.slice(20, 30)))
   }
 
+  test("sub-search parity: random ranges keep page == min(limit, total) and total exact " +
+      "(reference tests/integration_tests/sub_search_test.go:85 TestSubSearch)") {
+    val mids = TestTables.eventsDocs(spark, sfDir).df
+      .dropDuplicates("mid", "rid")
+      .select("mid").collect().map(_.getLong(0)).sorted
+    val limit = 50
+    val rnd = new scala.util.Random(73) // the reference reservoir's seed, for flavor
+    val span = T31 - T0
+    for (_ <- 1 to 25) {
+      val f = T0 + (rnd.nextLong().abs % span)
+      val t = math.min(T31, f + span / 2)
+      val expectedTotal = mids.count(m => m >= f && m <= t)
+      val page = eng.search(SearchRequest("*", f, t, size = limit)).count().toInt
+      assert(page == math.min(limit, expectedTotal), s"page size in [$f, $t]")
+      val total = eng.total("*", f, t).collect().head.getLong(0).toInt
+      assert(total == expectedTotal, s"with_total in [$f, $t]")
+    }
+  }
+
   test("time range prunes: empty window matches nothing") {
     assert(eng.search(SearchRequest("*", 0L, 1L, size = 10)).count() == 0)
   }
