@@ -1,0 +1,112 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ingest.BulkIngest
+import graft.model.{IndexType, SeqMapping}
+
+/** The reference's OWN integration cases replayed end-to-end through
+  * the real write path (BulkIngest) and read path (SeqEngine):
+  *   - tests/integration_tests/single_test.go:41-77 `simpleCases` +
+  *     :143-160 `assertSearch` — the basic-search table, including
+  *     mid-token wildcards and the escaped-space + wildcard composite;
+  *   - :225-258 `TestSearchNot` — the NOT algebra table;
+  *   - :111-141 `TestSearchAgg` — per-token doc counts.
+  * Expected hit lists are the reference's own, in its time-descending
+  * result order.
+  */
+class ReferenceCasesSpec extends SparkSpec {
+
+  private val mapping = SeqMapping.of(
+    "docidx"  -> IndexType.Keyword,
+    "service" -> IndexType.Keyword,
+    "message" -> IndexType.Text,
+    "traceID" -> IndexType.Keyword,
+    "source"  -> IndexType.Keyword,
+    "level"   -> IndexType.Keyword)
+
+  private def linesDf(lines: String*) = {
+    import spark.implicits._
+    lines.toDF("value")
+  }
+
+  private val reqTime = 1710072000000L // 2024-03-10T12:00:00Z
+
+  // simpleCases: timestamps +10/+30/+40/+20 (relative order preserved
+  // at second granularity)
+  private lazy val simpleEngine: SeqEngine = {
+    def doc(idx: Int, service: String, message: String, traceId: String,
+        source: String, level: Int, offsetS: Int): String =
+      s"""{"timestamp":"2024-03-10 11:59:${String.format("%02d", Int.box(offsetS))}",""" +
+        s""""docidx":"$idx","service":"$service","message":"$message",""" +
+        s""""traceID":"$traceId","source":"$source","level":"$level"}"""
+    new SeqEngine(BulkIngest.ingest(linesDf(
+      doc(0, "service_a", "first message some text", "abcdef", "prod01", 1, 1),
+      doc(1, "service_b", "second message other text", "abcdef", "prod01", 1, 3),
+      doc(2, "service_c", "third message other text", "aaaaaa", "prod02", 2, 4),
+      doc(3, "service_a", "fourth message some text", "bbbbbb", "prod01", 1, 2)
+    ), mapping, reqTime))
+  }
+
+  private def hits(eng: SeqEngine, query: String): Seq[Int] =
+    eng.search(SearchRequest(query, 0L, Long.MaxValue, size = 100))
+      .select("docidx").collect().map(_.getString(0).toInt).toSeq
+
+  test("single_test.go assertSearch: the reference's basic-search table") {
+    val cases = Seq(
+      "service: service_a"      -> Seq(3, 0),
+      "traceID:abcdef"          -> Seq(1, 0),
+      "level: 1"                -> Seq(1, 3, 0),
+      "message: \"message text\"" -> Seq(2, 1, 3, 0),
+      "message: \"other text\""   -> Seq(2, 1),
+      "traceID: abcd*"          -> Seq(1, 0),
+      "traceID: a*"             -> Seq(2, 1, 0),
+      "traceID: a*f"            -> Seq(1, 0),
+      "traceID: a*a"            -> Seq(2),
+      "service: service*a"      -> Seq(3, 0),
+      "message: message\\ som*" -> Seq(3, 0))
+    for ((q, expected) <- cases)
+      assert(hits(simpleEngine, q) == expected, s"query: $q")
+  }
+
+  test("single_test.go TestSearchAgg: per-token doc counts") {
+    def agg(groupBy: String): Map[String, Long] =
+      simpleEngine.aggregate("message:message", 0L, Long.MaxValue,
+        AggRequest(AggFunc.Count, groupBy = Some(groupBy)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg("service") == Map("service_a" -> 2L, "service_b" -> 1L, "service_c" -> 1L))
+    assert(agg("level") == Map("1" -> 3L, "2" -> 1L))
+  }
+
+  // TestSearchNot corpus: 6 docs, message good/bad alternating (even
+  // idx = bad), level = idx+1, service = srv_{idx+1}, ascending time
+  private lazy val notEngine: SeqEngine = {
+    val lines = (0 until 6).map { i =>
+      val msg = if (i % 2 == 0) "bad" else "good"
+      s"""{"timestamp":"2024-03-10 11:58:0$i","docidx":"$i",""" +
+        s""""service":"srv_${i + 1}","message":"$msg","level":"${i + 1}"}"""
+    }
+    new SeqEngine(BulkIngest.ingest(linesDf(lines: _*), mapping, reqTime))
+  }
+
+  test("single_test.go TestSearchNot: the reference's NOT algebra table") {
+    val cases = Seq(
+      "NOT level:1"      -> Seq(5, 4, 3, 2, 1),
+      "NOT level:2"      -> Seq(5, 4, 3, 2, 0),
+      "NOT level:5"      -> Seq(5, 3, 2, 1, 0),
+      "NOT level:6"      -> Seq(4, 3, 2, 1, 0),
+      "NOT message:notfound" -> Seq(5, 4, 3, 2, 1, 0),
+      "NOT service:srv_*"    -> Seq(),
+      "NOT message:bad"      -> Seq(5, 3, 1),
+      "NOT message:good"     -> Seq(4, 2, 0),
+      "NOT message:\"good bad\""             -> Seq(5, 4, 3, 2, 1, 0),
+      "NOT (message:good AND message:bad)"   -> Seq(5, 4, 3, 2, 1, 0),
+      "NOT (message:good OR message:bad)"    -> Seq(),
+      "NOT message:bad AND message:bad"      -> Seq(),
+      "NOT message:bad AND message:good"     -> Seq(5, 3, 1),
+      "message:good AND NOT message:good"    -> Seq(),
+      "message:bad AND NOT message:good"     -> Seq(4, 2, 0))
+    for ((q, expected) <- cases)
+      assert(hits(notEngine, q) == expected, s"query: $q")
+  }
+}
