@@ -78,6 +78,22 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(agg("level") == Map("1" -> 3L, "2" -> 1L))
   }
 
+  test("integration_test.go TestSearchRange: legacy-brace ranges over levels 0,1,3,7,15,31,63") {
+    val lines = Iterator.iterate(0)(i => 2 * i + 1).takeWhile(_ < 100).zipWithIndex.map {
+      case (lvl, i) =>
+        s"""{"timestamp":"2024-03-10 11:57:0$i","service":"test-service","level":"$lvl"}"""
+    }.toSeq
+    val eng = new SeqEngine(BulkIngest.ingest(linesDf(lines: _*), mapping, reqTime))
+    val cases = Seq(
+      "[1 TO 3]" -> 2, "[0 TO 3]" -> 3, "{0 TO 3}" -> 1, "{0 TO 3]" -> 2,
+      "[0 TO 3}" -> 2, "[0 TO 63]" -> 7, "[-100 TO 100]" -> 7,
+      "{-100 TO 100}" -> 7, "[0 TO *]" -> 7, "[0 TO *}" -> 7)
+    for ((r, expected) <- cases) {
+      assert(eng.matches(s"level:$r", 0L, Long.MaxValue).count() == expected, s"range $r")
+      assert(eng.total(s"level:$r", 0L, Long.MaxValue).head.getLong(0) == expected, s"total $r")
+    }
+  }
+
   // TestSearchNot corpus: 6 docs, message good/bad alternating (even
   // idx = bad), level = idx+1, service = srv_{idx+1}, ascending time
   private lazy val notEngine: SeqEngine = {
