@@ -787,6 +787,13 @@ object SparkEntry {
     "dp_dedup_substring_incr" -> ((s, dir) =>
       TestTables.documentsIncrementalSubstring(s, dir)),
 
+    // ---- duplicate-span REMOVAL (the Lee et al. rewrite pass):
+    //      chars covered by a 24-window first seen in an earlier doc
+    //      are excised; the first doc keeps its text untouched ----
+    "dp_dedup_substring_remove" -> ((s, dir) =>
+      dataprep.Dedup.removeDuplicateSpans(TestTables.documents(s, dir),
+        "doc_id", "text", k = 24)),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -2403,6 +2410,36 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_shared
          FROM wb b JOIN keep USING (win) JOIN wi a ON a.win = b.win
          GROUP BY 1, 2 ORDER BY new_id, old_id""",
+
+    // Span-removal replayed position-by-position: a char p of doc d is
+    // removed iff covered by a 24-window whose global min owner is an
+    // earlier doc; clean_text is the ordered concat of survivors. The
+    // engine's interval-merge rebuild must equal this brute-force
+    // per-char formulation exactly.
+    "dp_dedup_substring_remove" ->
+      """WITH p0 AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS start
+           FROM documents WHERE length(text) >= 24),
+         pw AS (SELECT doc_id, start, substring(text, start, 24) AS win FROM p0),
+         own AS (SELECT win, min(doc_id) AS first_id FROM pw GROUP BY win),
+         cov AS (SELECT pw.doc_id, pw.start FROM pw JOIN own USING (win)
+                 WHERE own.first_id < pw.doc_id),
+         covpos AS (SELECT DISTINCT doc_id, start + unnest(generate_series(0, 23)) AS p
+                    FROM cov),
+         ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
+                FROM documents),
+         ch2 AS (SELECT doc_id, p, substring(text, p, 1) AS c FROM ch),
+         kept AS (SELECT ch2.doc_id, ch2.p, ch2.c FROM ch2
+                  LEFT JOIN covpos v ON v.doc_id = ch2.doc_id AND v.p = ch2.p
+                  WHERE v.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean_text
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(length(d.text) AS BIGINT) AS n_chars,
+                CAST(length(d.text) - length(coalesce(a.clean_text, '')) AS BIGINT) AS n_removed,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // Chunk boundaries are exact integer arithmetic; per-index
     // list_transform avoids engine-specific slice-bound semantics.

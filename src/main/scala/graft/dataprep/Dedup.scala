@@ -917,4 +917,90 @@ object Dedup {
   def substringDupPairsWinnowed(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, maxDf: Long = 0L): DataFrame =
     pairsFromWindows(winnowedWindows(df, idCol, textCol, k, w), idCol, maxDf)
+
+  /** Exact duplicate-span REMOVAL — the rewrite half of suffix-array
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": after detection, every duplicated span
+    * keeps exactly one occurrence and later occurrences are excised
+    * from the text). Declared semantics, chosen to be order-free and
+    * cross-engine replayable:
+    *
+    *   - a char position p of doc d is REMOVED iff some length-`k`
+    *     window of d covering p also occurs in a doc d' with d' < d
+    *     (the globally first doc by id keeps its text untouched);
+    *   - within-doc repeats whose first global occurrence is d itself
+    *     are kept (cross-doc semantics — the within-doc case is
+    *     [[passageDedup]]'s territory).
+    *
+    * Output: one row per input doc — `n_chars`, `n_removed`, and
+    * `clean_text` (the uncovered chars in document order; the full
+    * text when nothing is covered, "" when everything is).
+    *
+    * Scale (the reason removal needs NO df cap while
+    * [[substringDupPairs]] does): the global decision is
+    * `groupBy(win).agg(min(id))` — partial aggregation combines
+    * map-side, so a corpus-wide boilerplate window costs ONE reduced
+    * row, not a posting fan-out; the join back to positioned windows
+    * is 1:1 per occurrence. Three shuffles total: the min-owner agg,
+    * the pw⋈owner equi-join (both keyed by window content, cardinality
+    * ≈ corpus windows), and the per-doc regroup (keyed by id). The k×
+    * char inflation through the window shuffle is the irreducible cost
+    * of an exact global first-occurrence decision in a relational
+    * engine — a suffix array avoids it on one node but does not
+    * partition; winnowing cannot serve removal because unselected
+    * windows must still be excised. Interval merge + text rebuild are
+    * per-row HOF folds over the doc's own covered-start list
+    * (O(starts) with O(1) `element_at`), no second char-level shuffle.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // every positioned window, one row per occurrence (1-based start)
+    val pw = spread(df).where(length(col(textCol)) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1)),
+        i => col(textCol).substr(i, lit(k)))))
+      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("win"))
+    val owners = pw.groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
+    val covered = pw.join(owners, Seq("win"))
+      .where(col("first_id") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("start"))).as("starts"))
+
+    val joined = df.join(covered, Seq(idCol), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+    val ns = size(col("starts"))
+    // 0-based indices into `starts` where a merged removal run begins:
+    // consecutive starts with gap <= k chain into one covered run
+    // (coverage end of the run so far is always >= previous start + k)
+    val bndCol = when(ns === 0, array().cast("array<int>")).otherwise(
+      filter(sequence(lit(0), ns - 1), (i: Column) =>
+        (i === 0) || (element_at(col("starts"), i + 1) -
+          element_at(col("starts"), i) > lit(k))))
+    val withBnd = joined.withColumn("bnd", bndCol)
+    val nb = size(col("bnd"))
+    // run j (0-based over bnd): covered [starts[bnd[j]], endEx(j))
+    // where endEx(j) = (last start before the next boundary) + k
+    def runStart(v: Column): Column = element_at(col("starts"), v + 1)
+    def prevEndEx(j: Column): Column =
+      element_at(col("starts"), element_at(col("bnd"), j + 1)) + lit(k)
+    val lastEndEx = element_at(col("starts"), ns) + lit(k)
+    val textLen = length(col(textCol))
+    // kept text = gaps before each run + the tail after the last run
+    val pieces = transform(col("bnd"), (v: Column, j: Column) => {
+      val gapFrom = when(j === 0, lit(1)).otherwise(prevEndEx(j))
+      col(textCol).substr(gapFrom, runStart(v) - gapFrom)
+    })
+    val clean = when(nb === 0, col(textCol)).otherwise(
+      concat(concat_ws("", pieces),
+        col(textCol).substr(lastEndEx, textLen - lastEndEx + 1)))
+    withBnd
+      .withColumn("clean_text", clean)
+      .select(col(idCol),
+        textLen.cast("long").as("n_chars"),
+        (textLen - length(col("clean_text"))).cast("long").as("n_removed"),
+        col("clean_text"))
+      .orderBy(col(idCol))
+  }
 }

@@ -192,4 +192,80 @@ class SubstringDedupSpec extends SparkSpec {
     val got = fast.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  // ---- duplicate-span removal (the Lee et al. rewrite pass) ----
+
+  /** Single-node reference: first-owner map built in doc-id order,
+    * then per-doc covered-position mask. Shares no code with the
+    * engine's interval-merge rebuild.
+    */
+  private def refRemove(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+    val owner = scala.collection.mutable.Map[String, Long]()
+    for ((id, t) <- docs.sortBy(_._1); i <- 0 to t.length - k)
+      owner.getOrElseUpdate(t.substring(i, i + k), id)
+    docs.map { case (id, t) =>
+      val removed = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - k if owner(t.substring(i, i + k)) < id)
+        (i until i + k).foreach(removed(_) = true)
+      id -> t.zipWithIndex.collect { case (c, i) if !removed(i) => c }.mkString
+    }.toMap
+  }
+
+  private def cleanMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+  test("span removal: later doc loses the shared span, first doc untouched") {
+    val df = Seq((1L, "abcdefgh"), (2L, "xxabcdyy")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 8L, 0L, "abcdefgh"), (2L, 8L, 4L, "xxyy")))
+  }
+
+  test("span removal: overlapping and adjacent covered windows merge into one run") {
+    // doc2 contains the whole of doc1's text: every 4-window of the
+    // span is covered; the merged run must excise it in one piece,
+    // not leave k-1 char fringes between window starts
+    val df = Seq((1L, "ABCDEFGHIJ"), (2L, s"leftABCDEFGHIJright")).toDF("doc_id", "text")
+    val m = cleanMap(Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 4))
+    assert(m(1L) == "ABCDEFGHIJ")
+    assert(m(2L) == "leftright")
+  }
+
+  test("span removal edge cases: short doc, full coverage, disjoint runs") {
+    val df = Seq(
+      (1L, "ABCDEF"),            // owner of ABCDEF windows
+      (2L, "abc"),               // shorter than k: untouched
+      (3L, "ABCDEF"),            // fully covered -> empty
+      (4L, "ABCDxxxxxxCDEF")     // two disjoint covered runs (ABCD, CDEF)
+    ).toDF("doc_id", "text")
+    val m = cleanMap(Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 4))
+    assert(m(1L) == "ABCDEF")
+    assert(m(2L) == "abc")
+    assert(m(3L) == "")
+    assert(m(4L) == "xxxxxx")
+  }
+
+  test("span removal: boilerplate trio — first doc keeps the block, later docs lose it") {
+    val m = cleanMap(Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 24))
+    assert(m(4L).startsWith(boiler))
+    assert(!m(5L).contains("LICENSE") && !m(6L).contains("LICENSE"))
+  }
+
+  test("span removal matches the single-node reference on randomized corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val k = Seq(6, 10, 16)(round - 1)
+      val alphabet = "abcd" // small alphabet -> dense accidental repeats
+      val planted = (1 to k + 5).map(_ => alphabet(rnd.nextInt(4))).mkString
+      val docs = (1L to 12L).map { id =>
+        val body = (1 to 40 + rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(4))).mkString
+        val t = if (id % 3 == 0) body.take(10) + planted + body.drop(10) else body
+        (id, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = cleanMap(Dedup.removeDuplicateSpans(df, "doc_id", "text", k))
+      val want = refRemove(docs, k)
+      assert(got == want, s"round $round k=$k")
+    }
+  }
 }
