@@ -77,6 +77,69 @@ object TieredDocs {
     }
   }
 
+  /** The reference's four store lists (docs/en/07-long-term-store.md
+    * "Stores"): regular hot/cold lists are always the WRITE targets;
+    * when a read list is non-empty, queries go ONLY through that list
+    * while the regular list keeps taking writes. That split is the
+    * migration pattern: to drain store M, move the query surface to
+    * the read lists (including M), drop M from the regular (write)
+    * list, and writes can no longer fail on M while readers still see
+    * its data until the move completes.
+    */
+  final case class StoreLists(
+      hot: Seq[String],
+      cold: Seq[String] = Nil,
+      hotRead: Seq[String] = Nil,
+      coldRead: Seq[String] = Nil) {
+    require(hot.nonEmpty, "at least one hot store path")
+    /** Paths queries scan for the hot tier (read list wins). */
+    def hotQuery: Seq[String] = if (hotRead.nonEmpty) hotRead else hot
+    /** Paths queries scan for the cold tier (read list wins). */
+    def coldQuery: Seq[String] = if (coldRead.nonEmpty) coldRead else cold
+  }
+
+  /** [[table]] over store lists: each tier is the union of its query
+    * paths (shards), with the same advisory boundary split as
+    * [[table]]. With no cold stores configured the hot tier serves all
+    * time — the boundary only activates when there is a cold tier to
+    * own the old range (the reference routes the same way: cold stores
+    * are queried only when configured). Tier pruning still holds: a
+    * recent-window query never opens any cold path.
+    */
+  def tableFromLists(
+      spark: SparkSession,
+      stores: StoreLists,
+      boundaryMs: Long,
+      mapping: SeqMapping): DocsTable = {
+    def readTier(paths: Seq[String]): Option[DataFrame] =
+      paths.map(p => spark.read.option("mergeSchema", "true").parquet(p))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val coldQ = readTier(stores.coldQuery).map(_.where(col("mid") < boundaryMs))
+    val hotQ = readTier(stores.hotQuery).map { hot =>
+      if (coldQ.isDefined) hot.where(col("mid") >= boundaryMs) else hot
+    }
+    val all = (hotQ.toSeq ++ coldQ.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    DocsTable(all, mapping)
+  }
+
+  /** The reference's dual-write (07-long-term-store.md "Write": a bulk
+    * is sent to hot stores, then cold stores; a failure on any target
+    * fails the request — so this throws on the first failed write).
+    * Every target receives the full batch; the boundary split in
+    * [[tableFromLists]] guarantees the full overlap never double
+    * counts at query time. The input is persisted across the writes so
+    * the stamp/projection pipeline runs once, not once per target.
+    */
+  def dualWrite(docs: DataFrame, stores: StoreLists): Unit = {
+    val targets = stores.hot ++ stores.cold
+    val cached = if (targets.size > 1)
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else docs
+    try targets.foreach(p => graft.ingest.BulkIngest.writePartitioned(cached, p))
+    finally if (targets.size > 1) { cached.unpersist(); () }
+  }
+
   /** Migration job: move closed days older than `boundaryMs` from hot
     * to cold (rewrite day partitions, then drop them from hot).
     */

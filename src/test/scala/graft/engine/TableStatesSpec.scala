@@ -107,6 +107,58 @@ class TableStatesSpec extends SparkSpec {
       single("total") - 1)
   }
 
+  test("store lists: dual-write, shard union, and read-store migration isolation") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val batch = BulkIngest.project(lines.toDF("value"), mapping, reqTime)
+    val boundary = 1710028800000L // 2024-03-10T00:00Z
+
+    // dual-write: every target gets the full batch; the boundary split
+    // must keep the total overlap from double counting at query time
+    val (hot, cold) = (tmp("sl_hot"), tmp("sl_cold"))
+    val stores = TieredDocs.StoreLists(hot = Seq(hot), cold = Seq(cold))
+    TieredDocs.dualWrite(batch, stores)
+    val singlePath = tmp("sl_single")
+    BulkIngest.writePartitioned(batch, singlePath)
+    val single = results(new SeqEngine(DocsTable(spark.read.parquet(singlePath), mapping)))
+    assert(results(new SeqEngine(
+      TieredDocs.tableFromLists(spark, stores, boundary, mapping))) == single)
+
+    // no cold stores configured: hot serves all time (boundary idle)
+    assert(results(new SeqEngine(TieredDocs.tableFromLists(
+      spark, TieredDocs.StoreLists(hot = Seq(hot)), boundary, mapping))) == single)
+
+    // sharded hot tier: two stores each holding half the batch answer
+    // like one store holding all of it
+    val (h1, h2) = (tmp("sl_h1"), tmp("sl_h2"))
+    BulkIngest.writePartitioned(batch.where(col("rid") % 2 === 0), h1)
+    BulkIngest.writePartitioned(batch.where(col("rid") % 2 =!= 0), h2)
+    assert(results(new SeqEngine(TieredDocs.tableFromLists(
+      spark, TieredDocs.StoreLists(hot = Seq(h1, h2)), boundary, mapping))) == single)
+
+    // read-store migration: freeze the query surface on a copy, keep
+    // writing to the regular list — the new write must be invisible
+    // through the read list (the drained store can be shut down
+    // without failing writes), then visible again once the read list
+    // is dropped
+    val hotReadCopy = tmp("sl_hot_read")
+    BulkIngest.writePartitioned(spark.read.parquet(hot), hotReadCopy)
+    val extra = BulkIngest.project(Seq(
+      """{"timestamp":"2024-03-10 11:30:00","level":"error","message":"disk new"}"""
+    ).toDF("value"), mapping, reqTime)
+    val hotV2 = tmp("sl_hot_v2") // the regular store after the new write lands
+    BulkIngest.writePartitioned(
+      spark.read.parquet(hot).unionByName(extra, allowMissingColumns = true), hotV2)
+    val migrating = TieredDocs.StoreLists(
+      hot = Seq(hotV2), cold = Seq(cold), hotRead = Seq(hotReadCopy))
+    val duringMigration = results(new SeqEngine(
+      TieredDocs.tableFromLists(spark, migrating, boundary, mapping)))
+    assert(duringMigration == single)
+    val afterMigration = results(new SeqEngine(TieredDocs.tableFromLists(
+      spark, migrating.copy(hotRead = Nil), boundary, mapping)))
+    assert(afterMigration("keyword") == single("keyword") + 1)
+    assert(afterMigration("total") == single("total") + 1)
+  }
+
   test("time predicates reach the parquet scan (pushdown regression guard)") {
     val eng = new SeqEngine(graft.tables.TestTables.eventsDocs(spark, sfDir))
     val plan = eng.search(SearchRequest("event_type:error", 1704153600000L, 1705276800000L, 10))
