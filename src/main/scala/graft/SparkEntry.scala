@@ -619,6 +619,11 @@ object SparkEntry {
     "dp_quality" -> ((s, dir) =>
       dataprep.TextAnalysis.qualityScore(TestTables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Gopher quality rules (Rae et al. 2021): integer-only
+    //      decision, whitespace words ----
+    "dp_gopher_rules" -> ((s, dir) =>
+      dataprep.TextAnalysis.gopherRules(TestTables.documents(s, dir), "doc_id", "text")),
+
     // ---- token counting ----
     "dp_token_counts" -> ((s, dir) =>
       dataprep.TextAnalysis.tokenCounts(TestTables.documents(s, dir), "doc_id", "text")),
@@ -2312,6 +2317,49 @@ object SparkEntry {
                  CAST(top_word_n AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac,
                  CAST(dup_bigram_n AS DOUBLE) / CAST(greatest(n_bigrams, 1) AS DOUBLE) AS dup_bigram_frac
           FROM c ORDER BY doc_id ASC""",
+
+    // Gopher rules replayed: whitespace words, trimmed lines, every
+    // ratio as the same integer cross-multiplication the engine uses —
+    // `keep` must agree bit for bit.
+    "dp_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+                  list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
+                  CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS word_chars,
+                  CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                  n_symbols,
+                  CAST(len(lines) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(lines, l ->
+                    substring(l, 1, 1) = '-' OR substring(l, 1, 1) = '*'
+                      OR substring(l, 1, 1) = '•')) AS BIGINT) AS bullet_lines,
+                  CAST(len(list_filter(lines, l ->
+                    l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ellipsis_lines,
+                  CAST(CAST(list_contains(words, 'the') AS INT)
+                     + CAST(list_contains(words, 'be') AS INT)
+                     + CAST(list_contains(words, 'to') AS INT)
+                     + CAST(list_contains(words, 'of') AS INT)
+                     + CAST(list_contains(words, 'and') AS INT)
+                     + CAST(list_contains(words, 'that') AS INT)
+                     + CAST(list_contains(words, 'have') AS INT)
+                     + CAST(list_contains(words, 'with') AS INT) AS BIGINT) AS stops_present
+           FROM w)
+         SELECT doc_id, n_words, word_chars, alpha_words, n_symbols, n_lines,
+                bullet_lines, ellipsis_lines, stops_present,
+                (n_words BETWEEN 50 AND 100000
+                  AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 10 * bullet_lines < 9 * n_lines
+                  AND 10 * ellipsis_lines <= 3 * n_lines
+                  AND 5 * alpha_words >= 4 * n_words
+                  AND stops_present >= 2) AS keep
+         FROM c ORDER BY doc_id ASC""",
 
     "dp_ngram_freq" ->
       s"""WITH t AS (SELECT $DTOKS AS toks FROM documents),

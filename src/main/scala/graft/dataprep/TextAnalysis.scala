@@ -207,4 +207,65 @@ object TextAnalysis {
         col("top_word_frac"), col("dup_bigram_frac"))
       .orderBy(col(idCol).asc)
   }
+
+  /** The Gopher quality rules (Rae et al. 2021, Appendix A) as one
+    * named filter — the de-facto standard web-scale curation gate:
+    *
+    *   1. 50 <= word count <= 100,000
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ("#" or "...") <= 0.1
+    *   4. < 90% of lines start with a bullet
+    *   5. <= 30% of lines end with an ellipsis
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. at least 2 of the 8 Gopher stop words present
+    *
+    * Every ratio is evaluated as an integer cross-multiplication
+    * (e.g. mean length: 3·n_words <= word_chars <= 10·n_words), so
+    * there is no floating point anywhere in the decision and any ANSI
+    * engine reproduces `keep` bit for bit. Words are whitespace
+    * tokens (the paper's unit), not the engine tokenizer.
+    *
+    * Scale: a single narrow projection over the scan — per-row array
+    * expressions only, no explode, no shuffle, whole-corpus
+    * applicability is scan-bound.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = col("__words")
+    val lines = col("__lines")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => array_contains(words, w).cast("int"))
+      .reduce(_ + _)
+    df.withColumn("__words",
+        filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .withColumn("__lines",
+        transform(split(col(textCol), "\n"), l => trim(l)))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("word_chars",
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("alpha_words",
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_symbols",
+        (size(regexp_extract_all(col(textCol), lit("#"), lit(0)))
+          + size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("bullet_lines",
+        size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•"))).cast("long"))
+      .withColumn("ellipsis_lines",
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("long"))
+      .withColumn("stops_present", stopHits.cast("long"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L)
+          && (lit(3L) * col("n_words") <= col("word_chars"))
+          && (col("word_chars") <= lit(10L) * col("n_words"))
+          && (lit(10L) * col("n_symbols") <= col("n_words"))
+          && (lit(10L) * col("bullet_lines") < lit(9L) * col("n_lines"))
+          && (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines"))
+          && (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words"))
+          && (col("stops_present") >= 2L))
+      .select(col(idCol), col("n_words"), col("word_chars"),
+        col("alpha_words"), col("n_symbols"), col("n_lines"),
+        col("bullet_lines"), col("ellipsis_lines"), col("stops_present"),
+        col("keep"))
+      .orderBy(col(idCol).asc)
+  }
 }

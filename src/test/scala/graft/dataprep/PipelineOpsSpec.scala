@@ -125,6 +125,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) == (3L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  // ---- Gopher rules ----
+
+  test("gopherRules: each rule flips keep independently") {
+    val goodBody = ("the data flows to the lake of streams and " * 6).trim // 54 words, all rules pass
+    val df = Seq(
+      (1L, goodBody),
+      (2L, "the and of short"),                               // < 50 words
+      (3L, (("aa " * 54).trim) + " the and"),                 // mean word length < 3
+      (4L, goodBody + " " + ("# " * 10).trim),                // symbol ratio > 0.1
+      (5L, ("11 22 33 44 " * 13).trim + " the and of that"),  // alpha-word ratio < 0.8
+      (6L, ("lake stream data flow " * 13).trim + " rock")    // no 2 stop words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L) && !out(3L) && !out(4L) && !out(5L) && !out(6L))
+  }
+
+  test("gopherRules: line rules count bullets and ellipses per trimmed line") {
+    val body = ("the data flows to the lake of streams and " * 6).trim
+    // 10 lines: 9 bullets -> exactly 90% bullets (rule requires < 90%)
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n")
+    val df = Seq(
+      (1L, s"$body\n$bullets"),                      // 10 lines, 9 bullets: fails rule 4
+      // 1/4 bullets, 1/4 ellipsis (25% <= 30%): all rules pass
+      (2L, s"$body\n- one bullet\nplain line here\n  trailing dots ..."),
+      (3L, body + "\nsecond line ...\nthird ...")    // 2/3 ellipsis: fails rule 5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(9)))).toMap
+    assert(out(1L) == ((10L, 9L, 0L, false)))
+    assert(out(2L) == ((4L, 1L, 1L, true)))
+    assert(out(3L) == ((3L, 0L, 2L, false)))
+  }
+
   // ---- n-gram frequency ----
 
   test("ngramFreq: multiplicity counted, deterministic tie order") {
