@@ -799,6 +799,12 @@ object SparkEntry {
       dataprep.Dedup.removeDuplicateSpans(TestTables.documents(s, dir),
         "doc_id", "text", k = 24)),
 
+    // ---- incremental span removal: the batch (doc_id % 5 == 0) is
+    //      rewritten against the rest of the corpus's persisted
+    //      full-window index ----
+    "dp_dedup_substring_remove_incr" -> ((s, dir) =>
+      TestTables.documentsIncrementalRemoval(s, dir)),
+
     // ---- BM25-style relevance top-k (rational idf — see scaladoc) ----
     "dp_bm25" -> ((s, dir) =>
       dataprep.CorpusStats.bm25Rank(TestTables.documents(s, dir), "doc_id", "text",
@@ -2487,6 +2493,37 @@ object SparkEntry {
                 CAST(length(d.text) - length(coalesce(a.clean_text, '')) AS BIGINT) AS n_removed,
                 coalesce(a.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // Incremental removal replayed: batch chars covered by any window
+    // present in the index side (doc_id % 5 <> 0) are excised; batch
+    // ids play no role.
+    "dp_dedup_substring_remove_incr" ->
+      """WITH bp AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS start
+           FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 24),
+         bw AS (SELECT doc_id, start, substring(text, start, 24) AS win FROM bp),
+         ip AS (
+           SELECT text, unnest(generate_series(1, length(text) - 23)) AS start
+           FROM documents WHERE doc_id % 5 <> 0 AND length(text) >= 24),
+         iw AS (SELECT DISTINCT substring(text, start, 24) AS win FROM ip),
+         cov AS (SELECT bw.doc_id, bw.start FROM bw JOIN iw USING (win)),
+         covpos AS (SELECT DISTINCT doc_id, start + unnest(generate_series(0, 23)) AS p
+                    FROM cov),
+         ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
+                FROM documents WHERE doc_id % 5 = 0),
+         ch2 AS (SELECT doc_id, p, substring(text, p, 1) AS c FROM ch),
+         kept AS (SELECT ch2.doc_id, ch2.p, ch2.c FROM ch2
+                  LEFT JOIN covpos v ON v.doc_id = ch2.doc_id AND v.p = ch2.p
+                  WHERE v.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean_text
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(length(d.text) AS BIGINT) AS n_chars,
+                CAST(length(d.text) - length(coalesce(a.clean_text, '')) AS BIGINT) AS n_removed,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         WHERE d.doc_id % 5 = 0
          ORDER BY d.doc_id""",
 
     // Chunk boundaries are exact integer arithmetic; per-index

@@ -955,18 +955,32 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    // every positioned window, one row per occurrence (1-based start)
-    val pw = spread(df).where(length(col(textCol)) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1)),
-        i => col(textCol).substr(i, lit(k)))))
-      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("win"))
+    val pw = positionedWindows(df, idCol, textCol, k)
     val owners = pw.groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
     val covered = pw.join(owners, Seq("win"))
       .where(col("first_id") < col(idCol))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
+    exciseCovered(df, idCol, textCol, k, covered)
+  }
 
+  /** Every positioned window, one row per occurrence (1-based start). */
+  private def positionedWindows(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    spread(df).where(length(col(textCol)) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1)),
+        i => col(textCol).substr(i, lit(k)))))
+      .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("win"))
+
+  /** Shared rebuild for the span-removal family: excise the merged
+    * [start, start+k) runs named by `covered` (idCol, starts: sorted
+    * distinct ints) from each doc's text. Per-row HOF folds only —
+    * O(starts) per doc with O(1) element_at, no extra shuffle beyond
+    * the left join on id.
+    */
+  private def exciseCovered(df: DataFrame, idCol: String, textCol: String,
+      k: Int, covered: DataFrame): DataFrame = {
     val joined = df.join(covered, Seq(idCol), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
@@ -1002,5 +1016,46 @@ object Dedup {
         (textLen - length(col("clean_text"))).cast("long").as("n_removed"),
         col("clean_text"))
       .orderBy(col(idCol))
+  }
+
+  /** Full-window (NOT winnowed) index for INCREMENTAL span removal:
+    * one row per distinct window content with its first owner,
+    * range-partitioned and sorted by window. Winnowing cannot serve
+    * removal — unselected windows must still be excised — so the
+    * index is O(total corpus chars) rows, the same cost class as a
+    * suffix array over the corpus; that is the honest price of exact
+    * incremental rewrites. `mode = "append"` accretes a new batch's
+    * windows (duplicate window rows across appends are harmless: the
+    * probe is a semi-join); compact periodically by rebuilding.
+    */
+  def buildRemovalIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, indexPath: String, mode: String = "overwrite"): Unit =
+    positionedWindows(df, idCol, textCol, k)
+      .groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
+      .repartitionByRange(col("win"))
+      .sortWithinPartitions(col("win"))
+      .write.mode(mode).parquet(s"$indexPath/allwins")
+
+  /** Rewrite a NEW batch against the indexed corpus: every batch char
+    * covered by a window PRESENT IN THE INDEX is excised — the index
+    * is canonical, batch ids play no role (the production flow:
+    * history is already published/trained-on, the incoming batch must
+    * not re-add its spans). Batch-internal duplication is deliberately
+    * untouched here; run [[removeDuplicateSpans]] on the batch first
+    * (or append it to the index) for the full-run semantics.
+    *
+    * One pass over the index per batch: the probe is a semi-join of
+    * the batch's positioned windows against the sorted window set; the
+    * index never re-shuffles (its range layout is on the join key).
+    */
+  def removeSpansAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, k: Int, indexPath: String): DataFrame = {
+    val spark = newDf.sparkSession
+    val idx = spark.read.parquet(s"$indexPath/allwins").select(col("win"))
+    val covered = positionedWindows(newDf, idCol, textCol, k)
+      .join(idx, Seq("win"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("start"))).as("starts"))
+    exciseCovered(newDf, idCol, textCol, k, covered)
   }
 }

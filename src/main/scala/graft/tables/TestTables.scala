@@ -207,6 +207,23 @@ object TestTables {
       "doc_id", "text", k = 24, w = 8, indexPath = path, maxDf = 50L)
   }
 
+  /** Incremental span removal: batch docs (doc_id % 5 == 0) rewritten
+    * against the full-window removal index of the rest of the corpus.
+    */
+  def documentsIncrementalRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"/tmp/graft_rmidx_${new java.io.File(sfDir).getName}_" +
+      sourceFingerprint(sfDir, "documents")
+    TestTables.synchronized {
+      if (!new java.io.File(s"$path/allwins/_SUCCESS").exists())
+        graft.dataprep.Dedup.buildRemovalIndex(
+          documents(spark, sfDir).where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", k = 24, indexPath = path)
+    }
+    graft.dataprep.Dedup.removeSpansAgainstIndex(
+      documents(spark, sfDir).where(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 24, indexPath = path)
+  }
+
   /** documents docs table materialized with Bloom sidecars over the
     * text tokens, source path prefixes and language — the sealed-index
     * analogue for the corpus table (see [[eventsDocsBloom]]).

@@ -251,6 +251,30 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!m(5L).contains("LICENSE") && !m(6L).contains("LICENSE"))
   }
 
+  test("incremental removal: index spans excised, batch-internal dups untouched, append accretes") {
+    def tmp = java.nio.file.Files.createTempDirectory("rmidx").toString
+    val idxPath = tmp
+    val history = Seq((1L, "HISTORICAL-SPAN-ONE padding"), (2L, "other HISTORICAL-SPAN-TWO!")).toDF("doc_id", "text")
+    Dedup.buildRemovalIndex(history, "doc_id", "text", k = 8, indexPath = idxPath)
+    val batch = Seq(
+      (100L, "xxHISTORICAL-SPAN-ONEyy"),   // span from index doc 1
+      (101L, "aaBATCH-SHARED-SPANbb"),     // shared only inside the batch
+      (102L, "ccBATCH-SHARED-SPANdd"),     // (id order would matter in the full run)
+      (103L, "short")                      // < k: untouched
+    ).toDF("doc_id", "text")
+    val m1 = cleanMap(Dedup.removeSpansAgainstIndex(batch, "doc_id", "text", k = 8, idxPath))
+    assert(m1(100L) == "xxyy")
+    // batch-internal duplication is not this operator's job
+    assert(m1(101L) == "aaBATCH-SHARED-SPANbb" && m1(102L) == "ccBATCH-SHARED-SPANdd")
+    assert(m1(103L) == "short")
+
+    // append a new history batch: its spans start being excised too
+    Dedup.buildRemovalIndex(Seq((3L, "zzBATCH-SHARED-SPANzz")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 8, indexPath = idxPath, mode = "append")
+    val m2 = cleanMap(Dedup.removeSpansAgainstIndex(batch, "doc_id", "text", k = 8, idxPath))
+    assert(m2(100L) == "xxyy" && m2(101L) == "aabb" && m2(102L) == "ccdd")
+  }
+
   test("span removal matches the single-node reference on randomized corpora") {
     val rnd = new scala.util.Random(20260814L)
     for (round <- 1 to 3) {
