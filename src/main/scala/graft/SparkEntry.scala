@@ -494,6 +494,12 @@ object SparkEntry {
       dataprep.Similarity.bruteForceTopK(TestTables.embeddings(s, dir),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- hard-negative mining: top-k most similar with a DIFFERENT
+    //      label (per-query exclusion), for contrastive training ----
+    "dp_hard_negatives" -> ((s, dir) =>
+      dataprep.Similarity.hardNegatives(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // ---- incremental near-dup: new batch vs persisted band index ----
     "dp_dedup_incremental" -> ((s, dir) =>
       TestTables.documentsIncrementalDedup(s, dir)),
@@ -1892,6 +1898,28 @@ object SparkEntry {
            FROM scored
          )
          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
+         FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // Hard negatives: the exclusion is per query (e.label <> q.label),
+    // not a static corpus predicate.
+    "dp_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+         ), scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  CAST(e.label AS BIGINT) AS neg_label,
+                  list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+           FROM q, embeddings e
+           WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+         ), r AS (
+           SELECT query_id, neighbor_id, neg_label, d,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rn
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, neg_label, CAST(rn AS BIGINT) AS rank,
                 CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
 

@@ -1029,12 +1029,14 @@ object Dedup {
     * probe is a semi-join); compact periodically by rebuilding.
     */
   def buildRemovalIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int, indexPath: String, mode: String = "overwrite"): Unit =
+      k: Int, indexPath: String, mode: String = "overwrite",
+      partition: Option[String] = None): Unit =
     positionedWindows(df, idCol, textCol, k)
       .groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
       .repartitionByRange(col("win"))
       .sortWithinPartitions(col("win"))
-      .write.mode(mode).parquet(s"$indexPath/allwins")
+      .write.mode(mode)
+      .parquet(s"$indexPath/allwins" + partition.map("/" + _).getOrElse(""))
 
   /** Rewrite a NEW batch against the indexed corpus: every batch char
     * covered by a window PRESENT IN THE INDEX is excised — the index

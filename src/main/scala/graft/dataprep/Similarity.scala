@@ -141,6 +141,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most similar corpus vectors carrying a DIFFERENT
+    * label — the negatives that sit closest to the decision boundary,
+    * which is what embedding-model training loops mine after each
+    * epoch. Unlike [[filteredTopK]]'s static corpus predicate, the
+    * exclusion here is PER QUERY (each query rejects its own label),
+    * expressed as a join condition so Catalyst still plans a broadcast
+    * of the tiny query side and the corpus pass stays map-side; the
+    * ranked window is the same TakeOrdered shape as every other top-k
+    * here. Output: query_id, neighbor_id, neg_label, rank, dot_e6.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"), col(vecCol).cast("array<double>").as("v"))
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        col(vecCol).cast("array<double>").as("q"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") &&
+          col("neg_label") =!= col("q_label"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_label").cast("long").as("neg_label"),
+        col("rank").cast("long").as("rank"),
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from xxhash64(p, j), mapped to [-0.5, 0.5). Expressed as
     * columns so the whole signature stays inside codegen.

@@ -96,6 +96,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- hard negatives ----
+
+  test("hardNegatives: each query rejects its OWN label, ranked by similarity") {
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        queryIds = Seq(0L, 3L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // query 0 (label 0): negatives are 2, 3 (label 1), 2 ranks first
+    // (dot 0.8 > 0.0); query 3 (label 1): negatives are 0, 1 (label 0),
+    // 1 first (dot 0.1 > 0.0)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 1L), (0L, 3L, 1L, 2L),
+      (3L, 1L, 0L, 1L), (3L, 0L, 0L, 2L)))
+  }
+
+  test("hardNegatives equals filteredTopK when the corpus is one other label") {
+    // with only two labels, query 0's per-query exclusion == static label===1
+    val hn = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+      queryIds = Seq(0L), k = 2).drop("neg_label").collect().toSeq
+    val ft = Similarity.filteredTopK(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L), k = 2, pred = col("label") === 1).collect().toSeq
+    assert(hn == ft)
+  }
+
   // ---- incremental minhash index ----
 
   test("dedupAgainstIndex reproduces the cross slice of full LSH, incl. after append") {
