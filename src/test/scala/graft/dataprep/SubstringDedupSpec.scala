@@ -290,6 +290,24 @@ class SubstringDedupSpec extends SparkSpec {
       val got = cleanMap(Dedup.removeDuplicateSpans(df, "doc_id", "text", k))
       val want = refRemove(docs, k)
       assert(got == want, s"round $round k=$k")
+
+      // incremental parity on the same corpus: index = ids % 2 == 1,
+      // batch = the rest; reference = plain window-set membership
+      val idxDocs = docs.filter(_._1 % 2 == 1)
+      val batchDocs = docs.filter(_._1 % 2 == 0)
+      val idxPath = java.nio.file.Files.createTempDirectory(s"rmidx_r$round").toString
+      Dedup.buildRemovalIndex(idxDocs.toDF("doc_id", "text"), "doc_id", "text", k, idxPath)
+      val gotIncr = cleanMap(Dedup.removeSpansAgainstIndex(
+        batchDocs.toDF("doc_id", "text"), "doc_id", "text", k, idxPath))
+      val idxWins = idxDocs.flatMap { case (_, t) =>
+        (0 to t.length - k).map(i => t.substring(i, i + k)) }.toSet
+      val wantIncr = batchDocs.map { case (id, t) =>
+        val removed = Array.fill(t.length)(false)
+        for (i <- 0 to t.length - k if idxWins(t.substring(i, i + k)))
+          (i until i + k).foreach(removed(_) = true)
+        id -> t.zipWithIndex.collect { case (c, i) if !removed(i) => c }.mkString
+      }.toMap
+      assert(gotIncr == wantIncr, s"round $round incremental k=$k")
     }
   }
 }
