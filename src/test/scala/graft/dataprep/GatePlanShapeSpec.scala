@@ -20,6 +20,7 @@ class GatePlanShapeSpec extends SparkSpec {
   // or fusion/re-rank over TakeOrdered pools of <= 2·poolK rows.
   private val boundedBnljOk: Set[String] = Set(
     "dp_ann_topk",        // 5 query vectors broadcast over the corpus scan
+    "dp_hard_negatives",  // same, with the per-query label exclusion
     "dp_ann_filtered",    // same, with a pushed predicate
     "dp_ann_int8",        // same over the quantized corpus
     "dp_ann_int8_rerank", // stage 1 int8 scan + stage 2 rerank of top-3k pool
