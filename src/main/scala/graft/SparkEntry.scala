@@ -861,6 +861,17 @@ object SparkEntry {
             rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25))
         .select("doc_id", "source", "pred_lang", "quality_score", "split")
         .orderBy("doc_id")),
+
+    // ---- curation v2: the removal-centric recipe (Gopher gate →
+    //      span rewrite → exact dedup on residues → decontaminate →
+    //      split). minStops=1: the synthetic vocabulary carries only
+    //      'the' from the Gopher stoplist; minOverlap=60 tuned the
+    //      same way v1's thresholds are (median residue-vs-bench
+    //      overlap is 54 on this vocabulary) ----
+    "dp_curate2" -> ((s, dir) =>
+      dataprep.Curate.pipelineV2(TestTables.documents(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0,
+        cfg = dataprep.Curate.V2Config(minStops = 1, spanK = 24, minOverlap = 60))),
   )
 
   // Shared DuckDB fragments mirroring TextPrep (same regex / shingle
@@ -2804,6 +2815,93 @@ object SparkEntry {
                  CAST(sum_logodds_e6 AS BIGINT) AS sum_logodds_e6,
                  CAST(sum_logodds_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_logodds_e6
           FROM d ORDER BY doc_id ASC""",
+
+    // Curation v2 replayed stage for stage: Gopher counts (minStops=1)
+    // -> char-by-char span removal among the gated docs -> md5 min-id
+    // dedup on residues -> shingle-overlap decontamination (bench
+    // shingles from ORIGINAL text, corpus shingles from residues) ->
+    // the mix64 split-hash replay.
+    "dp_curate2" -> {
+      val ts = dataprep.Sampling.thresholds(dataprep.Sampling.DefaultWeights)
+      val cases = ts.init.map { case (n, t) => s"WHEN h63 < $t THEN '$n'" }.mkString(" ")
+      def dtoks(c: String) =
+        s"""list_filter(string_split_regex(lower($c), '[^a-z0-9_*\\p{L}\\p{N}]+'), x -> x <> '')"""
+      s"""WITH g0 AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+                   list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
+                   CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols
+            FROM documents),
+          g1 AS (
+            SELECT doc_id, text,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS word_chars,
+                   CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                   n_symbols,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines, l ->
+                     substring(l, 1, 1) = '-' OR substring(l, 1, 1) = '*'
+                       OR substring(l, 1, 1) = '•')) AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(lines, l ->
+                     l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ellipsis_lines,
+                   CAST(CAST(list_contains(words, 'the') AS INT)
+                      + CAST(list_contains(words, 'be') AS INT)
+                      + CAST(list_contains(words, 'to') AS INT)
+                      + CAST(list_contains(words, 'of') AS INT)
+                      + CAST(list_contains(words, 'and') AS INT)
+                      + CAST(list_contains(words, 'that') AS INT)
+                      + CAST(list_contains(words, 'have') AS INT)
+                      + CAST(list_contains(words, 'with') AS INT) AS BIGINT) AS stops_present
+            FROM g0),
+          gd AS (
+            SELECT doc_id, text FROM g1
+            WHERE n_words BETWEEN 50 AND 100000
+              AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+              AND 10 * n_symbols <= n_words
+              AND 10 * bullet_lines < 9 * n_lines
+              AND 10 * ellipsis_lines <= 3 * n_lines
+              AND 5 * alpha_words >= 4 * n_words
+              AND stops_present >= 1),
+          p0 AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS start
+                 FROM gd WHERE length(text) >= 24),
+          pw AS (SELECT doc_id, start, substring(text, start, 24) AS win FROM p0),
+          own AS (SELECT win, min(doc_id) AS first_id FROM pw GROUP BY win),
+          cov AS (SELECT pw.doc_id, pw.start FROM pw JOIN own USING (win)
+                  WHERE own.first_id < pw.doc_id),
+          covpos AS (SELECT DISTINCT doc_id, start + unnest(generate_series(0, 23)) AS p FROM cov),
+          chx AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text FROM gd),
+          ch2 AS (SELECT doc_id, p, substring(text, p, 1) AS c FROM chx),
+          keptc AS (SELECT ch2.doc_id, ch2.p, ch2.c FROM ch2
+                    LEFT JOIN covpos v ON v.doc_id = ch2.doc_id AND v.p = ch2.p
+                    WHERE v.p IS NULL),
+          agg AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean_text
+                  FROM keptc GROUP BY doc_id),
+          rew AS (
+            SELECT gd.doc_id, CAST(length(gd.text) AS BIGINT) AS n_chars,
+                   CAST(length(gd.text) - length(coalesce(a.clean_text, '')) AS BIGINT) AS n_removed,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM gd LEFT JOIN agg a USING (doc_id)
+            WHERE length(coalesce(a.clean_text, '')) > 0),
+          dd AS (
+            SELECT r.* FROM rew r
+            JOIN (SELECT md5(clean_text) AS h, min(doc_id) AS kid
+                  FROM rew GROUP BY 1) k ON r.doc_id = k.kid),
+          bt AS (SELECT doc_id, ${dtoks("text")} AS toks FROM documents WHERE doc_id % 20 = 0),
+          bsh0 AS (SELECT doc_id, $DSHINGLES AS sh FROM bt),
+          bb AS (SELECT coalesce(list(DISTINCT sx), []) AS bsh
+                 FROM (SELECT unnest(sh) AS sx FROM bsh0)),
+          ct AS (SELECT doc_id, n_chars, n_removed, clean_text,
+                        ${dtoks("clean_text")} AS toks
+                 FROM dd WHERE doc_id % 20 <> 0),
+          cs AS (SELECT doc_id, n_chars, n_removed, clean_text, $DSHINGLES AS sh FROM ct),
+          dec AS (SELECT cs.doc_id, cs.n_chars, cs.n_removed, cs.clean_text
+                  FROM cs, bb WHERE len(list_intersect(cs.sh, bb.bsh)) < 60),
+          ${mix64Ctes("SELECT doc_id, n_chars, n_removed, clean_text, CAST(doc_id AS BIGINT) AS uid FROM dec")}
+          SELECT doc_id, n_chars, n_removed, clean_text,
+                 CASE $cases ELSE '${ts.last._1}' END AS split
+          FROM mh ORDER BY doc_id"""
+    },
 
     // Leakage-safe split: the dp_dedup_clusters closure (recursive
     // min-label reachability over the brute-force near-dup pair graph)

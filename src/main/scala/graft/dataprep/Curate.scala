@@ -100,6 +100,79 @@ object Curate {
     Sampling.split(mixed, idCol)
   }
 
+  /** v2 configuration: `minStops` relaxes Gopher rule 7 for corpora
+    * without English function words (2 = published); `spanK` is the
+    * duplicate-span window; `minOverlap` the decontamination shingle
+    * threshold.
+    */
+  final case class V2Config(
+      minStops: Int = 2,
+      spanK: Int = 24,
+      minOverlap: Int = 5)
+
+  /** Curation v2 — the modern removal-centric recipe (the
+    * FineWeb/Dolma shape), built on the operators added since
+    * [[pipeline]]:
+    *
+    *   1. Gopher-rules gate      — row-local, integer-only decision,
+    *      fused into the scan ([[TextAnalysis.withGopherRules]])
+    *   2. duplicate-span removal — the Lee et al. rewrite across the
+    *      gated corpus ([[Dedup.removeDuplicateSpans]]); docs whose
+    *      text is fully excised drop out
+    *   3. exact dedup            — on the REWRITTEN text: documents
+    *      that differ only in since-removed spans collapse here,
+    *      which is why this stage runs after the rewrite
+    *   4. decontamination        — bench shingles come from the
+    *      ORIGINAL bench text (the benchmark exists independently of
+    *      corpus rewrites); corpus shingles from the published
+    *      rewritten text ([[Decontaminate.clean]])
+    *   5. train/val/test split   — salted-hash provenance
+    *
+    * `benchPred` must be evaluable from `idCol` alone (it is applied
+    * on both the original frame and derived frames). Output:
+    * (idCol, n_chars, n_removed, clean_text, split), ordered by id.
+    *
+    * Scale shape: stage 1 is a narrow projection; stage 2 is the
+    * span-removal plan (window-keyed aggregation + equi-join, no df
+    * cap needed); stages 3-4 are one hash agg + one broadcast-bench
+    * anti-join; stage 5 is row-local. No fixpoints, no driver state —
+    * unlike [[pipeline]]'s near-dup closure, every stage here is a
+    * bounded number of shuffles.
+    */
+  def pipelineV2(df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, cfg: V2Config = V2Config()): DataFrame = {
+    // 1. Gopher gate, fused into the scan
+    val gated = TextAnalysis.withGopherRules(df, textCol, cfg.minStops)
+      .where(col("keep"))
+      .select(col(idCol), col(textCol))
+    // 2. corpus-wide span rewrite; fully-excised docs drop out
+    val rewritten = Dedup.removeDuplicateSpans(gated, idCol, textCol, cfg.spanK)
+      .where(length(col("clean_text")) > 0)
+    // 3. exact dedup on the rewritten text
+    val keepIds = rewritten
+      .groupBy(md5(col("clean_text")).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = rewritten.join(keepIds, Seq(idCol))
+    // 4. decontamination: the bench side carries ORIGINAL text
+    val unioned = deduped
+      .where(!coalesce(benchPred, lit(false)))
+      .select(col(idCol), col("clean_text").as("__txt"),
+        lit(false).as("__bench"))
+      .unionByName(df.where(benchPred)
+        .select(col(idCol), col(textCol).as("__txt"),
+          lit(true).as("__bench")))
+    val decontaminated = Decontaminate.clean(
+      unioned, idCol, "__txt", col("__bench"), cfg.minOverlap)
+    // 5. split provenance, audit columns re-attached
+    Sampling.split(decontaminated.select(col(idCol)), idCol)
+      .join(rewritten.select(col(idCol), col("n_chars"),
+        col("n_removed"), col("clean_text")), Seq(idCol))
+      .select(col(idCol), col("n_chars"), col("n_removed"),
+        col("clean_text"), col("split"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-stage audit counts (docs surviving each gate) — the report a
     * pipeline run logs for dataset cards. One job per stage boundary.
     */

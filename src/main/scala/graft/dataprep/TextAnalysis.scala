@@ -229,7 +229,22 @@ object TextAnalysis {
     * expressions only, no explode, no shuffle, whole-corpus
     * applicability is scan-bound.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGopherRules(df, textCol)
+      .select(col(idCol), col("n_words"), col("word_chars"),
+        col("alpha_words"), col("n_symbols"), col("n_lines"),
+        col("bullet_lines"), col("ellipsis_lines"), col("stops_present"),
+        col("keep"))
+      .orderBy(col(idCol).asc)
+
+  /** Append the Gopher counts + `keep` to the frame without projecting
+    * the input away — the composable twin of [[gopherRules]] (same
+    * pattern as [[withQualityScore]]). `minStops` relaxes rule 7's
+    * stop-word floor for corpora whose vocabulary lacks the English
+    * function words (2 = the published threshold).
+    */
+  def withGopherRules(df: DataFrame, textCol: String,
+      minStops: Int = 2): DataFrame = {
     val words = col("__words")
     val lines = col("__lines")
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -261,11 +276,7 @@ object TextAnalysis {
           && (lit(10L) * col("bullet_lines") < lit(9L) * col("n_lines"))
           && (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines"))
           && (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words"))
-          && (col("stops_present") >= 2L))
-      .select(col(idCol), col("n_words"), col("word_chars"),
-        col("alpha_words"), col("n_symbols"), col("n_lines"),
-        col("bullet_lines"), col("ellipsis_lines"), col("stops_present"),
-        col("keep"))
-      .orderBy(col(idCol).asc)
+          && (col("stops_present") >= minStops.toLong))
+      .drop("__words", "__lines")
   }
 }
