@@ -805,6 +805,12 @@ object SparkEntry {
       dataprep.Dedup.removeDuplicateSpans(TestTables.documents(s, dir),
         "doc_id", "text", k = 24)),
 
+    // ---- span attribution: the removal audit (who borrows from
+    //      whom), attributed to the global first owner ----
+    "dp_span_attribution" -> ((s, dir) =>
+      dataprep.Dedup.spanAttribution(TestTables.documents(s, dir),
+        "doc_id", "text", k = 24)),
+
     // ---- incremental span removal: the batch (doc_id % 5 == 0) is
     //      rewritten against the rest of the corpus's persisted
     //      full-window index ----
@@ -2533,6 +2539,23 @@ object SparkEntry {
                 coalesce(a.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // Attribution replayed: window occurrences grouped by (doc, global
+    // min owner).
+    "dp_span_attribution" ->
+      """WITH p0 AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS start
+           FROM documents WHERE length(text) >= 24),
+         pw AS (SELECT doc_id, start, substring(text, start, 24) AS win FROM p0),
+         own AS (SELECT win, min(doc_id) AS owner_id FROM pw GROUP BY win)
+         SELECT pw.doc_id, own.owner_id,
+                CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(min(pw.start) AS BIGINT) AS first_start,
+                CAST(max(pw.start) AS BIGINT) AS last_start
+         FROM pw JOIN own USING (win)
+         WHERE own.owner_id < pw.doc_id
+         GROUP BY pw.doc_id, own.owner_id
+         ORDER BY pw.doc_id, own.owner_id""",
 
     // Incremental removal replayed: batch chars covered by any window
     // present in the index side (doc_id % 5 <> 0) are excised; batch

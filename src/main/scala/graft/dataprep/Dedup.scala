@@ -1018,6 +1018,29 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Span attribution — the audit view of [[removeDuplicateSpans]]:
+    * for every doc that loses spans, WHO it borrows from. One row per
+    * (doc, owner) with the count of covered window occurrences and the
+    * first/last covered start — the provenance a dataset card cites
+    * ("doc X shares N windows with earlier doc Y"). A window is
+    * attributed to its GLOBAL first owner (min id) only, matching the
+    * removal semantics exactly. Same plan shape as the removal
+    * decision: min-owner agg + equi-join, per-pair aggregation keyed
+    * by (doc, owner).
+    */
+  def spanAttribution(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val pw = positionedWindows(df, idCol, textCol, k)
+    val owners = pw.groupBy(col("win")).agg(min(col(idCol)).as("owner_id"))
+    pw.join(owners, Seq("win"))
+      .where(col("owner_id") < col(idCol))
+      .groupBy(col(idCol), col("owner_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("start")).cast("long").as("first_start"),
+        max(col("start")).cast("long").as("last_start"))
+      .orderBy(col(idCol), col("owner_id"))
+  }
+
   /** Full-window (NOT winnowed) index for INCREMENTAL span removal:
     * one row per distinct window content with its first owner,
     * range-partitioned and sorted by window. Winnowing cannot serve

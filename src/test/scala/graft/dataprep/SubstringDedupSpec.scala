@@ -251,6 +251,19 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!m(5L).contains("LICENSE") && !m(6L).contains("LICENSE"))
   }
 
+  test("span attribution: borrowed windows credit the GLOBAL first owner") {
+    val df = Seq((1L, "abcdefgh"), (2L, "xxabcdyy")).toDF("doc_id", "text")
+    val rows = Dedup.spanAttribution(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((2L, 1L, 1L, 3L, 3L)))
+    // boilerplate trio: 5 and 6 both credit 4 (the min owner), never
+    // each other, even though 5 and 6 also share those windows
+    val attr = Dedup.spanAttribution(corpus, "doc_id", "text", k = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(attr.contains((5L, 4L)) && attr.contains((6L, 4L)))
+    assert(!attr.contains((6L, 5L)))
+  }
+
   test("incremental removal: index spans excised, batch-internal dups untouched, append accretes") {
     def tmp = java.nio.file.Files.createTempDirectory("rmidx").toString
     val idxPath = tmp
