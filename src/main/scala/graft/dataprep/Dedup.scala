@@ -955,9 +955,14 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val pw = positionedWindows(df, idCol, textCol, k)
-    val owners = pw.groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
-    val covered = pw.join(owners, Seq("win"))
+    // min-owner as a window aggregate, NOT groupBy+join-back: the
+    // positioned-window extraction (the most expensive stage — O(chars
+    // × k) string materialization) then runs ONCE over one exchange
+    // on `win`, instead of twice with a second join shuffle (Catalyst
+    // does not reuse the exchange across the agg and probe subtrees)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
+    val covered = positionedWindows(df, idCol, textCol, k)
+      .withColumn("first_id", min(col(idCol)).over(w))
       .where(col("first_id") < col(idCol))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
@@ -1030,9 +1035,10 @@ object Dedup {
     */
   def spanAttribution(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val pw = positionedWindows(df, idCol, textCol, k)
-    val owners = pw.groupBy(col("win")).agg(min(col(idCol)).as("owner_id"))
-    pw.join(owners, Seq("win"))
+    // one extraction over one `win` exchange (see removeDuplicateSpans)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
+    positionedWindows(df, idCol, textCol, k)
+      .withColumn("owner_id", min(col(idCol)).over(w))
       .where(col("owner_id") < col(idCol))
       .groupBy(col(idCol), col("owner_id"))
       .agg(count(lit(1)).as("n_windows"),
