@@ -735,6 +735,13 @@ object SparkEntry {
             size(dataprep.TextPrep.tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 1024L)),
 
+    // ---- blob shard manifest: binary payloads assigned to 4 KiB
+    //      shards with contiguous within-shard offsets ----
+    "dp_blob_manifest" -> ((s, dir) =>
+      dataprep.Multimodal.blobShardManifest(
+        dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
+        "doc_id", "payload", budgetBytes = 4096L)),
+
     // ---- deterministic epoch shuffle (reproducible total order) ----
     "dp_shuffle" -> ((s, dir) =>
       dataprep.Sampling.deterministicShuffle(
@@ -2316,6 +2323,26 @@ object SparkEntry {
           SELECT doc_id, n_tokens, cum,
                  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS shard
           FROM c ORDER BY doc_id ASC""",
+
+    // Blob manifest: dp_pack's exclusive-prefix shard rule on byte
+    // lengths, plus the contiguous within-shard offset (exclusive
+    // running sum partitioned by shard).
+    "dp_blob_manifest" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_bytes,
+                  CAST(sum(n_bytes) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+           FROM t
+         ), s AS (
+           SELECT doc_id, n_bytes,
+                  CAST(floor(CAST(cum - n_bytes AS DOUBLE) / 4096) AS BIGINT) AS shard
+           FROM c)
+         SELECT doc_id, n_bytes, shard,
+                CAST(coalesce(sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+         FROM s ORDER BY doc_id ASC""",
 
     // The shuffle key is the salted mix64 chain replayed in HUGEINT
     // arithmetic; the returned ORDER IS the contract under test.

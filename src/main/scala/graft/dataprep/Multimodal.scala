@@ -147,4 +147,34 @@ object Multimodal {
     }.toDF()
       .orderBy(col("id").asc)
   }
+
+  /** Shard manifest for opaque binary payloads — the index a training
+    * dataloader needs to seek blobs out of size-budgeted shard files:
+    * (id, n_bytes, shard, offset). Shard assignment is
+    * [[Packing.packShards]]'s first-fit-by-prefix rule (a blob belongs
+    * to the shard its EXCLUSIVE byte prefix falls in, so the
+    * boundary-crossing blob stays whole in its floor shard); offsets
+    * are CONTIGUOUS within each shard (a shard file is written
+    * back-to-back in id order, no gaps).
+    *
+    * Scale: the global prefix sum is the two-phase distributed scan
+    * (no global window); the within-shard offset adds one exchange
+    * keyed by shard id — rows per shard are bounded by
+    * budget/min-blob-size by construction, so the key spreads as data
+    * grows. Nothing touches the payload bytes themselves: the manifest
+    * is computed from lengths only, so the blob column never shuffles.
+    */
+  def blobShardManifest(df: DataFrame, idCol: String, binCol: String,
+      budgetBytes: Long): DataFrame = {
+    require(budgetBytes > 0, "budgetBytes must be positive")
+    val sized = df.select(col(idCol),
+      length(col(binCol)).cast("long").as("n_bytes"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Packing.packShards(sized, idCol, "n_bytes", budgetBytes)
+      .withColumn("offset", coalesce(sum(col("n_bytes")).over(wShard), lit(0L)))
+      .select(col(idCol), col("n_bytes"), col("shard"), col("offset"))
+      .orderBy(col(idCol).asc)
+  }
 }

@@ -42,4 +42,34 @@ class MultimodalSpec extends SparkSpec {
         1.0 / math.min(dh, sh) * 2 + 0.02)
     }
   }
+
+  test("blobShardManifest: first-fit shards, contiguous offsets, blobs never split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // blobs of 40/30/40/50/10 bytes into 100-byte shards: prefixes
+    // 0/40/70/110/160 -> shards 0/0/0/1/1
+    val df = Seq(
+      (1L, "a" * 40), (2L, "b" * 30), (3L, "c" * 40), (4L, "d" * 50), (5L, "e" * 10)
+    ).toDF("doc_id", "text")
+    val m = Multimodal.blobShardManifest(
+      Multimodal.withTextPayload(df, "text", "payload"), "doc_id", "payload", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (1L, 40L, 0L, 0L), (2L, 30L, 0L, 40L), (3L, 40L, 0L, 70L),
+      (4L, 50L, 1L, 0L), (5L, 10L, 1L, 50L)))
+    // invariants on the corpus table: offsets contiguous per shard,
+    // shard ids dense-monotone in id order, sizes preserved
+    val docs = graft.tables.TestTables.documents(spark, sfDir)
+    val corpus = Multimodal.blobShardManifest(
+      Multimodal.withTextPayload(docs, "text", "payload"), "doc_id", "payload", 4096L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    corpus.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expectedOff, (_, n, _, off)) =>
+        assert(off == expectedOff, "contiguous within shard")
+        expectedOff + n
+      }
+    }
+    assert(corpus.map(_._3).toSeq == corpus.map(_._3).toSeq.sorted, "shards monotone in id order")
+  }
 }
