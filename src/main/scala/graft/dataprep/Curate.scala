@@ -145,15 +145,24 @@ object Curate {
     val gated = TextAnalysis.withGopherRules(df, textCol, cfg.minStops)
       .where(col("keep"))
       .select(col(idCol), col(textCol))
-    // 2. corpus-wide span rewrite; fully-excised docs drop out
+    // 2. corpus-wide span rewrite; fully-excised docs drop out. The
+    // rewrite is the expensive stage and is read by the dedup-key agg,
+    // the dedup join, and the final audit join — persist it so those
+    // are cache reads, then swap the pin for the smaller deduped
+    // frame (same staging as pipeline()'s survivors → nearDeduped;
+    // the deduped pin backs the returned plan lazily, so long-lived
+    // sessions should clearCache once the result is consumed).
     val rewritten = Dedup.removeDuplicateSpans(gated, idCol, textCol, cfg.spanK)
       .where(length(col("clean_text")) > 0)
+      .persist()
     // 3. exact dedup on the rewritten text
     val keepIds = rewritten
       .groupBy(md5(col("clean_text")).as("__h"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = rewritten.join(keepIds, Seq(idCol))
+    val deduped = rewritten.join(keepIds, Seq(idCol)).persist()
+    deduped.count()
+    rewritten.unpersist()
     // 4. decontamination: the bench side carries ORIGINAL text
     val unioned = deduped
       .where(!coalesce(benchPred, lit(false)))
@@ -164,9 +173,10 @@ object Curate {
           lit(true).as("__bench")))
     val decontaminated = Decontaminate.clean(
       unioned, idCol, "__txt", col("__bench"), cfg.minOverlap)
-    // 5. split provenance, audit columns re-attached
+    // 5. split provenance, audit columns re-attached (from the pinned
+    // deduped frame — every surviving id is in it)
     Sampling.split(decontaminated.select(col(idCol)), idCol)
-      .join(rewritten.select(col(idCol), col("n_chars"),
+      .join(deduped.select(col(idCol), col("n_chars"),
         col("n_removed"), col("clean_text")), Seq(idCol))
       .select(col(idCol), col("n_chars"), col("n_removed"),
         col("clean_text"), col("split"))
