@@ -836,6 +836,22 @@ object SparkEntry {
         TestTables.embeddings(s, dir), "vec_id", "embedding",
         terms = Seq("spark", "window", "merge"), queryId = 0L)),
 
+    // ---- BPE tokenizer training (Sennrich et al. 2016): 8 merges
+    //      learned corpus-wide, word-frequency weighted, ties by
+    //      (l, r) ascending — the trainer replays bit-for-bit ----
+    "dp_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TestTables.bpeMerges(s, dir).zipWithIndex
+        .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
+        .toDF("rank", "l", "r", "merged")
+    }),
+
+    // ---- BPE apply: every word folded through the learned merges in
+    //      rank order; units_md5 witnesses the full segmentation ----
+    "dp_bpe_apply" -> ((s, dir) =>
+      dataprep.CorpusStats.bpeApply(TestTables.documents(s, dir),
+        "doc_id", "text", TestTables.bpeMerges(s, dir))),
+
     // ---- token-rarity curation signal (vocabulary join) ----
     "dp_rarity" -> ((s, dir) =>
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
@@ -1192,6 +1208,43 @@ object SparkEntry {
                   SELECT id, cell, dist,
                          row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
                   FROM d2) WHERE rn = 1)"""
+
+  /** Generated BPE-training CTE chain: u0 = per-distinct-word char
+    * units (space-joined), then per round k: pair counts weighted by
+    * word frequency, argmax with (n DESC, l ASC, r ASC) tie-break,
+    * and the greedy left-to-right fold applied via list_reduce — the
+    * same fold CorpusStats.mergeFold runs as an array-accumulator
+    * HOF. Units never contain spaces (tokenizer chars), so the
+    * space-joined string accumulator is equivalent to the array fold.
+    */
+  private def bpeCtes(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""pk$k AS (SELECT cnt, string_split(us, ' ') AS u FROM u${k - 1}),
+          pp$k AS (SELECT cnt, u, unnest(range(1, len(u))) AS i FROM pk$k),
+          pc$k AS (SELECT u[CAST(i AS INT)] AS l, u[CAST(i AS INT) + 1] AS r,
+                          sum(cnt) AS n
+                   FROM pp$k GROUP BY 1, 2),
+          m$k AS (SELECT l, r, l || r AS m FROM pc$k
+                  ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+          u$k AS (SELECT u.w, u.cnt,
+                   CASE WHEN len(string_split(u.us, ' ')) < 2 THEN u.us ELSE
+                     list_reduce(string_split(u.us, ' '), (acc, x) -> CASE
+                       WHEN acc = m.l AND x = m.r THEN m.m
+                       WHEN length(acc) > length(m.l)
+                            AND right(acc, length(m.l) + 1) = ' ' || m.l
+                            AND x = m.r
+                         THEN left(acc, length(acc) - length(m.l)) || m.m
+                       ELSE acc || ' ' || x END)
+                   END AS us
+                  FROM u${k - 1} u CROSS JOIN m$k m)"""
+    }.mkString(",\n")
+    s"""w0 AS (SELECT unnest($DTOKS) AS w FROM documents),
+        wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0 GROUP BY w),
+        u0 AS (SELECT w, cnt, array_to_string(list_transform(
+                 range(1, length(w) + 1),
+                 i -> substring(w, CAST(i AS INT), 1)), ' ') AS us FROM wc),
+        $rounds"""
+  }
 
   private def mix64Ctes(baseSelect: String, p: String = ""): String = {
     val M = "18446744073709551616"
@@ -2843,6 +2896,34 @@ object SparkEntry {
                  CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6,
                  CAST(sum_nll_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_nll_e6
           FROM d ORDER BY doc_id ASC""",
+
+    // The BPE trainer replayed round-for-round: same weighting, same
+    // argmax tie-break, same greedy fold (via list_reduce on the
+    // space-joined unit string).
+    "dp_bpe_merges" -> {
+      val unions = (1 to 8)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, l, r, m AS merged FROM m$k")
+        .mkString(" UNION ALL ")
+      s"WITH ${bpeCtes(8)} SELECT * FROM ($unions) ORDER BY rank"
+    },
+
+    // Apply replayed: the final unit table u8 joined back onto every
+    // word occurrence in document order.
+    "dp_bpe_apply" ->
+      s"""WITH ${bpeCtes(8)},
+          d0 AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          d1 AS (SELECT doc_id, unnest(toks) AS w,
+                        unnest(range(1, len(toks) + 1)) AS pos FROM d0),
+          d2 AS (SELECT d1.doc_id, d1.pos, u8.us FROM d1 JOIN u8 ON u8.w = d1.w),
+          d3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(len(string_split(us, ' '))) AS BIGINT) AS n_units,
+                  md5(string_agg(us, '|' ORDER BY pos ASC)) AS units_md5
+                 FROM d2 GROUP BY doc_id)
+          SELECT d0.doc_id,
+                 CAST(coalesce(d3.n_words, 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(d3.n_units, 0) AS BIGINT) AS n_units,
+                 coalesce(d3.units_md5, md5('')) AS units_md5
+          FROM d0 LEFT JOIN d3 USING (doc_id) ORDER BY doc_id""",
 
     // Same vocabulary build with two conditional counts; per-vocab-
     // entry e6 quantization of the smoothed log-odds, exactly the

@@ -259,4 +259,109 @@ object CorpusStats {
         col("n_dup").cast("double") / col("n_grams").cast("double"))
       .orderBy(col(idCol).asc)
   }
+
+  // ---- BPE tokenizer training (byte-pair encoding, Sennrich et al.
+  //      2016 — the standard subword tokenizer learner) ----
+
+  /** Adjacent unit pairs of a unit array (empty below 2 units). */
+  private def unitPairs(u: Column): Column =
+    when(size(u) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(sequence(lit(1), size(u) - 1),
+        i => struct(element_at(u, i).as("l"), element_at(u, i + 1).as("r"))))
+
+  /** Greedy left-to-right application of ONE merge (l, r) -> l+r over
+    * a unit array: scan left to right, and whenever the accumulated
+    * last unit equals `l` and the next unit equals `r`, fuse them.
+    * The exact fold BPE specifies; an array-accumulator HOF, so the
+    * whole rewrite stays per-row.
+    */
+  private def mergeFold(u: Column, l: String, r: String): Column =
+    aggregate(u, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Characters of a word as the initial unit array. */
+  private def charUnits(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Train `nMerges` BPE merges over the corpus: word-internal
+    * character merges, each round picking the globally most frequent
+    * adjacent unit pair weighted by word frequency (ties broken by
+    * (left, right) ascending — binary string order on both engines,
+    * so the whole training run replays bit-for-bit in SQL).
+    *
+    * Scale: the corpus is touched ONCE (word count); every merge
+    * round then runs on the DISTINCT-WORD table — one explode +
+    * partial-aggregated pair count + a per-row fold, vocab-bounded
+    * exactly like the reference single-node BPE trainers that operate
+    * on word-count dictionaries, but with the pair counting and
+    * rewriting distributed. The driver holds one (l, r) pair per
+    * round, the same coordination footprint as Lloyd iterations in
+    * [[graft.dataprep.Similarity]]'s k-means. Each round's unit table
+    * is persisted and the previous round's unpersisted, keeping plan
+    * depth constant across rounds.
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val words = df
+      .select(explode(TextPrep.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var units = words.withColumn("u", charUnits(col("w"))).persist()
+    units.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    for (_ <- 1 to nMerges if !exhausted) {
+      val best = units
+        .select(col("cnt"), explode(unitPairs(col("u"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        val prev = units
+        units = prev.withColumn("u", mergeFold(col("u"), l, r)).persist()
+        units.count()
+        prev.unpersist()
+        ()
+      }
+    }
+    units.unpersist()
+    merges.toSeq
+  }
+
+  /** The learned merge table as a frame: (rank, l, r, merged). */
+  def bpeMergesDf(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(df, textCol, nMerges).zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
+      .toDF("rank", "l", "r", "merged")
+  }
+
+  /** Apply a ranked merge list to the corpus: every word's char units
+    * are folded through the merges in rank order (the BPE apply rule).
+    * Output per doc: n_words, n_units (total subword count — the
+    * quantity a token-budget pipeline bills), and units_md5 (digest of
+    * the full segmentation in document order — the oracle-checkable
+    * witness that every unit boundary matches).
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def foldAll(w: Column): Column =
+      merges.foldLeft(charUnits(w))((u, m) => mergeFold(u, m._1, m._2))
+    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .withColumn("__units", transform(col("__toks"), w => foldAll(w)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        coalesce(aggregate(col("__units"), lit(0L), (a, u) => a + size(u)),
+          lit(0L)).as("n_units"),
+        md5(array_join(transform(col("__units"), u => array_join(u, " ")),
+          "|")).as("units_md5"))
+      .orderBy(col(idCol).asc)
+  }
 }

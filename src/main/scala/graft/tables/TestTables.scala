@@ -207,6 +207,17 @@ object TestTables {
       "doc_id", "text", k = 24, w = 8, indexPath = path, maxDf = 50L)
   }
 
+  /** BPE merges trained once per sfDir and shared by the merges/apply
+    * gate queries (training is a driver-coordinated loop, so the
+    * result is a plain value, cached like the sidecar indexes).
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+  def bpeMerges(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(sfDir,
+      graft.dataprep.CorpusStats.bpeTrainMerges(
+        documents(spark, sfDir), "text", nMerges = 8))
+
   /** Incremental span removal: batch docs (doc_id % 5 == 0) rewritten
     * against the full-window removal index of the rest of the corpus.
     */
