@@ -852,6 +852,17 @@ object SparkEntry {
       dataprep.CorpusStats.bpeApply(TestTables.documents(s, dir),
         "doc_id", "text", TestTables.bpeMerges(s, dir))),
 
+    // ---- frequency-ranked subword vocabulary ----
+    "dp_bpe_vocab" -> ((s, dir) =>
+      dataprep.CorpusStats.bpeVocab(TestTables.documents(s, dir),
+        "text", TestTables.bpeMerges(s, dir))),
+
+    // ---- encode to subword-id sequences (ids_md5 witnesses every
+    //      id at every position) ----
+    "dp_bpe_encode" -> ((s, dir) =>
+      dataprep.CorpusStats.bpeEncode(TestTables.documents(s, dir),
+        "doc_id", "text", TestTables.bpeMerges(s, dir))),
+
     // ---- token-rarity curation signal (vocabulary join) ----
     "dp_rarity" -> ((s, dir) =>
       dataprep.CorpusStats.rarityScore(TestTables.documents(s, dir), "doc_id", "text")),
@@ -2924,6 +2935,42 @@ object SparkEntry {
                  CAST(coalesce(d3.n_units, 0) AS BIGINT) AS n_units,
                  coalesce(d3.units_md5, md5('')) AS units_md5
           FROM d0 LEFT JOIN d3 USING (doc_id) ORDER BY doc_id""",
+
+    // Vocabulary: unit occurrences weighted by word count from the
+    // final unit table, ranked (n DESC, unit ASC).
+    "dp_bpe_vocab" ->
+      s"""WITH ${bpeCtes(8)},
+          vo AS (SELECT unnest(string_split(us, ' ')) AS unit, cnt FROM u8),
+          vc AS (SELECT unit, CAST(sum(cnt) AS BIGINT) AS n FROM vo GROUP BY unit)
+          SELECT CAST(row_number() OVER (ORDER BY n DESC, unit ASC) AS BIGINT) AS id,
+                 unit, n
+          FROM vc ORDER BY id""",
+
+    // Encode: the final unit table joined onto every word occurrence,
+    // ids from the vocabulary rank, digested in (word pos, unit pos)
+    // order.
+    "dp_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+          vo AS (SELECT unnest(string_split(us, ' ')) AS unit, cnt FROM u8),
+          vc AS (SELECT unit, CAST(sum(cnt) AS BIGINT) AS n FROM vo GROUP BY unit),
+          vr AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, unit ASC) AS BIGINT) AS id,
+                        unit FROM vc),
+          d0 AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          d1 AS (SELECT doc_id, unnest(toks) AS w,
+                        unnest(range(1, len(toks) + 1)) AS wpos FROM d0),
+          d2 AS (SELECT d1.doc_id, d1.wpos, u8.us FROM d1 JOIN u8 ON u8.w = d1.w),
+          d4 AS (SELECT doc_id, wpos,
+                        unnest(string_split(us, ' ')) AS unit,
+                        unnest(range(1, len(string_split(us, ' ')) + 1)) AS upos
+                 FROM d2),
+          d5 AS (SELECT d4.doc_id, d4.wpos, d4.upos, vr.id FROM d4 JOIN vr USING (unit)),
+          d6 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+                  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos ASC, upos ASC)) AS ids_md5
+                 FROM d5 GROUP BY doc_id)
+          SELECT d0.doc_id,
+                 CAST(coalesce(d6.n_units, 0) AS BIGINT) AS n_units,
+                 coalesce(d6.ids_md5, md5('')) AS ids_md5
+          FROM d0 LEFT JOIN d6 USING (doc_id) ORDER BY doc_id""",
 
     // Same vocabulary build with two conditional counts; per-vocab-
     // entry e6 quantization of the smoothed log-odds, exactly the

@@ -350,10 +350,65 @@ object CorpusStats {
     * the full segmentation in document order — the oracle-checkable
     * witness that every unit boundary matches).
     */
+  private def foldAllMerges(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charUnits(w))((u, m) => mergeFold(u, m._1, m._2))
+
+  /** Frequency-ranked subword vocabulary after applying the merges:
+    * (id, unit, n) with id = row number by (n DESC, unit ASC). The
+    * ranking window is global but runs over the unit vocabulary — a
+    * KB-scale frame like the BM25 stats row, not the corpus.
+    */
+  def bpeVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(explode(TextPrep.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val units = words
+      .select(col("cnt"), explode(foldAllMerges(col("w"), merges)).as("unit"))
+      .groupBy(col("unit")).agg(sum(col("cnt")).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("unit").asc)
+    units.withColumn("id", row_number().over(wRank).cast("long"))
+      .select(col("id"), col("unit"), col("n"))
+      .orderBy(col("id"))
+  }
+
+  /** Encode the corpus as subword-id sequences: every word folded
+    * through the merges, every unit mapped to its [[bpeVocab]] id,
+    * in document order. Output per doc: n_units and ids_md5 (digest
+    * of the comma-joined id sequence — the witness that every id at
+    * every position matches). The id join is a plain equi-join on the
+    * unit string; order is restored per doc from (word pos, unit pos).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = bpeVocab(df, textCol, merges).select(col("unit"), col("id"))
+    val flat = df
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .select(col(idCol), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "wpos")
+      .select(col(idCol), col("wpos"),
+        posexplode(foldAllMerges(col("col"), merges)))
+      .withColumnRenamed("pos", "upos")
+      .withColumnRenamed("col", "unit")
+    val encoded = flat.join(vocab, Seq("unit"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_units"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("wpos"), col("upos"), col("id")))),
+            s => s.getField("id").cast("string")),
+          ",")).as("ids_md5"))
+    df.select(col(idCol)).join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+      .orderBy(col(idCol).asc)
+  }
+
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    def foldAll(w: Column): Column =
-      merges.foldLeft(charUnits(w))((u, m) => mergeFold(u, m._1, m._2))
+    def foldAll(w: Column): Column = foldAllMerges(w, merges)
     df.withColumn("__toks", TextPrep.tokens(col(textCol)))
       .withColumn("__units", transform(col("__toks"), w => foldAll(w)))
       .select(col(idCol),

@@ -48,6 +48,22 @@ class BpeSpec extends SparkSpec {
     assert(CorpusStats.bpeTrainMerges(df, "text", nMerges = 5).isEmpty)
   }
 
+  test("vocab ranks by weighted frequency; encode round-trips the segmentation") {
+    val df = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    // folded words: aaab -> [aa, ab] (x2 occurrences), ab -> [ab]
+    // counts: ab = 2 + 1 = 3, aa = 2 -> ids: ab=1, aa=2
+    val vocab = CorpusStats.bpeVocab(df, "text", merges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq((1L, "ab", 3L), (2L, "aa", 2L)))
+    val enc = CorpusStats.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1: [aa, ab][aa, ab] -> ids 2,1,2,1; doc2: [ab] -> 1
+    assert(enc.toSeq == Seq((1L, 4L, m("2,1,2,1")), (2L, 1L, m("1"))))
+  }
+
   test("training is deterministic across runs") {
     val docs = graft.tables.TestTables.documents(spark, sfDir)
     val a = CorpusStats.bpeTrainMerges(docs, "text", nMerges = 4)
