@@ -852,6 +852,16 @@ object SparkEntry {
       dataprep.CorpusStats.bpeApply(TestTables.documents(s, dir),
         "doc_id", "text", TestTables.bpeMerges(s, dir))),
 
+    // ---- shard packing billed in LEARNED subword units: the real
+    //      pre-training shard step (pack by what the model will see,
+    //      not whitespace words) ----
+    "dp_bpe_pack" -> ((s, dir) =>
+      dataprep.Packing.packShards(
+        dataprep.CorpusStats.bpeApply(TestTables.documents(s, dir),
+          "doc_id", "text", TestTables.bpeMerges(s, dir))
+          .select(col("doc_id"), col("n_units")),
+        "doc_id", "n_units", budget = 1024L)),
+
     // ---- frequency-ranked subword vocabulary ----
     "dp_bpe_vocab" -> ((s, dir) =>
       dataprep.CorpusStats.bpeVocab(TestTables.documents(s, dir),
@@ -2935,6 +2945,26 @@ object SparkEntry {
                  CAST(coalesce(d3.n_units, 0) AS BIGINT) AS n_units,
                  coalesce(d3.units_md5, md5('')) AS units_md5
           FROM d0 LEFT JOIN d3 USING (doc_id) ORDER BY doc_id""",
+
+    // dp_pack's exclusive-prefix shard rule over the BPE unit counts
+    // (per-doc n_units from the final unit table).
+    "dp_bpe_pack" ->
+      s"""WITH ${bpeCtes(8)},
+          d0 AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          d1 AS (SELECT doc_id, unnest(toks) AS w FROM d0),
+          d2 AS (SELECT d1.doc_id,
+                        CAST(len(string_split(u8.us, ' ')) AS BIGINT) AS nu
+                 FROM d1 JOIN u8 ON u8.w = d1.w),
+          d3 AS (SELECT d0.doc_id,
+                        CAST(coalesce(s.nu, 0) AS BIGINT) AS n_units
+                 FROM d0 LEFT JOIN (SELECT doc_id, sum(nu) AS nu FROM d2
+                                    GROUP BY doc_id) s USING (doc_id)),
+          c AS (SELECT doc_id, n_units,
+                       CAST(sum(n_units) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+                FROM d3)
+          SELECT doc_id, n_units, cum,
+                 CAST(floor(CAST(cum - n_units AS DOUBLE) / 1024) AS BIGINT) AS shard
+          FROM c ORDER BY doc_id ASC""",
 
     // Vocabulary: unit occurrences weighted by word count from the
     // final unit table, ranked (n DESC, unit ASC).
