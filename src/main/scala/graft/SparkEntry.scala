@@ -881,6 +881,13 @@ object SparkEntry {
     "dp_lm_logprob" -> ((s, dir) =>
       dataprep.CorpusStats.unigramLogProb(TestTables.documents(s, dir), "doc_id", "text")),
 
+    // ---- CCNet perplexity buckets: head/middle/tail by unigram-LM
+    //      mean NLL, exact equal-frequency split via the distributed
+    //      rank (no global window) ----
+    "dp_ccnet_buckets" -> ((s, dir) =>
+      dataprep.CorpusStats.perplexityBuckets(TestTables.documents(s, dir),
+        "doc_id", "text", nBuckets = 3)),
+
     // ---- naive-Bayes source scorer (fasttext-style quality classifier) ----
     "dp_nb_score" -> ((s, dir) =>
       dataprep.CorpusStats.naiveBayesScore(TestTables.documents(s, dir),
@@ -3001,6 +3008,30 @@ object SparkEntry {
                  CAST(coalesce(d6.n_units, 0) AS BIGINT) AS n_units,
                  coalesce(d6.ids_md5, md5('')) AS ids_md5
           FROM d0 LEFT JOIN d6 USING (doc_id) ORDER BY doc_id""",
+
+    // The dp_lm_logprob vocabulary chain, ranked by the identical
+    // IEEE mean division with doc-id tie-break, then the exact
+    // equal-frequency bucket formula.
+    "dp_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          v AS (SELECT tok, count(*) AS freq FROM u GROUP BY tok),
+          st AS (SELECT sum(freq) + count(*) AS denom FROM v),
+          q AS (SELECT tok,
+                  CAST(floor((ln(CAST(st.denom AS DOUBLE)) - ln(CAST(freq + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS nll_e6
+                FROM v, st),
+          d AS (SELECT u.doc_id, count(*) AS n_tokens, sum(q.nll_e6) AS sum_nll_e6
+                FROM u JOIN q USING (tok) GROUP BY u.doc_id),
+          r AS (SELECT doc_id, n_tokens, sum_nll_e6,
+                 CAST(row_number() OVER (ORDER BY
+                   CAST(sum_nll_e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE) ASC,
+                   doc_id ASC) AS BIGINT) AS rank,
+                 count(*) OVER () AS n
+                FROM d)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6, rank,
+                 CAST(floor(CAST((rank - 1) * 3 AS DOUBLE) / n) AS BIGINT) AS bucket
+          FROM r ORDER BY doc_id ASC""",
 
     // Same vocabulary build with two conditional counts; per-vocab-
     // entry e6 quantization of the smoothed log-odds, exactly the

@@ -260,6 +260,35 @@ object CorpusStats {
       .orderBy(col(idCol).asc)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: split the
+    * corpus into head/middle/tail by LM perplexity; the head trains,
+    * the tail gets filtered or down-weighted). Documents are ranked by
+    * [[unigramLogProb]]'s mean negative log-likelihood (ascending —
+    * most predictable first) with doc id as the total-order tie-break,
+    * then assigned `bucket = floor((rank-1)·nBuckets / N)` — exact
+    * equal-frequency buckets, no percentile estimation.
+    *
+    * Scale: the rank is NOT a global window — it rides
+    * [[Packing.withCum]]'s two-phase distributed prefix scan (unit
+    * sizes), so bucketing a 100 TB corpus costs one range exchange
+    * like every other packing op. N comes from one count job at plan
+    * construction (the [[Dedup.embeddingNearDupPairs]] precedent).
+    * Output: (idCol, n_tokens, sum_nll_e6, rank, bucket), ordered.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val lm = unigramLogProb(df, idCol, textCol)
+    val n = lm.count()
+    Packing.withCum(lm.withColumn("__one", lit(1L)),
+        Seq(col("mean_nll_e6").asc, col(idCol).asc), "__one")
+      .withColumn("rank", col("cum"))
+      .select(col(idCol), col("n_tokens"), col("sum_nll_e6"), col("rank"),
+        expr(s"CAST(floor(CAST((rank - 1) * $nBuckets AS DOUBLE) / $n) AS BIGINT)")
+          .as("bucket"))
+      .orderBy(col(idCol).asc)
+  }
+
   // ---- BPE tokenizer training (byte-pair encoding, Sennrich et al.
   //      2016 — the standard subword tokenizer learner) ----
 

@@ -45,7 +45,7 @@ object Packing {
     * described above, generic over the ordering so both id-order
     * packing and quality-order budget selection ride it. Appends `cum`.
     */
-  private def withCum(df: DataFrame, orderCols: Seq[Column],
+  private[dataprep] def withCum(df: DataFrame, orderCols: Seq[Column],
       sizeCol: String): DataFrame = {
     val spark = df.sparkSession
     // explicit numPartitions → REPARTITION_BY_NUM origin, which AQE

@@ -125,6 +125,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) == (3L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  // ---- CCNet perplexity buckets ----
+
+  test("perplexityBuckets: equal-frequency split, predictable docs first") {
+    // 6 docs; rarer vocabulary -> higher mean NLL. Common words repeat
+    // across low-perplexity docs, each high-perplexity doc has unique
+    // words.
+    val df = Seq(
+      (1L, "cat dog cat dog"), (2L, "cat dog dog cat"),
+      (3L, "cat rare1"), (4L, "dog rare2"),
+      (5L, "rare3 rare4"), (6L, "rare5 rare6")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.perplexityBuckets(df, "doc_id", "text", nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // ranks follow mean NLL ascending; buckets: ranks 1-2 -> 0, 3-4 -> 1, 5-6 -> 2
+    assert(out.values.map(_._1).toSet == (1L to 6L).toSet)
+    assert(out.values.count(_._2 == 0L) == 2)
+    assert(out.values.count(_._2 == 1L) == 2)
+    assert(out.values.count(_._2 == 2L) == 2)
+    // docs of only common words sit in the head bucket
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
+    // the all-rare docs sit in the tail
+    assert(out(5L)._2 == 2L && out(6L)._2 == 2L)
+  }
+
   // ---- Gopher rules ----
 
   test("gopherRules: each rule flips keep independently") {
