@@ -748,6 +748,15 @@ object SparkEntry {
         TestTables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "shuffle_key")),
 
+    // ---- boundary-crossing sequence packing: docs laid into fixed
+    //      512-token examples, splitting across boundaries ----
+    "dp_seq_pack" -> ((s, dir) =>
+      dataprep.Packing.packSequences(
+        TestTables.documents(s, dir)
+          .select(col("doc_id"),
+            size(dataprep.TextPrep.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 512L)),
+
     // ---- chunk → pack composition: context-window slices assigned to
     //      token-budget shards (the full sequence-prep path) ----
     "dp_chunk_pack" -> ((s, dir) =>
@@ -2432,6 +2441,26 @@ object SparkEntry {
            s"${dataprep.Sampling.ShuffleSalt}) AS BIGINT) AS uid FROM documents")}
           SELECT doc_id, source, h63 AS shuffle_key FROM mh
           ORDER BY shuffle_key ASC, doc_id ASC""",
+
+    // Sequence packing replayed: the dp_pack prefix sum, then one row
+    // per crossed example boundary via generate_series with the same
+    // clamp arithmetic.
+    "dp_seq_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(len($DTOKS) AS BIGINT) AS n_tokens FROM documents
+          ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t),
+          s AS (SELECT doc_id, n_tokens, cum - n_tokens AS st, cum
+                FROM c WHERE n_tokens > 0),
+          e AS (SELECT doc_id, n_tokens, st, cum,
+                       unnest(generate_series(st // 512, (cum - 1) // 512)) AS example
+                FROM s)
+          SELECT doc_id, n_tokens, CAST(example AS BIGINT) AS example,
+                 CAST(greatest(st, example * 512) - example * 512 AS BIGINT) AS off_in_example,
+                 CAST(least(cum, (example + 1) * 512) - greatest(st, example * 512) AS BIGINT) AS seg_len
+          FROM e ORDER BY doc_id ASC, example ASC""",
 
     // dp_chunk's chunk CTE, keyed doc_id*1000+chunk_id, then the same
     // exclusive-prefix shard rule as dp_pack.

@@ -92,6 +92,41 @@ object Packing {
       .orderBy(col(idCol).asc)
   }
 
+  /** Boundary-crossing sequence packing — the pre-training layout
+    * [[packShards]] approximates doc-atomically: documents are laid
+    * back-to-back into one global token stream and cut into
+    * fixed-`seqLen` examples, docs SPLITTING across example
+    * boundaries (the standard GPT-style packing; what the dataloader
+    * reconstructs with attention masks). Output: one row per
+    * (doc, example) overlap — example id, the segment's offset inside
+    * the example, and its length; a doc spanning k boundaries emits
+    * k+1 rows. Zero-length docs occupy no stream space and are
+    * omitted.
+    *
+    * Pure arithmetic over the same two-phase distributed prefix sum
+    * as [[packShards]] — the explode fans out only at boundary
+    * crossings (≤ 1 + size/seqLen rows per doc), so the plan is one
+    * range exchange at any corpus size.
+    */
+  def packSequences(df: DataFrame, idCol: String, sizeCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val thin = df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol))
+    withCum(thin, Seq(col(idCol).asc), sizeCol)
+      .where(col(sizeCol) > 0)
+      .withColumn("__st", col("cum") - col(sizeCol))
+      .withColumn("example",
+        explode(sequence(expr(s"__st div $seqLen"),
+          expr(s"(cum - 1) div $seqLen"))))
+      .select(col(idCol), col(sizeCol),
+        col("example"),
+        (greatest(col("__st"), col("example") * seqLen)
+          - col("example") * seqLen).as("off_in_example"),
+        (least(col("cum"), (col("example") + 1) * seqLen)
+          - greatest(col("__st"), col("example") * seqLen)).as("seg_len"))
+      .orderBy(col(idCol).asc, col("example").asc)
+  }
+
   /** Budget-capped ordered selection: walk the corpus in the total
     * order given by `orderCols` (e.g. quality descending) and keep
     * rows until `budget` units of `sizeCol` are consumed — "take the

@@ -90,6 +90,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("packSequences: docs split across example boundaries with exact offsets") {
+    // stream: doc1 [0,3), doc2 [3,7), doc3 [7,9); seqLen 4
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 0L)).toDF("id", "sz")
+    val out = Packing.packSequences(df, "id", "sz", seqLen = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L),               // fits example 0
+      (2L, 0L, 3L, 1L), (2L, 1L, 0L, 3L), // splits across 0/1
+      (3L, 1L, 3L, 1L), (3L, 2L, 0L, 1L)  // splits across 1/2
+    ))
+    // zero-length doc 4 emits nothing; segments of each example tile it
+    val byExample = out.groupBy(_._2)
+    byExample.foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._3)
+      sorted.foldLeft(0L) { case (off, (_, _, o, l)) =>
+        assert(o == off, "segments tile the example with no gaps"); o + l
+      }
+    }
+    // every doc's segments reassemble to its full length
+    assert(out.groupBy(_._1).map { case (id, segs) => id -> segs.map(_._4).sum } ==
+      Map(1L -> 3L, 2L -> 4L, 3L -> 2L))
+  }
+
   // ---- funnel ----
 
   test("funnel: steps must be strictly ordered in time per user") {
