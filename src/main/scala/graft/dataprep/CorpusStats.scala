@@ -278,10 +278,17 @@ object CorpusStats {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val lm = unigramLogProb(df, idCol, textCol)
+    // The LM frame has joins underneath, so the prefix scan must run
+    // in MATERIALIZED mode — without it the two withCum branches
+    // instantiate independent range exchanges whose samplers (seeded
+    // by RDD id) pick different boundaries, stitching a corrupt rank
+    // (duplicates + gaps; found by the sf0.1 rehearsal, invisible at
+    // gate SF and at small parallelism).
+    val lm = unigramLogProb(df, idCol, textCol).localCheckpoint(true)
     val n = lm.count()
     Packing.withCum(lm.withColumn("__one", lit(1L)),
-        Seq(col("mean_nll_e6").asc, col(idCol).asc), "__one")
+        Seq(col("mean_nll_e6").asc, col(idCol).asc), "__one",
+        materialize = true)
       .withColumn("rank", col("cum"))
       .select(col(idCol), col("n_tokens"), col("sum_nll_e6"), col("rank"),
         expr(s"CAST(floor(CAST((rank - 1) * $nBuckets AS DOUBLE) / $n) AS BIGINT)")

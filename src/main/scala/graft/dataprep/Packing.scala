@@ -45,15 +45,28 @@ object Packing {
     * described above, generic over the ordering so both id-order
     * packing and quality-order budget selection ride it. Appends `cum`.
     */
+  /** @param materialize eagerly localCheckpoint the partitioned,
+    *   pid-stamped frame so the totals and running-sum branches read
+    *   ONE materialized RDD by construction. Required whenever `df`'s
+    *   plan is not trivially canonical-equal across the two branches
+    *   (joins/aggregations underneath): exchange REUSE is then not
+    *   guaranteed, and two independently-instantiated range exchanges
+    *   sample DIFFERENT boundaries (the sampler is seeded by RDD id),
+    *   stitching a corrupt prefix sum — duplicate and missing ranks.
+    *   Found by the sf0.1 rehearsal of dp_ccnet_buckets; scan-rooted
+    *   callers (packShards over a projection) keep the reuse path,
+    *   which Round5OpsSpec's plan test asserts.
+    */
   private[dataprep] def withCum(df: DataFrame, orderCols: Seq[Column],
-      sizeCol: String): DataFrame = {
+      sizeCol: String, materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // explicit numPartitions → REPARTITION_BY_NUM origin, which AQE
     // never coalesces: both consumers of the reused exchange see the
     // same partition indexes
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = df.repartitionByRange(n, orderCols: _*)
+    val part0 = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+    val part = if (materialize) part0.localCheckpoint(true) else part0
 
     // phase 2: per-partition totals → exclusive base offsets. The
     // window is global but over ≤ n rows (one per partition).
@@ -82,11 +95,13 @@ object Packing {
     *         sum (matches `sum() OVER (ORDER BY id)` in SQL), `shard`
     *         uses the exclusive prefix `cum - size`
     */
+  /** @param materialize set true when `df` carries joins or
+    *   aggregations — see [[withCum]]'s parameter doc for why. */
   def packShards(df: DataFrame, idCol: String, sizeCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, materialize: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     val thin = df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol))
-    withCum(thin, Seq(col(idCol).asc), sizeCol)
+    withCum(thin, Seq(col(idCol).asc), sizeCol, materialize)
       .withColumn("shard", floor((col("cum") - col(sizeCol)) / budget))
       .select(col(idCol), col(sizeCol), col("cum"), col("shard"))
       .orderBy(col(idCol).asc)
@@ -108,11 +123,12 @@ object Packing {
     * crossings (≤ 1 + size/seqLen rows per doc), so the plan is one
     * range exchange at any corpus size.
     */
+  /** @param materialize see [[packShards]]. */
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long, materialize: Boolean = false): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val thin = df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol))
-    withCum(thin, Seq(col(idCol).asc), sizeCol)
+    withCum(thin, Seq(col(idCol).asc), sizeCol, materialize)
       .where(col(sizeCol) > 0)
       .withColumn("__st", col("cum") - col(sizeCol))
       .withColumn("example",
@@ -142,11 +158,12 @@ object Packing {
     * `orderCols` must induce a TOTAL order (break score ties with a
     * unique id) or the selection at the boundary is nondeterministic.
     */
+  /** @param materialize see [[packShards]]. */
   def selectByBudget(df: DataFrame, orderCols: Seq[Column],
-      sizeCol: String, budget: Long): DataFrame = {
+      sizeCol: String, budget: Long, materialize: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     withCum(df.withColumn(sizeCol, col(sizeCol).cast("long")),
-        orderCols, sizeCol)
+        orderCols, sizeCol, materialize)
       .where(col("cum") - col(sizeCol) < budget)
   }
 }

@@ -172,6 +172,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L)._2 == 2L && out(6L)._2 == 2L)
   }
 
+  test("perplexityBuckets: rank is a contiguous permutation at parallelism") {
+    // regression for the sf0.1 rehearsal find: without pinning the LM
+    // frame, withCum's two branches re-sampled independent range
+    // boundaries and the stitched rank had duplicates and gaps
+    val n = 4000
+    val words = Seq("cat", "dog", "bird", "fish", "mouse", "horse", "crow")
+    val df = (1 to n).map { i =>
+      (i.toLong, (0 until 5 + i % 7).map(j => words((i * 31 + j * 17) % 7)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(16)
+    val ranks = CorpusStats.perplexityBuckets(df, "doc_id", "text", nBuckets = 3)
+      .select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n.toLong).toSeq)
+  }
+
   // ---- Gopher rules ----
 
   test("gopherRules: each rule flips keep independently") {
