@@ -500,6 +500,12 @@ object SparkEntry {
       dataprep.Similarity.hardNegatives(TestTables.embeddings(s, dir),
         "vec_id", "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // ---- triplet mining: anchor + nearest same-label positive +
+    //      top-k hard negatives, the full contrastive tuple ----
+    "dp_triplet_mine" -> ((s, dir) =>
+      dataprep.Similarity.tripletMine(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)),
+
     // ---- incremental near-dup: new batch vs persisted band index ----
     "dp_dedup_incremental" -> ((s, dir) =>
       TestTables.documentsIncrementalDedup(s, dir)),
@@ -2036,6 +2042,35 @@ object SparkEntry {
          SELECT query_id, neighbor_id, neg_label, CAST(rn AS BIGINT) AS rank,
                 CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dot_e6
          FROM r WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // Triplet mining: the same scored scan split into a same-label
+    // positive window (rn = 1) and a different-label negative window
+    // (rank <= k), joined on the anchor.
+    "dp_triplet_mine" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+         ), scored AS (
+           SELECT q.query_id, q.q_label, e.vec_id AS nid, e.label AS nlabel,
+                  list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         ), pos AS (
+           SELECT query_id, nid AS pos_id,
+                  CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS pos_dot_e6,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, nid ASC) AS rn
+           FROM scored WHERE nlabel = q_label
+         ), neg AS (
+           SELECT query_id, nid AS neg_id,
+                  CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS neg_dot_e6,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d DESC, nid ASC) AS rank
+           FROM scored WHERE nlabel <> q_label
+         )
+         SELECT n.query_id, p.pos_id, p.pos_dot_e6, n.neg_id,
+                CAST(n.rank AS BIGINT) AS rank, n.neg_dot_e6
+         FROM neg n JOIN pos p ON p.query_id = n.query_id AND p.rn = 1
+         WHERE n.rank <= 5
+         ORDER BY n.query_id, n.rank""",
 
     // Hybrid search: the metadata predicate restricts the corpus side
     // only — queries are taken from the unfiltered table.

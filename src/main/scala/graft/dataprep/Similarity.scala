@@ -173,6 +173,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Triplet mining — [[hardNegatives]] completed into the full
+    * contrastive-training tuple: for each anchor, the POSITIVE is its
+    * most similar same-label vector (excluding itself) and the
+    * negatives are the k most similar different-label vectors, so
+    * each row (anchor, positive, negative@rank) is ready for a
+    * triplet/InfoNCE loss. Anchors with no same-label partner drop
+    * out (no positive exists — declared).
+    *
+    * One corpus pass scores everything against the broadcast anchor
+    * set; the positive and negative sides are two ranked windows over
+    * that shared scan, split by the label predicate. Both joins are
+    * broadcast/hash — deterministic partitioning, no range sampling
+    * anywhere.
+    */
+  def tripletMine(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("nid"),
+      col(labelCol).as("nlabel"), col(vecCol).cast("array<double>").as("v"))
+    val queries = df.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(labelCol).as("qlabel"),
+        col(vecCol).cast("array<double>").as("q"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("nid"))
+      .withColumn("dot", dot(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("nid").asc)
+    val pos = scored.where(col("nlabel") === col("qlabel"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), col("nid").as("pos_id"),
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("pos_dot_e6"))
+    val neg = scored.where(col("nlabel") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neg_id"),
+        col("rank").cast("long").as("rank"),
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("neg_dot_e6"))
+    neg.join(pos, Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("pos_dot_e6"),
+        col("neg_id"), col("rank"), col("neg_dot_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from xxhash64(p, j), mapped to [-0.5, 0.5). Expressed as
     * columns so the whole signature stays inside codegen.

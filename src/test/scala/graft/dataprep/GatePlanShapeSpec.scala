@@ -21,6 +21,7 @@ class GatePlanShapeSpec extends SparkSpec {
   private val boundedBnljOk: Set[String] = Set(
     "dp_ann_topk",        // 5 query vectors broadcast over the corpus scan
     "dp_hard_negatives",  // same, with the per-query label exclusion
+    "dp_triplet_mine",    // same scored scan, split into pos/neg windows
     "dp_ann_filtered",    // same, with a pushed predicate
     "dp_ann_int8",        // same over the quantized corpus
     "dp_ann_int8_rerank", // stage 1 int8 scan + stage 2 rerank of top-3k pool

@@ -119,6 +119,27 @@ class Round4OpsSpec extends SparkSpec {
     assert(hn == ft)
   }
 
+  test("tripletMine: nearest same-label positive, ranked hard negatives") {
+    val out = Similarity.tripletMine(vecs, "vec_id", "embedding", "label",
+        queryIds = Seq(0L, 3L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // anchor 0 (label 0): positive = 1 (closest same-label);
+    // negatives ranked 2 then 3. anchor 3 (label 1): positive = 2;
+    // negatives ranked 1 then 0.
+    assert(out.toSeq == Seq(
+      (0L, 1L, 2L, 1L), (0L, 1L, 3L, 2L),
+      (3L, 2L, 1L, 1L), (3L, 2L, 0L, 2L)))
+  }
+
+  test("tripletMine: anchors without a same-label partner drop out") {
+    import org.apache.spark.sql.functions._
+    val lonely = vecs.withColumn("label",
+      when(col("vec_id") === 0L, lit(9)).otherwise(col("label")))
+    val out = Similarity.tripletMine(lonely, "vec_id", "embedding", "label",
+      queryIds = Seq(0L, 3L), k = 2)
+    assert(out.select("query_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   // ---- incremental minhash index ----
 
   test("dedupAgainstIndex reproduces the cross slice of full LSH, incl. after append") {
