@@ -55,7 +55,13 @@ object Packing {
     *   stitching a corrupt prefix sum — duplicate and missing ranks.
     *   Found by the sf0.1 rehearsal of dp_ccnet_buckets; scan-rooted
     *   callers (packShards over a projection) keep the reuse path,
-    *   which Round5OpsSpec's plan test asserts.
+    *   which Round5OpsSpec's plan test asserts. Storage lifecycle:
+    *   checkpoint blocks are owned by the RDD, not the CacheManager —
+    *   the ContextCleaner frees them once the returned frame is
+    *   unreferenced, so unlike persist() there is no caller-unpersist
+    *   contract. (Trade-off: localCheckpoint is non-reliable — losing
+    *   an executor loses blocks and fails the job rather than
+    *   recomputing; acceptable for a per-query scratch frame.)
     */
   private[dataprep] def withCum(df: DataFrame, orderCols: Seq[Column],
       sizeCol: String, materialize: Boolean = false): DataFrame = {
