@@ -36,5 +36,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is a single JVM carrying all 32 executor threads'
+  // task memory: 8g forced late-sweep full GCs that inflated bench
+  // outliers up to 12x (r8 dp_ann_pq_rerank 12.7s vs 1.2s at a
+  // right-sized heap). Default to ~3/8 of the 128 GiB box; cap at
+  // half of physical RAM so smaller machines still boot.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
+    math.min(48L, math.max(4L,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean()
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize / (2L << 30))).toString + "g")}",
 )

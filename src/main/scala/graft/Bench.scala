@@ -92,16 +92,24 @@ object Bench {
       // not a published scenario, but the comparable (entity, time)
       // needle: zone-map-pruned read over the Z-ordered copy
       "events_zorder_lookup")
-    val baseline = baselineQs.filter(SparkEntry.queries.contains).map { n =>
+    val baselinePairs = baselineQs.filter(SparkEntry.queries.contains).map { n =>
       def once(): Double = {
         spark.catalog.clearCache() // same hygiene as the main sweep
         val t0 = System.nanoTime()
         try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e6
       }
-      val m1 = once()
-      s"\"" + n + "\":" + math.min(m1, once()).round
+      (n, once(), once())
+    }
+    val baseline = baselinePairs.map { case (n, a, b) =>
+      s"\"" + n + "\":" + math.min(a, b).round
     }.mkString(",\"baseline_warm_ms\":{", ",", "}")
+    // both raw samples (BENCH_FULL only): the same-boot A/B the r8
+    // verdict asked for — cross-boot drift vs in-boot noise become
+    // distinguishable per scenario
+    val baselineSamples = baselinePairs.map { case (n, a, b) =>
+      s"\"" + n + "\":[" + a.round + "," + b.round + "]"
+    }.mkString(",\"baseline_warm_samples\":{", ",", "}")
     // ---- write-path throughput (BASELINE.md "Write path" section) ----
     // Rendering the events table to NDJSON is setup (not timed); the
     // timed span is the full ingest path: JSON parse -> time
@@ -254,7 +262,7 @@ object Bench {
     val qSamples = sampled.map { case (k, (a, b)) =>
       s"\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","queries":$qs,"query_samples":$qSamples$baseline$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
     // root), overridable via env — no baked-in absolute paths
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")

@@ -286,6 +286,11 @@ object CorpusStats {
     // gate SF and at small parallelism).
     val lm = unigramLogProb(df, idCol, textCol).localCheckpoint(true)
     val n = lm.count()
+    // empty corpus: 0/0 below would NaN every bucket — return the
+    // (empty) frame with the contract schema instead
+    if (n == 0)
+      return lm.select(col(idCol), col("n_tokens"), col("sum_nll_e6"),
+        lit(0L).as("rank"), lit(0L).as("bucket"))
     Packing.withCum(lm.withColumn("__one", lit(1L)),
         Seq(col("mean_nll_e6").asc, col(idCol).asc), "__one",
         materialize = true)
@@ -402,8 +407,10 @@ object CorpusStats {
     val units = words
       .select(col("cnt"), explode(foldAllMerges(col("w"), merges)).as("unit"))
       .groupBy(col("unit")).agg(sum(col("cnt")).as("n"))
+    // unit vocabulary is KB-scale (see scaladoc); constant partition
+    // key keeps the single-partition plan but silences the warning
     val wRank = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("unit").asc)
+      .partitionBy(lit(0)).orderBy(col("n").desc, col("unit").asc)
     units.withColumn("id", row_number().over(wRank).cast("long"))
       .select(col("id"), col("unit"), col("n"))
       .orderBy(col("id"))

@@ -149,9 +149,7 @@ object Curate {
     // rewrite is the expensive stage and is read by the dedup-key agg,
     // the dedup join, and the final audit join — persist it so those
     // are cache reads, then swap the pin for the smaller deduped
-    // frame (same staging as pipeline()'s survivors → nearDeduped;
-    // the deduped pin backs the returned plan lazily, so long-lived
-    // sessions should clearCache once the result is consumed).
+    // frame (same staging as pipeline()'s survivors → nearDeduped).
     val rewritten = Dedup.removeDuplicateSpans(gated, idCol, textCol, cfg.spanK)
       .where(length(col("clean_text")) > 0)
       .persist()
@@ -175,12 +173,21 @@ object Curate {
       unioned, idCol, "__txt", col("__bench"), cfg.minOverlap)
     // 5. split provenance, audit columns re-attached (from the pinned
     // deduped frame — every surviving id is in it)
-    Sampling.split(decontaminated.select(col(idCol)), idCol)
+    val out = Sampling.split(decontaminated.select(col(idCol)), idCol)
       .join(deduped.select(col(idCol), col("n_chars"),
         col("n_removed"), col("clean_text")), Seq(idCol))
       .select(col(idCol), col("n_chars"), col("n_removed"),
         col("clean_text"), col("split"))
       .orderBy(col(idCol))
+      // materialize the result so the deduped pin can be released
+      // HERE instead of backing the returned plan with no unpersist
+      // path (r8 ADVICE: repeated pipeline calls in a long-lived
+      // session accumulated pinned storage). localCheckpoint blocks
+      // are RDD-owned — the ContextCleaner frees them once the
+      // returned frame is unreferenced, no caller contract needed.
+      .localCheckpoint(true)
+    deduped.unpersist()
+    out
   }
 
   /** Per-stage audit counts (docs surviving each gate) — the report a

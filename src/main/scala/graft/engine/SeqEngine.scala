@@ -296,7 +296,7 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
           (if (agg.groupBy.isDefined) Seq("name") else Nil)
         val withV = m.select(keys :+ v.as("__v"): _*).where(col("__v").isNotNull)
         import org.apache.spark.sql.expressions.Window
-        val w = if (keyNames.isEmpty) Window.partitionBy() else Window.partitionBy(keyNames.map(col): _*)
+        val w = if (keyNames.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(keyNames.map(col): _*)
         val ranked = withV
           .withColumn("__rn", row_number().over(w.orderBy(col("__v").asc)) - 1)
           .withColumn("__n", count(lit(1)).over(w))
@@ -402,7 +402,7 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
     val withV = qf.select(col("b").as("bucket_ms"), col("n").as("name"),
         col("v").as("__v")).where(col("__v").isNotNull)
     import org.apache.spark.sql.expressions.Window
-    val w = if (keyNames.isEmpty) Window.partitionBy()
+    val w = if (keyNames.isEmpty) Window.partitionBy(lit(0))
       else Window.partitionBy(keyNames.map(col): _*)
     val ranked = withV
       .withColumn("__rn", row_number().over(w.orderBy(col("__v").asc)) - 1)

@@ -321,6 +321,10 @@ final class EsHttpFacade(
       val isBulk = path == "/_bulk"
       if (isBulk) mBulkTotal.inc() else mSearchTotal.inc()
       val t0 = System.nanoTime()
+      // trace-context propagation (reference tracing/http.go:11-14):
+      // a caller-supplied debug header rides the request thread into
+      // the slow-query log
+      TraceContext.set(Option(ex.getRequestHeaders.getFirst(TraceContext.HttpHeader)))
       try {
         if (path == "/_bulk") handleBulk(ex)
         else if (path == "/search") handleSearch(ex)
@@ -330,13 +334,14 @@ final class EsHttpFacade(
         else if (path == "/async_search/fetch") handleAsyncFetch(ex)
         else if (path == "/async_search/cancel") handleAsyncCancel(ex)
         else reply(ex, 400, """{"error":"unsupported endpoint"}""")
-        (if (isBulk) mBulkSeconds else mSearchSeconds)
-          .observeNanos(System.nanoTime() - t0)
+        val tookNs = System.nanoTime() - t0
+        (if (isBulk) mBulkSeconds else mSearchSeconds).observeNanos(tookNs)
+        TraceContext.logIfSlow(s"http$path", "", tookNs / 1000000L)
       } catch {
         case e: Throwable =>
           (if (isBulk) mBulkErrors else mSearchErrors).inc()
           reply(ex, 500, s"""{"error":${quote(e.getMessage)}}""")
-      }
+      } finally TraceContext.clear()
     }
 
     private def handleBulk(ex: HttpExchange): Unit = {

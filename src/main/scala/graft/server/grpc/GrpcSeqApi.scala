@@ -151,10 +151,58 @@ final class GrpcSeqApi(
     }
   }
 
+  /** Trace-context propagation (reference tracing/grpc.go:14-30): a
+    * caller-supplied `jaeger-debug-id` metadata entry is pinned to the
+    * request thread for the duration of every listener callback, so
+    * the handler's explain payload and slow-query log can carry it.
+    * Listener-scoped set/clear (not gRPC Context) keeps it independent
+    * of the shaded runtime's context executor wiring. */
+  private object TraceInterceptor extends org.sparkproject.connect.grpc.ServerInterceptor {
+    private val HeaderKey = org.sparkproject.connect.grpc.Metadata.Key.of(
+      graft.server.TraceContext.GrpcKey,
+      org.sparkproject.connect.grpc.Metadata.ASCII_STRING_MARSHALLER)
+    override def interceptCall[ReqT, RespT](
+        call: org.sparkproject.connect.grpc.ServerCall[ReqT, RespT],
+        headers: org.sparkproject.connect.grpc.Metadata,
+        next: org.sparkproject.connect.grpc.ServerCallHandler[ReqT, RespT])
+        : org.sparkproject.connect.grpc.ServerCall.Listener[ReqT] = {
+      val id = Option(headers.get(HeaderKey)).filter(_.nonEmpty)
+      val delegate = next.startCall(call, headers)
+      if (id.isEmpty) delegate
+      else new org.sparkproject.connect.grpc.ForwardingServerCallListener
+          .SimpleForwardingServerCallListener[ReqT](delegate) {
+        // super calls stay DIRECT statements (no by-name helper):
+        // a lambda-lifted super$… accessor trips IllegalAccessError
+        // against the shaded runtime's package-private
+        // PartialForwardingServerCallListener
+        override def onMessage(m: ReqT): Unit = {
+          graft.server.TraceContext.set(id)
+          try super.onMessage(m) finally graft.server.TraceContext.clear()
+        }
+        override def onHalfClose(): Unit = {
+          graft.server.TraceContext.set(id)
+          try super.onHalfClose() finally graft.server.TraceContext.clear()
+        }
+        override def onReady(): Unit = {
+          graft.server.TraceContext.set(id)
+          try super.onReady() finally graft.server.TraceContext.clear()
+        }
+        override def onComplete(): Unit = {
+          graft.server.TraceContext.set(id)
+          try super.onComplete() finally graft.server.TraceContext.clear()
+        }
+        override def onCancel(): Unit = {
+          graft.server.TraceContext.set(id)
+          try super.onCancel() finally graft.server.TraceContext.clear()
+        }
+      }
+    }
+  }
+
   def start(port: Int = 0): Int = {
     server = NettyServerBuilder.forPort(port)
       .addService(org.sparkproject.connect.grpc.ServerInterceptors.intercept(
-        serviceDefinition, AdmissionInterceptor))
+        serviceDefinition, TraceInterceptor, AdmissionInterceptor))
       .build().start()
     server.getPort
   }
@@ -454,7 +502,13 @@ final class GrpcSeqApi(
       PExplainEntry(p.simpleStringWithNodeId(), nodeMs(p),
         if (depth >= 8) Nil else kids(p).take(8).map(walk(_, depth + 1)))
     val root = walk(df.queryExecution.executedPlan, 0)
-    root.copy(durationMs = durationMs)
+    // a caller-supplied trace id (jaeger-debug-id metadata) tags the
+    // root span, mirroring the reference's span attribute
+    val msg = graft.server.TraceContext.current match {
+      case Some(id) => s"${root.message} [trace_id=$id]"
+      case None     => root.message
+    }
+    root.copy(message = msg, durationMs = durationMs)
   }
 
   private def handleComplexSearchUncached(r: PComplexSearchRequest): PComplexSearchResponse = {
@@ -480,6 +534,8 @@ final class GrpcSeqApi(
         searchDf.map(df => explainTree(df, ms)).orElse(
           Some(PExplainEntry(s"complex search (no docs requested)", ms, Nil)))
       }
+    graft.server.TraceContext.logIfSlow("grpc.ComplexSearch", r.q.query,
+      (System.nanoTime() - t0) / 1000000L)
     PComplexSearchResponse(total, docs, aggs, hist, ErrNo, explain)
   }
 
@@ -626,6 +682,17 @@ final class GrpcSeqClient(host: String, port: Int, api: GrpcSeqApi) {
     ClientCalls.blockingUnaryCall(channel, api.searchMd, CallOptions.DEFAULT, r)
   def complexSearch(r: PComplexSearchRequest): PComplexSearchResponse =
     ClientCalls.blockingUnaryCall(channel, api.complexSearchMd, CallOptions.DEFAULT, r)
+  /** [[complexSearch]] with a caller trace/debug id on the metadata —
+    * the reference client's jaeger-debug-id propagation. */
+  def complexSearchTraced(r: PComplexSearchRequest, traceId: String): PComplexSearchResponse = {
+    val md = new org.sparkproject.connect.grpc.Metadata()
+    md.put(org.sparkproject.connect.grpc.Metadata.Key.of(
+      graft.server.TraceContext.GrpcKey,
+      org.sparkproject.connect.grpc.Metadata.ASCII_STRING_MARSHALLER), traceId)
+    val ch = org.sparkproject.connect.grpc.ClientInterceptors.intercept(channel,
+      org.sparkproject.connect.grpc.stub.MetadataUtils.newAttachHeadersInterceptor(md))
+    ClientCalls.blockingUnaryCall(ch, api.complexSearchMd, CallOptions.DEFAULT, r)
+  }
   def getAggregation(r: PGetAggregationRequest): PGetAggregationResponse =
     ClientCalls.blockingUnaryCall(channel, api.getAggregationMd, CallOptions.DEFAULT, r)
   def getHistogram(r: PGetHistogramRequest): PGetHistogramResponse =

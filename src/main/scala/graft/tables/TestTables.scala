@@ -225,7 +225,7 @@ object TestTables {
     val path = s"/tmp/graft_rmidx_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
-      if (!new java.io.File(s"$path/allwins/_SUCCESS").exists())
+      if (!new java.io.File(s"$path/allwins/batch=base/_SUCCESS").exists())
         graft.dataprep.Dedup.buildRemovalIndex(
           documents(spark, sfDir).where(col("doc_id") % 5 =!= 0),
           "doc_id", "text", k = 24, indexPath = path)

@@ -34,16 +34,20 @@ object IndexAnalyzer {
         min(col("mid")).as("mid_min"), max(col("mid")).as("mid_max"))
 
   /** Per-day rollup with the range-tightness measure: a file
-    * STRICTLY overlaps its predecessor (in mid_min order) iff its
-    * mid_min is below the predecessor's mid_max — touching ranges
+    * STRICTLY overlaps some earlier file (in mid_min order) iff its
+    * mid_min is below the running max of ALL preceding files'
+    * mid_max — not just the immediate predecessor's, which would
+    * miss ranges NESTED inside an earlier, wider file (A[0,100],
+    * B[10,20], C[30,40]: C overlaps A but not B). Touching ranges
     * (equal mids split across a range boundary) are legal and not
     * counted.
     */
   def dayReport(perFileStats: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("date"))
       .orderBy(col("mid_min").asc, col("file").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     perFileStats
-      .withColumn("prev_max", lag(col("mid_max"), 1).over(w))
+      .withColumn("prev_max", max(col("mid_max")).over(w))
       .withColumn("overlaps_prev",
         col("prev_max").isNotNull && col("mid_min") < col("prev_max"))
       .groupBy(col("date"))

@@ -121,6 +121,21 @@ class GrpcSeqApiSpec extends SparkSpec {
       def spans(e: PExplainEntry): Seq[Long] = e.durationMs +: e.children.flatMap(spans)
       assert(spans(tree).forall(_ >= 0L))
 
+      // trace-context propagation (reference tracing/grpc.go:14-30): a
+      // caller-supplied jaeger-debug-id metadata entry surfaces on the
+      // response's root span
+      val traced = client.complexSearchTraced(PComplexSearchRequest(
+        SearchQuery("*", 0L, Long.MaxValue, explain = true),
+        Nil, None, size = 1, offset = 0, withTotal = false, asc = false),
+        traceId = "trace-abc-123")
+      assert(traced.explain.get.message.contains("[trace_id=trace-abc-123]"),
+        traced.explain.get.message)
+      // and an untraced call carries no tag (no cross-request bleed)
+      val untraced = client.complexSearch(PComplexSearchRequest(
+        SearchQuery("*", 0L, Long.MaxValue, explain = true),
+        Nil, None, size = 1, offset = 0, withTotal = false, asc = false))
+      assert(!untraced.explain.get.message.contains("trace_id"))
+
       // async: start (with aggs + histogram) → poll done → docs,
       // aggregations and histogram all fetchable from the partials
       val started = client.startAsync(PStartAsyncRequest(q, asc = false,
