@@ -719,6 +719,16 @@ object SparkEntry {
         dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
         "doc_id", "payload")),
 
+    // ---- multimodal: REAL codec path — PNG built by the actual
+    //      writer (signature + CRC'd big-endian IHDR), decoded back by
+    //      the actual parser; the oracle recomputes the dimensions the
+    //      id encodes, so a decode that misreads any field goes red ----
+    "dp_multimodal_png" -> ((s, dir) =>
+      dataprep.Multimodal.decodePngMeta(
+        dataprep.Multimodal.withPngPayload(
+          TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
+        "doc_id", "png")),
+
     // ---- multimodal: frame sampling (decimated fixed-record framing,
     //      bounded output per doc, partition-preserving flatMap) ----
     "dp_frames" -> ((s, dir) =>
@@ -2389,6 +2399,17 @@ object SparkEntry {
                CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
                CAST(3 AS BIGINT) AS fake_channels
+        FROM documents ORDER BY id ASC""",
+
+    // What the PNG payload ENCODES is pure id arithmetic — so the
+    // oracle recomputes it directly, and the Spark row is green only
+    // if encode→bytes→decode round-trips every field exactly
+    "dp_multimodal_png" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels
         FROM documents ORDER BY id ASC""",
 
     // The oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely different
