@@ -426,12 +426,18 @@ object CorpusStats {
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val vocab = bpeVocab(df, textCol, merges).select(col("unit"), col("id"))
-    val flat = df
+    // fold once per DISTINCT word, join occurrences back (see
+    // [[bpeApply]] for why: the merge fold is the expensive
+    // expression, and word occurrences repeat Zipf-style)
+    val occ = df
       .withColumn("__toks", TextPrep.tokens(col(textCol)))
       .select(col(idCol), posexplode(col("__toks")))
       .withColumnRenamed("pos", "wpos")
-      .select(col(idCol), col("wpos"),
-        posexplode(foldAllMerges(col("col"), merges)))
+      .withColumnRenamed("col", "__w")
+    val wordUnits = occ.select(col("__w")).distinct()
+      .withColumn("__units", foldAllMerges(col("__w"), merges))
+    val flat = occ.join(wordUnits, Seq("__w"))
+      .select(col(idCol), col("wpos"), posexplode(col("__units")))
       .withColumnRenamed("pos", "upos")
       .withColumnRenamed("col", "unit")
     val encoded = flat.join(vocab, Seq("unit"))
@@ -449,17 +455,47 @@ object CorpusStats {
       .orderBy(col(idCol).asc)
   }
 
+  /** Apply the merges to the whole corpus. The fold runs once per
+    * DISTINCT word, not per occurrence: |merges| array-fold passes per
+    * word is the expensive expression here, and corpus occurrences
+    * repeat Zipf-style, so the per-occurrence formulation burned
+    * |merges|·occurrences fold passes where vocabulary·|merges|
+    * suffices (this very query: 8.2 s → sub-second at sf0.1 — exposed
+    * in r9 when withCum's safety checkpoint started materializing ALL
+    * columns; the old bench action had silently column-pruned the fold
+    * away). The trade is one extra exchange pair (distinct + the
+    * occurrence join-back, which AQE broadcasts while the folded
+    * vocabulary fits) — the same shape every token-level stat here
+    * already uses ([[rarityScore]], [[unigramLogProb]], [[bpeVocab]]),
+    * so at 100 TB the plan stays vocabulary-bounded instead of
+    * occurrence-bounded on its hot expression. Per-doc order is
+    * restored from word position before hashing.
+    */
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    def foldAll(w: Column): Column = foldAllMerges(w, merges)
-    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
-      .withColumn("__units", transform(col("__toks"), w => foldAll(w)))
+    val toks = df.select(col(idCol), TextPrep.tokens(col(textCol)).as("__toks"))
+    val occ = toks.select(col(idCol), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "__wpos")
+      .withColumnRenamed("col", "__w")
+    val wordUnits = occ.select(col("__w")).distinct()
+      .withColumn("__u", foldAllMerges(col("__w"), merges))
+      .select(col("__w"),
+        array_join(col("__u"), " ").as("__ustr"),
+        size(col("__u")).cast("long").as("__nu"))
+    val perDoc = occ.join(wordUnits, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__nu")).as("__n_units"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__wpos"), col("__ustr")))),
+            s => s.getField("__ustr")),
+          "|")).as("__md5"))
+    toks.select(col(idCol), size(col("__toks")).cast("long").as("n_words"))
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_words"),
-        coalesce(aggregate(col("__units"), lit(0L), (a, u) => a + size(u)),
-          lit(0L)).as("n_units"),
-        md5(array_join(transform(col("__units"), u => array_join(u, " ")),
-          "|")).as("units_md5"))
+        col("n_words"),
+        coalesce(col("__n_units"), lit(0L)).as("n_units"),
+        coalesce(col("__md5"), md5(lit(""))).as("units_md5"))
       .orderBy(col(idCol).asc)
   }
 }
