@@ -729,6 +729,18 @@ object SparkEntry {
           TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
         "doc_id", "png")),
 
+    // ---- multimodal: FULL pixel path — real deflate-compressed
+    //      scanlines (filter cycle exercises all five PNG filters),
+    //      decoded back by the actual inflate+unfilter; the oracle
+    //      re-enumerates every 8-bit sample from the closed-form
+    //      pixel function, so any raster/filter/zlib bug shifts
+    //      pixel_sum and goes red ----
+    "dp_multimodal_pixels" -> ((s, dir) =>
+      dataprep.Multimodal.decodePngPixels(
+        dataprep.Multimodal.withPngPixelPayload(
+          TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
+        "doc_id", "png")),
+
     // ---- multimodal: frame sampling (decimated fixed-record framing,
     //      bounded output per doc, partition-preserving flatMap) ----
     "dp_frames" -> ((s, dir) =>
@@ -2411,6 +2423,30 @@ object SparkEntry {
                CAST(CASE CAST(doc_id % 3 AS INT)
                     WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels
         FROM documents ORDER BY id ASC""",
+
+    // The pixel oracle replays the ENTIRE raster sample-by-sample:
+    // dims/channels from id arithmetic, pixel_sum by enumerating
+    // (x, y, c) and summing (id + 3x + 7y + 11c) mod 256 — the same
+    // closed form the writer encodes. The Spark row reproduces it
+    // only if deflate -> IDAT -> inflate -> unfilter round-trips
+    // every single byte.
+    "dp_multimodal_pixels" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+                  CAST((doc_id * 7) % 16 + 1 AS BIGINT) AS h,
+                  CAST(CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+           FROM documents)
+         SELECT d.id, d.w AS width, d.h AS height, d.ch AS channels,
+                CAST(d.w * d.h * d.ch AS BIGINT) AS n_pixel_bytes,
+                CAST(sum((d.id + 3*x.g + 7*y.g + 11*c.g) % 256) AS BIGINT) AS pixel_sum
+         FROM d, generate_series(0, 15) x(g),
+                 generate_series(0, 15) y(g),
+                 generate_series(0, 3) c(g)
+         WHERE x.g < d.w AND y.g < d.h AND c.g < d.ch
+         GROUP BY d.id, d.w, d.h, d.ch
+         ORDER BY d.id ASC""",
 
     // The oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely different
     // algorithm from the Spark union+running-window implementation, so

@@ -97,6 +97,63 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Png.decode(badCrc))
   }
 
+  test("Png.encodePixels/decodePixels: bit-exact round trip, ImageIO ground truth, corruption rejected") {
+    def f(seed: Long)(x: Int, y: Int, c: Int): Int =
+      ((seed + 3L * x + 7L * y + 11L * c) % 256).toInt
+    // ≥5 rows ⇒ every filter type (None/Sub/Up/Average/Paeth) on the
+    // wire; all three color types; 1×1 edge
+    for ((w, h, ct, ch) <- Seq((1, 1, 0, 1), (17, 9, 0, 1), (13, 11, 2, 3),
+        (8, 23, 6, 4), (31, 5, 2, 3))) {
+      val png = Multimodal.Png.encodePixels(w, h, ct, f(w * 1000L + h))
+      val (dw, dh, dch, px) = Multimodal.Png.decodePixels(png)
+      assert((dw, dh, dch) == ((w, h, ch)), s"($w,$h,$ct)")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((px(y * w * ch + x * ch + c) & 0xFF) == f(w * 1000L + h)(x, y, c),
+          s"($w,$h,$ct) pixel ($x,$y,$c)")
+      // the JDK's OWN decoder reads the same samples back — proves
+      // the writer emits standard PNG (filters, zlib framing and all),
+      // and cross-validates our unfilter against an independent codec
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(raster.getSample(x, y, c) == f(w * 1000L + h)(x, y, c),
+          s"ImageIO ($w,$h,$ct) sample ($x,$y,$c)")
+    }
+    // corrupting one byte of compressed pixel data fails the CRC
+    val good = Multimodal.Png.encodePixels(10, 10, 2, f(1))
+    val bad = good.clone(); bad(45) = (bad(45) ^ 0x20).toByte
+    intercept[IllegalArgumentException](Multimodal.Png.decodePixels(bad))
+    // declaring MORE rows than the pixel data holds must surface
+    val short = Multimodal.Png.encodePixels(4, 3, 0, f(2))
+    val grown = {
+      // rewrite IHDR height 3→200, fix the CRC, keep the tiny IDAT
+      val b = short.clone()
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.putInt(20, 200)
+      val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
+      bb.putInt(29, crc.getValue.toInt); b
+    }
+    intercept[IllegalArgumentException](Multimodal.Png.decodePixels(grown))
+  }
+
+  test("PNG pixel pipeline: distributed decode reproduces the closed-form sample sums") {
+    val d = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.decodePngPixels(
+      Multimodal.withPngPixelPayload(d, "doc_id", "png"), "doc_id", "png")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 60)
+    out.foreach { case (id, w, h, ch, n, sum) =>
+      assert(w == id % 16 + 1 && h == id * 7 % 16 + 1, s"id=$id")
+      assert(n == w * h * ch, s"id=$id")
+      val expected = (for {
+        y <- 0L until h; x <- 0L until w; c <- 0L until ch
+      } yield (id + 3 * x + 7 * y + 11 * c) % 256).sum
+      assert(sum == expected, s"id=$id pixel_sum")
+    }
+  }
+
   test("PNG pipeline: payload built and decoded distributed, fields match the id arithmetic") {
     val d = spark.range(0, 50).toDF("doc_id")
     val out = Multimodal.decodePngMeta(
