@@ -271,18 +271,33 @@ final class SeqQlCompiler(table: DocsTable) {
   }
 
   /** Split a pattern on non-token separators, keeping `*` parts intact.
-    * Token chars mirror the text tokenizer: letters, digits, `_`. */
+    * Token chars mirror the text tokenizer: letters, digits, `_`, and
+    * LITERAL `*` (an escaped `\*` is part of a token, because the
+    * tokenizer's char class includes the star). The walk is over the
+    * parsed PARTS, not the rendered text — re-parsing `rawText` would
+    * collapse `\*` and the wildcard `*` into the same character and
+    * lose the distinction the reference's TestWildcardSymbols table
+    * checks (`value\**` = token starting with the literal `value*`,
+    * `value*` = token starting with `value`). */
   private def tokenizePattern(value: Pattern): Seq[Pattern] = {
     def isTokChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '*'
-    val raw = value.rawText
-    val runs = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    for (c <- raw) {
-      if (isTokChar(c)) sb += c
-      else if (sb.nonEmpty) { runs += sb.toString; sb.clear() }
+    val out = Seq.newBuilder[Pattern]
+    var cur = Vector.empty[Pattern.Part]
+    def addLit(s: String): Unit = if (s.nonEmpty) cur = cur :+ Pattern.Lit(s)
+    def flushTok(): Unit =
+      if (cur.nonEmpty) { out += Pattern.normalize(Pattern(cur)); cur = Vector.empty }
+    for (part <- value.parts) part match {
+      case Pattern.Star => cur = cur :+ Pattern.Star
+      case Pattern.Lit(s) =>
+        val sb = new StringBuilder
+        for (c <- s) {
+          if (isTokChar(c)) sb += c
+          else { addLit(sb.toString); sb.clear(); flushTok() }
+        }
+        addLit(sb.toString)
     }
-    if (sb.nonEmpty) runs += sb.toString
-    runs.result().map(Pattern.fromRaw)
+    flushTok()
+    out.result()
   }
 
   /** path: a term matches a doc when it equals one of the doc path's

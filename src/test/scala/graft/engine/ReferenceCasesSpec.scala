@@ -125,4 +125,34 @@ class ReferenceCasesSpec extends SparkSpec {
     for ((q, expected) <- cases)
       assert(hits(notEngine, q) == expected, s"query: $q")
   }
+
+  // TestWildcardSymbols corpus (single_test.go:437-474): messages
+  // mixing literal `*` runs with token boundaries; timestamps
+  // ascending, so expected hit lists are time-descending
+  private lazy val wildcardEngine: SeqEngine = {
+    val msgs = Seq("first value:****", "second value:*******",
+      "third value****", "fourth ****")
+    val lines = msgs.zipWithIndex.map { case (m, i) =>
+      s"""{"timestamp":"2024-03-10 11:58:1$i","docidx":"$i","message":"$m"}"""
+    }
+    new SeqEngine(BulkIngest.ingest(linesDf(lines: _*), mapping, reqTime))
+  }
+
+  test("single_test.go TestWildcardSymbols: the escaped-star wildcard table") {
+    val cases = Seq(
+      "message:*"                  -> Seq(3, 2, 1, 0),
+      "message:value"              -> Seq(1, 0),
+      "message:value*"             -> Seq(2, 1, 0),
+      """message:value\*"""        -> Seq(),
+      """message:value\**"""       -> Seq(2),
+      """message:*\**"""           -> Seq(3, 2, 1, 0),
+      """message:*e\**"""          -> Seq(2),
+      """message:\**"""            -> Seq(3, 1, 0),
+      """message:\*\*\*\*"""       -> Seq(3, 0),
+      """message:\*\*\*\**"""      -> Seq(3, 1, 0),
+      """message:value* AND message:\*\**""" -> Seq(1, 0),
+      """message:value* OR message:\*\**"""  -> Seq(3, 2, 1, 0))
+    for ((q, expected) <- cases)
+      assert(hits(wildcardEngine, q) == expected, s"query: $q")
+  }
 }
