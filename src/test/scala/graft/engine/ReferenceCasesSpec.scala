@@ -155,4 +155,54 @@ class ReferenceCasesSpec extends SparkSpec {
     for ((q, expected) <- cases)
       assert(hits(wildcardEngine, q) == expected, s"query: $q")
   }
+
+  // TestSearchFromTo corpus (single_test.go:335-411): 8 docs at 1 ms
+  // spacing; message good/bad alternating (even idx = bad),
+  // traceID = idx/3, service = idx%3, level = idx+1. The table checks
+  // that BOTH time bounds are INCLUSIVE and that asc/desc return the
+  // same set in opposite order.
+  private val fromToBaseMs = 1710071880000L // 2024-03-10T11:58:00Z
+  private lazy val fromToEngine: SeqEngine = {
+    val lines = (0 until 8).map { i =>
+      val msg = if (i % 2 == 0) "bad" else "good"
+      s"""{"timestamp":"2024-03-10 11:58:00.${"%03d".format(i)}","docidx":"$i",""" +
+        s""""service":"${i % 3}","message":"$msg","traceID":"${i / 3}","level":"${i + 1}"}"""
+    }
+    new SeqEngine(BulkIngest.ingest(linesDf(lines: _*), mapping, reqTime))
+  }
+
+  test("single_test.go TestSearchFromTo: inclusive time bounds, asc/desc agreement") {
+    def check(query: String, from: Int, to: Int, expected: Seq[Int]): Unit = {
+      def run(asc: Boolean): Seq[Int] =
+        fromToEngine.search(SearchRequest(query,
+            fromToBaseMs + from, fromToBaseMs + to, size = 100, asc = asc))
+          .select("docidx").collect().map(_.getString(0).toInt).toSeq
+      assert(run(asc = false) == expected, s"desc: $query [$from,$to]")
+      assert(run(asc = true) == expected.reverse, s"asc: $query [$from,$to]")
+      assert(fromToEngine.total(query, fromToBaseMs + from, fromToBaseMs + to)
+        .head.getLong(0) == expected.size, s"total: $query [$from,$to]")
+    }
+    check("message:good", 0, 7, Seq(7, 5, 3, 1))
+    check("message:bad", 0, 7, Seq(6, 4, 2, 0))
+    check("message:good", 0, 6, Seq(5, 3, 1))
+    check("message:bad", 1, 7, Seq(6, 4, 2))
+    check("message:good OR message:bad", 2, 6, Seq(6, 5, 4, 3, 2))
+    check("message:good OR message:bad", 3, 3, Seq(3))
+    check("NOT message:notexists", 0, 7, Seq(7, 6, 5, 4, 3, 2, 1, 0))
+    check("NOT message:notexists", 0, 6, Seq(6, 5, 4, 3, 2, 1, 0))
+    check("NOT message:notexists", 1, 7, Seq(7, 6, 5, 4, 3, 2, 1))
+    check("NOT message:notexists", 1, 6, Seq(6, 5, 4, 3, 2, 1))
+    check("NOT message:notexists AND message:*", 1, 6, Seq(6, 5, 4, 3, 2, 1))
+    check("NOT message:notexists AND (message:* OR message:*)", 1, 6, Seq(6, 5, 4, 3, 2, 1))
+    check("NOT message:notexists AND (message:good OR message:bad)", 1, 6, Seq(6, 5, 4, 3, 2, 1))
+    check("NOT message:notexists AND message:good", 1, 6, Seq(5, 3, 1))
+    check("NOT (message:good OR message:bad)", 0, 7, Seq())
+    check("NOT (message:good OR message:bad)", 1, 6, Seq())
+    check("NOT traceID:0", 0, 2, Seq())
+    check("NOT traceID:0", 0, 3, Seq(3))
+    check("NOT traceID:1", 3, 5, Seq())
+    check("NOT traceID:1", 2, 6, Seq(6, 2))
+    check("NOT traceID:0 AND NOT traceID:2", 0, 10, Seq(5, 4, 3))
+    check("NOT traceID:0 AND NOT traceID:2", 3, 5, Seq(5, 4, 3))
+  }
 }
