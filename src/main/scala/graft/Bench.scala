@@ -10,6 +10,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // keep the DELIBERATE constant partition keys on bounded global
+      // windows (Packing/Similarity/CorpusStats): Spark 4's
+      // EliminateWindowPartitions folds them away, which both
+      // re-raises the WindowExec warning the constant exists to
+      // silence AND makes a real missing-partitionBy indistinguishable
+      // from an intentional bounded one in the logs
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       // events.parquet carries pandas ns timestamps; see TestTables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries pandas ns timestamps; see TestTables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // preserve deliberate constant-key windows (see Bench.scala)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
