@@ -343,6 +343,34 @@ object Dedup {
       .sortWithinPartitions(col("bk"))
       .write.mode(mode).parquet(s"$indexPath/bands$sub")
     withSh.unpersist()
+    writeFamilyMarker(df.sparkSession, indexPath)
+  }
+
+  private def familyMarker(indexPath: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$indexPath/_MINHASH_FAMILY_V${graft.functions.MinHashCoefficients.familyVersion}")
+
+  private def writeFamilyMarker(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val p = familyMarker(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
+  /** Band keys are only comparable within one hash family: probing an
+    * index whose keys came from a different family would find ZERO
+    * candidates and silently report "no duplicates" — the worst
+    * failure mode a dedup pipeline can have. The marker is written by
+    * [[buildMinhashIndex]]; its absence means the index predates the
+    * current family (or isn't a minhash index at all) and must be
+    * rebuilt. */
+  private def requireFamilyMarker(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val p = familyMarker(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"minhash index at $indexPath lacks ${p.getName}: it was built " +
+          "with an incompatible hash family (or is not a minhash index); " +
+          "rebuild it with buildMinhashIndex before probing")
   }
 
   /** Near-dup pairs of a NEW batch against the indexed corpus — the
@@ -362,6 +390,7 @@ object Dedup {
       indexPath: String): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = newDf.sparkSession
+    requireFamilyMarker(spark, indexPath)
     val newSh = newDf.select(col(idCol).as("new_id"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh_new"))
       .persist()

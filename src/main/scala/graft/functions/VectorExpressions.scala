@@ -183,23 +183,73 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash permutation coefficients, splitmix64-mixed per index.
+  *
+  * The original scheme derived a_i, b_i LINEARLY from i
+  * (a_i = ((i+1)·C1) mod P, b_i = ((i+1)·C2) mod P), which makes the
+  * "independent permutations" affinely correlated:
+  * h_i(x) ≡ (i+1)·(C1·xm + C2) + xm (mod P) — a single element can be
+  * the minimum on an ARITHMETIC PROGRESSION of permutation indices.
+  * The round-9 sf1 rehearsal caught exactly that: one document's
+  * unique shingle won every i ≡ 2 (mod 4), i.e. one row in EVERY
+  * 4-row band, so a J=0.91 near-duplicate pair shared 0 of 32 bands
+  * and its whole cluster split. splitmix64 (Steele et al.,
+  * "Fast splittable pseudorandom number generators", OOPSLA'14 —
+  * finalizer constants public domain) decorrelates the streams; the
+  * per-numHashes coefficient arrays are cached so row evaluation cost
+  * is unchanged.
+  */
+object MinHashCoefficients {
+  val P = 2147483647L
+
+  /** Bumped whenever the permutation family changes (v1 = the linear
+    * scheme above, v2 = splitmix64). Persisted band-key indexes embed
+    * this so a probe with a different family fails loudly instead of
+    * silently finding nothing ([[graft.dataprep.Dedup.buildMinhashIndex]]). */
+  val familyVersion = 2
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  /** (a, b) arrays for `numHashes` permutations; a_i ∈ [1, P−1]. */
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(numHashes, n => {
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        a(i) = ((mix64(2L * i) % (P - 1)) + (P - 1)) % (P - 1) + 1
+        b(i) = ((mix64(2L * i + 1) % P) + P) % P
+        i += 1
+      }
+      (a, b)
+    })
+}
+
 /** MinHash signature in one pass: given an array of shingle hashes,
   * produce `numHashes` minima of h_i(x) = (a_i * (x mod P) + b_i) mod P,
-  * P = 2^31 − 1. Coefficients derive deterministically from i. Replaces
+  * P = 2^31 − 1, with a_i/b_i from [[MinHashCoefficients]]
+  * (splitmix64-decorrelated — see the pathology note there). Replaces
   * a nested higher-order-function formulation that allocated an
   * intermediate array per permutation per row.
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private val P = 2147483647L
-  private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
-  private val C2 = ((0xC2B2AE3D27D4EB4FL % P) + P) % P
+  private val P = MinHashCoefficients.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
+    val (ca, cb) = MinHashCoefficients.coeffs(numHashes)
     val n = xs.numElements()
     val out = Array.fill(numHashes)(P)
     var k = 0
@@ -208,9 +258,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
       val xm = ((x % P) + P) % P
       var i = 0
       while (i < numHashes) {
-        val a = ((i + 1) * C1) % P + 1
-        val b = ((i + 1) * C2) % P
-        val v = (a * xm + b) % P
+        val v = (ca(i) * xm + cb(i)) % P
         if (v < out(i)) out(i) = v
         i += 1
       }
@@ -226,19 +274,18 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
       val k = ctx.freshName("k")
       val i = ctx.freshName("i")
       val xm = ctx.freshName("xm")
-      val a = ctx.freshName("a")
-      val b = ctx.freshName("b")
       val v = ctx.freshName("v")
+      val co = ctx.freshName("coeffs")
       s"""
+         |scala.Tuple2<long[], long[]> $co =
+         |  graft.functions.MinHashCoefficients.coeffs($numHashes);
          |int $n = $x.numElements();
          |long[] $out = new long[$numHashes];
          |java.util.Arrays.fill($out, ${P}L);
          |for (int $k = 0; $k < $n; $k++) {
          |  long $xm = (($x.getLong($k) % ${P}L) + ${P}L) % ${P}L;
          |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $a = (($i + 1) * ${C1}L) % ${P}L + 1L;
-         |    long $b = (($i + 1) * ${C2}L) % ${P}L;
-         |    long $v = ($a * $xm + $b) % ${P}L;
+         |    long $v = (((long[]) $co._1())[$i] * $xm + ((long[]) $co._2())[$i]) % ${P}L;
          |    if ($v < $out[$i]) $out[$i] = $v;
          |  }
          |}
@@ -262,14 +309,13 @@ case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(numHashes % bands == 0, "bands must divide numHashes")
 
-  private val P = 2147483647L
-  private val C1 = ((0x9E3779B97F4A7C15L % P) + P) % P
-  private val C2 = ((0xC2B2AE3D27D4EB4FL % P) + P) % P
+  private val P = MinHashCoefficients.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
+    val (ca, cb) = MinHashCoefficients.coeffs(numHashes)
     val n = xs.numElements()
     val sig = Array.fill(numHashes)(P)
     var k = 0
@@ -277,9 +323,8 @@ case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
       val xm = ((xs.getLong(k) % P) + P) % P
       var i = 0
       while (i < numHashes) {
-        val v = (((i + 1) * C1) % P + 1) * xm % P + ((i + 1) * C2) % P
-        val vm = if (v >= P) v - P else v
-        if (vm < sig(i)) sig(i) = vm
+        val v = (ca(i) * xm + cb(i)) % P
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
       k += 1
@@ -307,16 +352,18 @@ case class MinHashBandKeysExpr(child: Expression, numHashes: Int, bands: Int)
       val xm = ctx.freshName("xm"); val v = ctx.freshName("v")
       val out = ctx.freshName("out"); val b = ctx.freshName("b")
       val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val co = ctx.freshName("coeffs")
       val r = numHashes / bands
       s"""
+         |scala.Tuple2<long[], long[]> $co =
+         |  graft.functions.MinHashCoefficients.coeffs($numHashes);
          |int $n = $x.numElements();
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, ${P}L);
          |for (int $k = 0; $k < $n; $k++) {
          |  long $xm = (($x.getLong($k) % ${P}L) + ${P}L) % ${P}L;
          |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $v = ((($i + 1) * ${C1}L) % ${P}L + 1L) * $xm % ${P}L + (($i + 1) * ${C2}L) % ${P}L;
-         |    if ($v >= ${P}L) $v -= ${P}L;
+         |    long $v = (((long[]) $co._1())[$i] * $xm + ((long[]) $co._2())[$i]) % ${P}L;
          |    if ($v < $sig[$i]) $sig[$i] = $v;
          |  }
          |}

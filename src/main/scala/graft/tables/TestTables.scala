@@ -176,8 +176,10 @@ object TestTables {
     * index fixtures.
     */
   def documentsIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"/tmp/graft_mhidx_${new java.io.File(sfDir).getName}_" +
-      sourceFingerprint(sfDir, "documents")
+    // the family version is part of the cache key: band keys from an
+    // older hash family would probe to zero candidates
+    val path = s"/tmp/graft_mhidx_v${graft.functions.MinHashCoefficients.familyVersion}_" +
+      s"${new java.io.File(sfDir).getName}_" + sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
         graft.dataprep.Dedup.buildMinhashIndex(

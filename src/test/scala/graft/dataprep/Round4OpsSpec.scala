@@ -167,6 +167,23 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == full && got.contains((10L, 1L)))
   }
 
+  test("dedupAgainstIndex refuses an index from a different hash family") {
+    // an index dir without the family marker (e.g. built before a
+    // coefficient change) must fail loudly — its band keys would probe
+    // to zero candidates and silently report "no duplicates"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_stale").toString
+    val old1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(old1, "doc_id", "text", 128, 32, dir)
+    val marker = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("_MINHASH_FAMILY_V")).get
+    assert(marker.delete())
+    val fresh = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupAgainstIndex(fresh, "doc_id", "text", 128, 32, 1, 2, dir).collect()
+    }
+    assert(e.getMessage.contains("incompatible hash family"))
+  }
+
   // ---- groupCentroids ----
 
   test("groupCentroids: exact integer sums (all-integer output)") {

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Regression for the affine-coefficient MinHash pathology the
+  * round-9 sf1 rehearsal caught: with a_i, b_i derived LINEARLY from
+  * the permutation index, h_i(x) ≡ (i+1)·K(x) + xm (mod P), so one
+  * element can be the minimum on an arithmetic progression of i —
+  * the pair below (true bigram-Jaccard 21/23 ≈ 0.91) shared 0 of 32
+  * bands because the left doc's unique shingle won every i ≡ 2
+  * (mod 4), one row of every 4-row band. With splitmix64-mixed
+  * coefficients ([[MinHashCoefficients]]) the expected shared-band
+  * count is ≈ 32·(21/23)⁴ ≈ 22.
+  */
+class MinHashBandRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = "v1x 1888 stream key line customer query merge the " +
+    "order filter data customer key fast window part batch join customer slow row key"
+  private val right = "v2x 1888 stream key line customer query merge the " +
+    "order filter data customer key fast window part batch join customer slow row key"
+
+  test("the sf1 split pair shares bands again (and plenty of them)") {
+    val rows = Seq(left, right).toDF("text")
+      .select(VectorExpressions.minhashBandKeys(
+        TokenizeExpr.bigramHashes(
+          graft.dataprep.TextPrep.tokens(col("text"))), 128, 32).as("bk"))
+      .collect().map(_.getSeq[Long](0))
+    val shared = rows(0).zip(rows(1)).count { case (a, b) => a == b }
+    assert(shared >= 8, s"J≈0.91 pair shares only $shared of 32 bands")
+  }
+
+  test("high-J neighbours always share a band across a corpus of variants") {
+    // 200 base docs, each with a 1-token-prefix variant (J well above
+    // the 0.5 threshold): banding at 128/32 must surface every pair.
+    val words = Seq("stream", "key", "line", "customer", "query", "merge",
+      "the", "order", "filter", "data", "fast", "window", "part", "batch")
+    val docs = (0 until 200).flatMap { i =>
+      val base = (0 until 18).map(j => words((i * 7 + j * 3) % words.size)).mkString(" ")
+      Seq((i.toLong, base), (i + 1000L, s"p${i}q $base"))
+    }
+    val bk = docs.toDF("id", "text")
+      .select(col("id"), VectorExpressions.minhashBandKeys(
+        TokenizeExpr.bigramHashes(
+          graft.dataprep.TextPrep.tokens(col("text"))), 128, 32).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val misses = (0 until 200).filter { i =>
+      !bk(i.toLong).zip(bk(i + 1000L)).exists { case (a, b) => a == b }
+    }
+    assert(misses.isEmpty, s"pairs with no shared band: $misses")
+  }
+}
