@@ -31,6 +31,33 @@ class MinHashBandRecallSpec extends SparkSpec {
     assert(shared >= 8, s"J≈0.91 pair shares only $shared of 32 bands")
   }
 
+  test("banding collision rate at threshold J matches the independence model") {
+    // With INDEPENDENT permutations, a pair at Jaccard J shares a band
+    // with p = 1 − (1 − J^r)^b. The affine family broke exactly this:
+    // its per-band agreement was structurally coupled across bands.
+    // 300 deterministic pairs at J = 20/40 = 0.5 (20 shared + 10+10
+    // unique shingle hashes each) ⇒ expected p ≈ 0.873 at r=4, b=32;
+    // assert the empirical rate is in a wide window around it — a
+    // correlated family lands far outside (the old one measured
+    // pathological all-or-nothing patterns).
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300).map { _ =>
+      val shared = Seq.fill(20)(rnd.nextLong())
+      val a = (shared ++ Seq.fill(10)(rnd.nextLong())).sorted
+      val b = (shared ++ Seq.fill(10)(rnd.nextLong())).sorted
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    val hits = df.select(
+        VectorExpressions.minhashBandKeys(col("a"), 128, 32).as("ba"),
+        VectorExpressions.minhashBandKeys(col("b"), 128, 32).as("bb"))
+      .collect()
+      .count(r => r.getSeq[Long](0).zip(r.getSeq[Long](1)).exists(t => t._1 == t._2))
+    val rate = hits / 300.0
+    // binomial(300, 0.873) 5σ window ≈ ±0.096
+    assert(rate > 0.75 && rate <= 1.0, s"empirical band-collision rate $rate at J=0.5")
+  }
+
   test("high-J neighbours always share a band across a corpus of variants") {
     // 200 base docs, each with a 1-token-prefix variant (J well above
     // the 0.5 threshold): banding at 128/32 must surface every pair.

@@ -90,9 +90,14 @@ for lst in postings.values():
     if ok.any():
         chunks.append(a[ok] * n + b[ok])  # postings sorted => a < b
         pending += int(ok.sum())
-    if pending > 50_000_000:
+    if pending > 10_000_000:
+        # dedupe each batch as it fills, and periodically merge the
+        # deduped runs LSM-style — the first sf1 run kept every raw
+        # 50M-key chunk alive and peaked at 88 GB RSS
         deduped.append(np.unique(np.concatenate(chunks)))
         chunks, pending = [], 0
+        if len(deduped) > 16:
+            deduped = [np.unique(np.concatenate(deduped))]
 cand_keys = np.unique(np.concatenate(deduped + chunks)) if (deduped or chunks) \
     else np.empty(0, np.int64)
 cand = [(int(k // n), int(k % n)) for k in cand_keys]
