@@ -41,9 +41,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // outliers up to 12x (r8 dp_ann_pq_rerank 12.7s vs 1.2s at a
   // right-sized heap). Default to ~3/8 of the 128 GiB box; cap at
   // half of physical RAM so smaller machines still boot.
+  // the com.sun cast is a probe, not a requirement: on a JVM that
+  // doesn't expose it, degrade to 8g instead of failing the build
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
-    math.min(48L, math.max(4L,
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean()
-        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-        .getTotalMemorySize / (2L << 30))).toString + "g")}",
+    scala.util.Try(
+      math.min(48L, math.max(4L,
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean()
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize / (2L << 30)))).getOrElse(8L).toString + "g")}",
 )

@@ -53,6 +53,72 @@ object Bench {
     // same rationale as the blooms
     try graft.tables.TestTables.eventsZOrderedPath(spark, sfDir)
     catch { case _: Throwable => () }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ---- sanity gate: is this box clean enough to measure? -----------
+    // The committed bench number has been environment-polluted two
+    // rounds running (r8: undersized forked heap; r9: exhausted disk
+    // burst credits inflated IO-bound rows up to 40x while compute rows
+    // held). Defense: measure the warm baseline scenarios FIRST against
+    // a pinned clean floor (BENCH_FLOOR.json, committed next to this
+    // file's output); if the median measured/floor ratio exceeds 1.5x,
+    // rest and retry — the r9 throttle signature was transient burst-
+    // credit exhaustion — and if it persists, stamp the output
+    // "env":{"throttled":true} so no cross-round comparison mistakes an
+    // environment artifact for a code regression.
+    val baselineQs = Seq("seq_search_page_offset", "seq_search_in_wildcard",
+      "seq_text_phrase", "seq_agg_count_by_type", "seq_agg_min_by_type",
+      "seq_search_range_numeric",
+      // not a published scenario, but the comparable (entity, time)
+      // needle: zone-map-pruned read over the Z-ordered copy
+      "events_zorder_lookup")
+    val floors: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json"))
+      val txt = try src.mkString finally src.close()
+      "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => baselineQs.contains(k) }.toMap
+    } catch { case _: Throwable => Map.empty }
+    def sanityOnce(): Seq[(String, Double, Double)] =
+      baselineQs.filter(SparkEntry.queries.contains).map { n =>
+        def once(): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e6
+        }
+        (n, once(), once())
+      }
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_SANITY_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(3)
+    var attempts = 0
+    var baselinePairs: Seq[(String, Double, Double)] = Seq.empty
+    var sanityRatio = 0.0
+    var clean = true
+    var gateDone = false
+    while (!gateDone) {
+      attempts += 1
+      baselinePairs = sanityOnce()
+      val ratios = baselinePairs.flatMap { case (n, a, b) =>
+        floors.get(n).map(fl => math.min(a, b) / math.max(fl, 1.0))
+      }.sorted
+      sanityRatio = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+      clean = ratios.isEmpty || sanityRatio <= 1.5
+      gateDone = clean || attempts >= maxAttempts
+      if (!gateDone) {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] sanity median %.2fx pinned floor (>1.5x) - box looks throttled; resting 60s (attempt %d/%d)",
+          Double.box(sanityRatio), Int.box(attempts), Int.box(maxAttempts)))
+        Thread.sleep(60000)
+      }
+    }
+    if (!clean)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] STILL %.2fx floor after %d attempts - stamping throttled:true",
+        Double.box(sanityRatio), Int.box(attempts)))
+    val envPart = s""","env":{"throttled":${!clean},"sanity_ratio":${f3(sanityRatio)}""" +
+      s""","sanity_attempts":$attempts,"floor_scenarios":${floors.size}}"""
     // local iteration: time only a comma-separated subset (the driver
     // never sets this — it always sweeps the full map)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -85,30 +151,15 @@ object Bench {
     val results = sampled.map { case (k, (a, b)) => k -> math.min(a, b) }
     // ms precision keeps the whole JSON line under ~1.8 KB so it fits
     // intact in the driver's bounded stdout-tail capture
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The 6 BASELINE.md read scenarios, re-run warm: the reference's
-    // published numbers are warm-server request latencies, so the
-    // comparable figure is a second execution (plan/codegen/footers
-    // cached), in milliseconds. Mapping: COVERAGE.md scenario table.
-    val baselineQs = Seq("seq_search_page_offset", "seq_search_in_wildcard",
-      "seq_text_phrase", "seq_agg_count_by_type", "seq_agg_min_by_type",
-      "seq_search_range_numeric",
-      // not a published scenario, but the comparable (entity, time)
-      // needle: zone-map-pruned read over the Z-ordered copy
-      "events_zorder_lookup")
-    val baselinePairs = baselineQs.filter(SparkEntry.queries.contains).map { n =>
-      def once(): Double = {
-        spark.catalog.clearCache() // same hygiene as the main sweep
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(n)(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e6
-      }
-      (n, once(), once())
-    }
+    // The BASELINE.md read scenarios, measured warm by the sanity gate
+    // ABOVE the main sweep (the reference's published numbers are
+    // warm-server request latencies, so the comparable figure is a
+    // second execution — plan/codegen/footers cached — in ms; mapping:
+    // COVERAGE.md scenario table). Running them first both reports the
+    // clean warm numbers and doubles as the environment probe.
     val baseline = baselinePairs.map { case (n, a, b) =>
       s"\"" + n + "\":" + math.min(a, b).round
     }.mkString(",\"baseline_warm_ms\":{", ",", "}")
@@ -208,8 +259,12 @@ object Bench {
         "user_id"    -> IndexType.Keyword,
         "value"      -> IndexType.Keyword,
         "props"      -> IndexType.Text)
+      // an inflight cap gives the JDK server a real thread pool (the
+      // default executor is serial) so the concurrent scenario below
+      // actually overlaps requests, like the reference's server does
       val facade = new graft.server.EsHttpFacade(
-        spark, mapping, "/tmp/graft_bench_ingest", serving = true)
+        spark, mapping, "/tmp/graft_bench_ingest", serving = true,
+        limits = graft.server.RateLimits(maxInflight = 64))
       facade.start()
       try {
         val client = java.net.http.HttpClient.newHttpClient()
@@ -252,7 +307,80 @@ object Bench {
             s""","serving_grpc_ms":{"p50":${gt(gt.size / 2).round},"p90":${gt(gt.size * 9 / 10).round},"n":${gt.size}}"""
           } finally { gclient.close(); gapi.stop() }
         } catch { case _: Throwable => "" }
-        s""","serving_ms":{"p50":${times(times.size / 2).round},"p90":${times(times.size * 9 / 10).round},"first_ms":${firstMs.round},"n":${times.size}}$grpcPart"""
+        // ---- concurrent load: the reference's published read numbers
+        // are k6 runs (benchmarks/k6/seq-db-paging.js: 20 VUs for 10 s,
+        // match-all paging over 50 pages x 100 docs, 0.2 s think time;
+        // seq-db-aggs.js: 2 VUs x 10 iterations of a COUNT group-by) —
+        // a sequential loop cannot be compared to those p95s, so
+        // replicate the exact shape with N OS threads against the same
+        // facade and report latency UNDER CONCURRENCY.
+        val concPart = try {
+          val vus = sys.env.get("SPARK_GRAFT_BENCH_VUS")
+            .flatMap(_.toIntOption).getOrElse(20)
+          val durationMs = 10000L
+          def pageBody(offset: Int) =
+            s"""{"query":"*","from":0,"to":${Long.MaxValue},"size":100,"offset":$offset}"""
+          post(pageBody(4900)) // deepest page: ONE prefix job covers all 50
+          val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+          val errors = new java.util.concurrent.atomic.AtomicInteger()
+          val t0 = System.nanoTime()
+          val threads = (0 until vus).map { v =>
+            val th = new Thread(() => {
+              val cl = java.net.http.HttpClient.newHttpClient()
+              var iter = v * 7 // stagger start pages across VUs
+              while ((System.nanoTime() - t0) / 1e6 < durationMs) {
+                val b = pageBody((iter % 50) * 100)
+                val s0 = System.nanoTime()
+                try {
+                  cl.send(java.net.http.HttpRequest.newBuilder(uri)
+                    .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
+                    java.net.http.HttpResponse.BodyHandlers.ofString())
+                  lat.add(Double.box((System.nanoTime() - s0) / 1e6))
+                } catch { case _: Throwable => errors.incrementAndGet() }
+                iter += 1
+                Thread.sleep(200)
+              }
+            })
+            th.setDaemon(true); th.start(); th
+          }
+          threads.foreach(_.join())
+          import scala.jdk.CollectionConverters._
+          val ts = lat.asScala.map(_.doubleValue).toSeq.sorted
+          // aggs shape: 2 VUs, 10 total iterations of COUNT group-by
+          val aggUri = java.net.URI.create(
+            s"http://127.0.0.1:${facade.port}/aggregate")
+          val aggBody =
+            s"""{"query":"*","from":0,"to":${Long.MaxValue},"func":"count","field":"event_type","group_by":"event_type"}"""
+          def aggPost(cl: java.net.http.HttpClient): Double = {
+            val s0 = System.nanoTime()
+            cl.send(java.net.http.HttpRequest.newBuilder(aggUri)
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(aggBody)).build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            (System.nanoTime() - s0) / 1e6
+          }
+          { val cl = java.net.http.HttpClient.newHttpClient(); aggPost(cl) } // agg plan warm
+          val aggLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+          val aggThreads = (0 until 2).map { _ =>
+            val th = new Thread(() => {
+              val cl = java.net.http.HttpClient.newHttpClient()
+              (1 to 5).foreach { _ =>
+                try aggLat.add(Double.box(aggPost(cl)))
+                catch { case _: Throwable => errors.incrementAndGet() }
+                Thread.sleep(200)
+              }
+            })
+            th.setDaemon(true); th.start(); th
+          }
+          aggThreads.foreach(_.join())
+          val ats = aggLat.asScala.map(_.doubleValue).toSeq.sorted
+          if (ts.isEmpty) "" else {
+            val p95 = ts(math.min(ts.size - 1, ts.size * 95 / 100))
+            val aggP = if (ats.isEmpty) ""
+              else s""","agg_vus":2,"agg_p50":${ats(ats.size / 2).round},"agg_n":${ats.size}"""
+            s""","serving_concurrent_ms":{"vus":$vus,"duration_s":10,"p50":${ts(ts.size / 2).round},"p95":${p95.round},"n":${ts.size},"errors":${errors.get}$aggP}"""
+          }
+        } catch { case _: Throwable => "" }
+        s""","serving_ms":{"p50":${times(times.size / 2).round},"p90":${times(times.size * 9 / 10).round},"first_ms":${firstMs.round},"n":${times.size}}$grpcPart$concPart"""
       } finally facade.stop()
     } catch { case _: Throwable => "" }
     // The driver keeps only the last ~2000 BYTES of stdout (r4's line
@@ -270,7 +398,7 @@ object Bench {
     val qSamples = sampled.map { case (k, (a, b)) =>
       s"\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart,"queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
     // root), overridable via env — no baked-in absolute paths
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -284,7 +412,7 @@ object Bench {
     // first, then per-query entries SLOWEST-first while they fit (the
     // expensive queries are the informative ones; the complete map is
     // in BENCH_FULL.json), with the omitted count declared.
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min","sf":"$sfDir","n_queries":${results.size}$baseline$ingest$serving,"queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart,"sf":"$sfDir","n_queries":${results.size}$baseline$ingest$serving,"queries":{"""
     def trailer(omitted: Int) =
       s"""},"queries_omitted":$omitted,"full":"BENCH_FULL.json","total_sec":${f3(total)}}"""
     val budget = 1700

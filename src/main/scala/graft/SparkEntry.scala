@@ -741,6 +741,18 @@ object SparkEntry {
           TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
         "doc_id", "png")),
 
+    // ---- multimodal: REAL audio codec — RIFF/WAVE PCM built by the
+    //      actual writer, decoded back by the actual chunk-walking
+    //      parser; the oracle re-enumerates every signed 16-bit sample
+    //      from the closed-form function, so any byte-order, chunk
+    //      framing, or sign-extension bug shifts sample_sum and goes
+    //      red ----
+    "dp_multimodal_wav" -> ((s, dir) =>
+      dataprep.Multimodal.decodeWavSamples(
+        dataprep.Multimodal.withWavPayload(
+          TestTables.documents(s, dir).select("doc_id"), "doc_id", "wav"),
+        "doc_id", "wav")),
+
     // ---- multimodal: frame sampling (decimated fixed-record framing,
     //      bounded output per doc, partition-preserving flatMap) ----
     "dp_frames" -> ((s, dir) =>
@@ -2446,6 +2458,27 @@ object SparkEntry {
                  generate_series(0, 3) c(g)
          WHERE x.g < d.w AND y.g < d.h AND c.g < d.ch
          GROUP BY d.id, d.w, d.h, d.ch
+         ORDER BY d.id ASC""",
+
+    // The WAV oracle replays the ENTIRE PCM stream sample-by-sample:
+    // format fields from id arithmetic, sample_sum by enumerating
+    // (frame, channel) and summing ((id + 13f + 17c) mod 65536) - 32768
+    // — the same closed form the writer encodes. The Spark row
+    // reproduces it only if the RIFF framing, little-endian layout and
+    // sign extension all round-trip exactly.
+    "dp_multimodal_wav" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  CAST(doc_id % 32 + 1 AS BIGINT) AS nf,
+                  CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+                  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate
+           FROM documents)
+         SELECT d.id, d.rate AS sample_rate, d.ch AS channels,
+                CAST(16 AS BIGINT) AS bits, d.nf AS n_frames,
+                CAST(sum((d.id + 13*f.g + 17*c.g) % 65536 - 32768) AS BIGINT) AS sample_sum
+         FROM d, generate_series(0, 31) f(g), generate_series(0, 1) c(g)
+         WHERE f.g < d.nf AND c.g < d.ch
+         GROUP BY d.id, d.rate, d.ch, d.nf
          ORDER BY d.id ASC""",
 
     // The oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely different

@@ -373,6 +373,109 @@ object Multimodal {
     }
   }
 
+  /** WAV/PCM — the second REAL codec of the multimodal story, pure-JVM
+    * like [[Png]]. [[encodePcm]] writes a canonical RIFF/WAVE stream
+    * (RIFF size header, `fmt ` PCM chunk, little-endian interleaved
+    * `data` chunk); [[decode]] walks the chunk list generically
+    * (unknown chunks — LIST/fact/cue — are skipped by their declared
+    * size, word-aligned per the RIFF padding rule), validates the PCM
+    * format fields, and decodes the little-endian samples (signed
+    * 16-bit, or unsigned 8-bit re-centred to signed) back to ints.
+    * Throws on any malformed structure — corrupt media must surface,
+    * not decode to silence. */
+  object Wav {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+    /** PCM encode: `sample(frame, channel)` supplies each sample —
+      * signed [-32768, 32767] for 16-bit, unsigned [0, 255] for 8-bit. */
+    def encodePcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        nFrames: Int, sample: (Int, Int) => Int): Array[Byte] = {
+      require(channels > 0 && nFrames >= 0 && sampleRate > 0, "bad params")
+      require(bitsPerSample == 8 || bitsPerSample == 16,
+        s"PCM 8/16-bit only, got $bitsPerSample")
+      val blockAlign = channels * bitsPerSample / 8
+      val dataLen = nFrames * blockAlign
+      val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataLen))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+      out.write(le16(1)) // audio format: PCM
+      out.write(le16(channels)); out.write(le32(sampleRate))
+      out.write(le32(sampleRate * blockAlign)); out.write(le16(blockAlign))
+      out.write(le16(bitsPerSample))
+      out.write("data".getBytes("US-ASCII")); out.write(le32(dataLen))
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = sample(f, c)
+          out.write(v & 0xFF)
+          if (bitsPerSample == 16) out.write((v >> 8) & 0xFF)
+          c += 1
+        }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** (sampleRate, channels, bitsPerSample, samples) — samples frame-
+      * major, channels interleaved; 8-bit unsigned is re-centred to
+      * signed (v − 128) so both depths share one zero-centred range. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+      def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      def le16At(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      def le32At(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+          ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      require(bytes.length >= 44, "not a WAV: too short")
+      require(ascii(0) == "RIFF" && ascii(8) == "WAVE", "not a RIFF/WAVE stream")
+      require((le32At(4).toLong & 0xFFFFFFFFL) + 8 <= bytes.length,
+        "truncated RIFF payload")
+      var off = 12
+      var rate = 0; var ch = 0; var bits = 0; var fmtSeen = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= bytes.length && (dataOff < 0 || !fmtSeen)) {
+        val id = ascii(off); val len = le32At(off + 4)
+        require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk '$id'")
+        id match {
+          case "fmt " =>
+            require(len >= 16, "short fmt chunk")
+            val audioFormat = le16At(off + 8)
+            require(audioFormat == 1, s"not integer PCM (wFormatTag=$audioFormat)")
+            ch = le16At(off + 10); rate = le32At(off + 12)
+            bits = le16At(off + 22)
+            require(ch > 0 && rate > 0, "bad fmt fields")
+            require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+            require(le16At(off + 20) == ch * bits / 8, "blockAlign mismatch")
+            fmtSeen = true
+          case "data" => dataOff = off + 8; dataLen = len
+          case _      => () // LIST/fact/cue etc: skipped by declared size
+        }
+        off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      require(fmtSeen, "missing fmt chunk")
+      require(dataOff >= 0, "missing data chunk")
+      val bytesPerSample = bits / 8
+      require(dataLen % (ch * bytesPerSample) == 0,
+        "data chunk not a whole number of frames")
+      val n = dataLen / bytesPerSample
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 16) (le16At(dataOff + 2 * i) << 16) >> 16 // sign-extend
+          else (bytes(dataOff + i) & 0xFF) - 128
+        i += 1
+      }
+      (rate, ch, bits, samples)
+    }
+  }
+
   /** Attach a REAL synthetic PNG payload per row: dimensions derived
     * deterministically from the id (so an oracle can recompute them),
     * bytes built by the actual [[Png.encode]] writer. Typed
@@ -452,6 +555,52 @@ object Multimodal {
         var i = 0
         while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
         PngPixels(r.id, w.toLong, h.toLong, ch.toLong, px.length.toLong, sum)
+      })
+      .toDF()
+      .orderBy(col("id").asc)
+  }
+
+  final case class WavSamples(
+      id: Long, sample_rate: Long, channels: Long, bits: Long,
+      n_frames: Long, sample_sum: Long)
+
+  /** Attach a real RIFF/WAVE PCM payload per row — [[Wav.encodePcm]]
+    * with id-derived rate/channels/length and the closed-form sample
+    * ((id + 13f + 17c) mod 65536) − 32768, so an oracle can
+    * re-enumerate every 16-bit sample. Frame counts are kept small
+    * (≤ 32) for oracle affordability; the codec itself is size-generic. */
+  def withWavPayload(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (id % 32 + 1).toInt
+        val ch = (id % 2 + 1).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        (id, Wav.encodePcm(rate, ch, 16, frames,
+          (f, c) => (((id + 13L * f + 17L * c) % 65536) - 32768).toInt))
+      })
+      .toDF(idCol, outCol)
+  }
+
+  /** Decode real WAV bytes — RIFF chunk walk, PCM validation, little-
+    * endian sample decode via [[Wav.decode]] — and reduce to oracle-
+    * checkable aggregates: format fields, frame count, and the sum of
+    * every signed sample. Any byte-order, alignment, or chunk-walk bug
+    * shifts `sample_sum`. Mirror of [[decodePngPixels]] for the audio
+    * leg of the multimodal story; same partition-preserving typed
+    * mapPartitions dataflow. */
+  def decodeWavSamples(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (rate, ch, bits, samples) = Wav.decode(r.bytes)
+        var sum = 0L; var i = 0
+        while (i < samples.length) { sum += samples(i); i += 1 }
+        WavSamples(r.id, rate.toLong, ch.toLong, bits.toLong,
+          samples.length.toLong / ch, sum)
       })
       .toDF()
       .orderBy(col("id").asc)

@@ -53,10 +53,15 @@ object Packing {
     */
   private def scanRooted(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    df.queryExecution.analyzed.find {
+    val plan = df.queryExecution.analyzed
+    val shapeOk = plan.find {
       case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias => false
       case _ => true
     }.isEmpty
+    // non-deterministic expressions (rand/uuid/monotonically_increasing_id)
+    // don't canonicalize, so the two range exchanges would not be reused
+    // even over a pure scan+project — they must take the checkpoint path
+    shapeOk && plan.find(p => !p.expressions.forall(_.deterministic)).isEmpty
   }
 
   /** Distributed inclusive prefix sum of `sizeCol` (already long) in

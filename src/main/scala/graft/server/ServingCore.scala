@@ -53,7 +53,11 @@ final class ServingCore(
   // pagination then costs memory slicing, not a Spark job per page
   private val prefixCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[org.apache.spark.sql.Row]]()
-  private val PrefixRows = 1000
+  // sized to cover the reference's published paging scenario (k6
+  // seq-db-paging.js: 50 pages x 100 docs = offset 5000) from ONE
+  // prefix job; the cache cap below bounds total driver memory to the
+  // same envelope the old 1000x256 config had
+  private val PrefixRows = 5120
 
   /** Cheap generation probe: top-level sink FS statuses (file/partition
     * adds bump dir mtimes) folded with the mapping file's (len, mtime)
@@ -240,7 +244,7 @@ final class ServingCore(
       // scroll-context path: one job fills the query's top-PrefixRows
       // prefix, every page of the same query slices it driver-side
       val pk = (generation(), s"${req.query}|${req.fromMs}|${req.toMs}|${req.asc}")
-      if (prefixCache.size() > 256) prefixCache.clear()
+      if (prefixCache.size() > 64) prefixCache.clear()
       // get/build/putIfAbsent (not computeIfAbsent): the prefix fill is
       // a Spark job and must not hold a hash-bin lock over other
       // queries' instant cache hits

@@ -41,10 +41,22 @@ object TraceContext {
   /** One structured stderr line when a request exceeds the threshold,
     * carrying the caller's trace id when present — the reference logs
     * the same correlation from its always-sampled debug spans. */
+  /** Escapes a string for safe interpolation inside a JSON string literal:
+    * backslash, quote, and control characters (a caller-supplied header
+    * value must not be able to break the line or forge log fields). */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\'          => "\\\\"
+      case '"'           => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def logIfSlow(kind: String, query: String, tookMs: Long): Unit =
     if (tookMs >= slowQueryMs) {
-      val q = query.replace("\\", "\\\\").replace("\"", "\\\"").take(512)
-      val tid = current.map(t => s""","trace_id":"${t.take(128)}"""").getOrElse("")
+      val q = jsonEscape(query).take(512)
+      val tid =
+        current.map(t => s""","trace_id":"${jsonEscape(t.take(128))}"""").getOrElse("")
       System.err.println(
         s"""{"level":"warn","msg":"slow query","kind":"$kind","took_ms":$tookMs$tid,"query":"$q"}""")
     }

@@ -472,7 +472,7 @@ final class GrpcSeqApi(
 
   private def handleComplexSearch(r: PComplexSearchRequest): PComplexSearchResponse = {
     admitQuery(r.q.query, r.aggs, r.histInterval.getOrElse(""))
-    cachedResp(s"cs|$r") { handleComplexSearchUncached(r) }
+    tagTrace(cachedResp(s"cs|$r") { handleComplexSearchUncached(r) })
   }
 
   /** The Catalyst physical plan as the proto's ExplainEntry tracing
@@ -502,14 +502,21 @@ final class GrpcSeqApi(
       PExplainEntry(p.simpleStringWithNodeId(), nodeMs(p),
         if (depth >= 8) Nil else kids(p).take(8).map(walk(_, depth + 1)))
     val root = walk(df.queryExecution.executedPlan, 0)
-    // a caller-supplied trace id (jaeger-debug-id metadata) tags the
-    // root span, mirroring the reference's span attribute
-    val msg = graft.server.TraceContext.current match {
-      case Some(id) => s"${root.message} [trace_id=$id]"
-      case None     => root.message
-    }
-    root.copy(message = msg, durationMs = durationMs)
+    root.copy(durationMs = durationMs)
   }
+
+  /** Tags the explain root with the CURRENT caller's trace id. Applied
+    * after the response cache, never inside it: the cached body must stay
+    * trace-neutral or one caller's jaeger-debug-id would be served to
+    * every later caller of the same query (and an untraced first request
+    * would pin an untagged entry for later traced calls). */
+  private def tagTrace(resp: PComplexSearchResponse): PComplexSearchResponse =
+    graft.server.TraceContext.current match {
+      case Some(id) =>
+        resp.copy(explain = resp.explain.map(e =>
+          e.copy(message = s"${e.message} [trace_id=$id]")))
+      case None => resp
+    }
 
   private def handleComplexSearchUncached(r: PComplexSearchRequest): PComplexSearchResponse = {
     val eng = engine

@@ -224,7 +224,11 @@ object TestTables {
     * against the full-window removal index of the rest of the corpus.
     */
   def documentsIncrementalRemoval(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"/tmp/graft_rmidx_${new java.io.File(sfDir).getName}_" +
+    // v2: the removal index moved to an allwins/batch=base layout; an
+    // unversioned path could leave a pre-change index's files at the
+    // allwins/ root next to a freshly written batch=base dir, which
+    // spark.read then rejects as conflicting directory structures.
+    val path = s"/tmp/graft_rmidx_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/allwins/batch=base/_SUCCESS").exists())

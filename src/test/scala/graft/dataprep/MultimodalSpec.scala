@@ -154,6 +154,125 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Png.decodePixels: foreign (ImageIO-encoded) PNGs decode bit-exactly; 16-bit/palette/interlace rejected loudly") {
+    // the inverse direction of the ImageIO cross-check above: bytes OUR
+    // writer never produced (JDK encoder picks its own filters/zlib
+    // strategy), read by OUR decoder
+    def f(x: Int, y: Int, c: Int): Int = (5 + 3 * x + 7 * y + 11 * c) % 256
+    val (w, h) = (19, 13)
+    def imageioPng(imgType: Int, ch: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        img.getRaster.setSample(x, y, c, f(x, y, c))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    for ((imgType, ch) <- Seq(
+        (java.awt.image.BufferedImage.TYPE_3BYTE_BGR, 3),
+        (java.awt.image.BufferedImage.TYPE_BYTE_GRAY, 1))) {
+      val (dw, dh, dch, px) = Multimodal.Png.decodePixels(imageioPng(imgType, ch))
+      assert((dw, dh, dch) == ((w, h, ch)), s"type=$imgType")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((px((y * w + x) * ch + c) & 0xFF) == f(x, y, c),
+          s"type=$imgType sample ($x,$y,$c)")
+    }
+    // REAL foreign 16-bit and palette streams (ImageIO writes
+    // TYPE_USHORT_GRAY as bit-depth 16 and TYPE_BYTE_INDEXED as
+    // colorType 3): out of the codec's declared scope — must reject
+    // loudly, never decode garbage
+    val e16 = intercept[IllegalArgumentException](Multimodal.Png.decodePixels(
+      imageioPng(java.awt.image.BufferedImage.TYPE_USHORT_GRAY, 1)))
+    assert(e16.getMessage.contains("8-bit"), e16.getMessage)
+    val ePal = intercept[IllegalArgumentException](Multimodal.Png.decodePixels(
+      imageioPng(java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, 1)))
+    assert(ePal.getMessage.contains("color type"), ePal.getMessage)
+    // Adam7 interlace: no JDK encoder writes it, so patch the IHDR
+    // interlace byte (offset 28) on our own stream and re-CRC
+    def patchIhdr(png: Array[Byte], off: Int, v: Byte): Array[Byte] = {
+      val b = png.clone(); b(off) = v
+      val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
+      java.nio.ByteBuffer.wrap(b).putInt(29, crc.getValue.toInt); b
+    }
+    val own = Multimodal.Png.encodePixels(6, 6, 2, f)
+    val eIl = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePixels(patchIhdr(own, 28, 1)))
+    assert(eIl.getMessage.contains("interlace"), eIl.getMessage)
+    // and the same loud-rejection contract via raw IHDR patches
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Png.decodePixels(patchIhdr(own, 24, 16))).getMessage.contains("8-bit"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Png.decodePixels(patchIhdr(own, 25, 3))).getMessage.contains("color type"))
+  }
+
+  test("Wav: encode→decode bit-exact; RIFF chunk walk; AudioSystem ground truth; malformed rejected") {
+    def f(seed: Int)(fr: Int, c: Int): Int = (seed + 13 * fr + 17 * c) % 65536 - 32768
+    for ((rate, ch, bits, n) <- Seq((8000, 1, 16, 7), (44100, 2, 16, 32),
+        (16000, 1, 8, 5), (22050, 2, 8, 0))) {
+      val g: (Int, Int) => Int =
+        if (bits == 16) f(rate) else (fr, c) => (fr * 31 + c * 7) % 256
+      val wav = Multimodal.Wav.encodePcm(rate, ch, bits, n, g)
+      val (dr, dch, db, samples) = Multimodal.Wav.decode(wav)
+      assert((dr, dch, db) == ((rate, ch, bits)))
+      assert(samples.length == n * ch)
+      for (fr <- 0 until n; c <- 0 until ch) {
+        val expect = if (bits == 16) g(fr, c) else g(fr, c) - 128
+        assert(samples(fr * ch + c) == expect, s"($rate,$ch,$bits) sample ($fr,$c)")
+      }
+    }
+    // the JDK's OWN audio reader parses the stream — format fields and
+    // raw PCM bytes agree, so the writer emits standard WAV framing
+    val wav = Multimodal.Wav.encodePcm(8000, 2, 16, 11, f(3))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(java.util.Arrays.equals(ais.readAllBytes(), wav.takeRight(11 * 2 * 2)))
+    // chunk walk: an unknown odd-length LIST chunk between fmt and data
+    // must be skipped by declared size WITH the RIFF word-alignment pad
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    val withList = {
+      val extra = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // len 3 + pad
+      val b = wav.take(36) ++ extra ++ wav.drop(36)
+      putLe32(b, 4, wav.length - 8 + extra.length); b
+    }
+    val (lr, lch, lb, lSamples) = Multimodal.Wav.decode(withList)
+    assert((lr, lch, lb) == ((8000, 2, 16)) &&
+      lSamples.toSeq == Multimodal.Wav.decode(wav)._4.toSeq)
+    // corruption surfaces as an error, never as silence
+    val badSig = wav.clone(); badSig(0) = 0x00
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(badSig))
+    val float32 = wav.clone(); float32(20) = 3 // wFormatTag = IEEE float
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Wav.decode(float32)).getMessage.contains("PCM"))
+    val depth24 = wav.clone(); depth24(34) = 24
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Wav.decode(depth24)).getMessage.contains("bit depth"))
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(wav.dropRight(1)))
+  }
+
+  test("WAV pipeline: distributed decode reproduces the closed-form sample sums") {
+    val d = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.decodeWavSamples(
+      Multimodal.withWavPayload(d, "doc_id", "wav"), "doc_id", "wav")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 60)
+    out.foreach { case (id, rate, ch, bits, n, sum) =>
+      assert(rate == 8000 + (id % 4) * 4000 && ch == id % 2 + 1 &&
+        bits == 16 && n == id % 32 + 1, s"id=$id")
+      val expected = (for {
+        fr <- 0L until n; c <- 0L until ch
+      } yield (id + 13 * fr + 17 * c) % 65536 - 32768).sum
+      assert(sum == expected, s"id=$id sample_sum")
+    }
+  }
+
   test("PNG pipeline: payload built and decoded distributed, fields match the id arithmetic") {
     val d = spark.range(0, 50).toDF("doc_id")
     val out = Multimodal.decodePngMeta(

@@ -305,6 +305,23 @@ class GrpcSeqApiSpec extends SparkSpec {
       assert(a1 == a2 && a1.aggs == a3.aggs)
       val hr = PGetHistogramRequest(SearchQuery("*", 0L, Long.MaxValue), "1h")
       assert(c1.getHistogram(hr) == c1.getHistogram(hr))
+      // trace tags must be applied OUTSIDE the response cache: the same
+      // memoized complex-search entry serves three callers, each seeing
+      // only their own jaeger-debug-id (and the untraced one none) —
+      // regression for the cross-request trace-id bleed
+      val csr = PComplexSearchRequest(
+        SearchQuery("*", 0L, Long.MaxValue, explain = true),
+        Nil, None, size = 1, offset = 0, withTotal = false, asc = false)
+      val plain = c1.complexSearch(csr) // first call pins the cache entry
+      assert(!plain.explain.get.message.contains("trace_id"))
+      val t1 = c1.complexSearchTraced(csr, traceId = "caller-one")
+      val t2 = c1.complexSearchTraced(csr, traceId = "caller-two")
+      assert(t1.explain.get.message.contains("[trace_id=caller-one]"),
+        t1.explain.get.message)
+      assert(t2.explain.get.message.contains("[trace_id=caller-two]") &&
+        !t2.explain.get.message.contains("caller-one"), t2.explain.get.message)
+      // a later untraced caller of the now-cached query sees no tag
+      assert(!c1.complexSearch(csr).explain.get.message.contains("trace_id"))
     } finally { c1.close(); c2.close(); api.stop(); cold.stop() }
   }
 
