@@ -373,6 +373,55 @@ object Dedup {
           "rebuild it with buildMinhashIndex before probing")
   }
 
+  /** In-place migration of a persisted band index to the CURRENT hash
+    * family — the rebuild path for a pre-v2 (or any stale-family)
+    * index that [[requireFamilyMarker]] now refuses to probe. A user
+    * with a 100 TB index must not need the original corpus text: the
+    * persisted `shingles` file set is family-INDEPENDENT (bigram
+    * hashes of tokens — the family only governs how band keys are
+    * derived FROM a shingle set), so the migration is one distributed
+    * pass over `shingles` that recomputes `minhashBandKeys` under the
+    * current coefficients and rewrites `bands` with the same
+    * bk-clustered layout [[buildMinhashIndex]] produces. Partition
+    * subdirectories (`batch=...`) riding on the shingles layout are
+    * preserved on the rewritten bands so streaming index maintenance
+    * keeps its idempotent per-batch overwrite semantics.
+    *
+    * Idempotent: if the current-family marker is already present the
+    * index is already probe-able and the call is a no-op. Crash-safe
+    * in the same order the builder is: bands are rewritten FIRST and
+    * the marker only lands after — a crash mid-migration leaves an
+    * unmarked index that still refuses probes, never one that probes
+    * against half-migrated keys. Stale `_MINHASH_FAMILY_V*` markers of
+    * other versions are removed so the directory states exactly one
+    * family.
+    */
+  def migrateMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, numHashes: Int, bands: Int): Boolean = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val marker = familyMarker(indexPath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false // already current-family
+    val sh = spark.read.parquet(s"$indexPath/shingles")
+    val partCols = sh.columns.filterNot(c => c == "id" || c == "sh").toSeq
+    val rebuilt = sh
+      .select((col("id") +: partCols.map(col)) :+
+        explode(graft.functions.VectorExpressions.minhashBandKeys(
+          col("sh"), numHashes, bands)).as("bk"): _*)
+      .repartitionByRange(col("bk"))
+      .sortWithinPartitions(col("bk"))
+    val w = rebuilt.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(s"$indexPath/bands")
+    // one family per directory: clear other-version markers, then mark
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_MINHASH_FAMILY_V") && p.getName != marker.getName)
+      .foreach(p => fs.delete(p, false))
+    writeFamilyMarker(spark, indexPath)
+    true
+  }
+
   /** Near-dup pairs of a NEW batch against the indexed corpus — the
     * incremental companion of [[minhashLshPairs]] (same banding, same
     * exact verification, so a pair is reported iff the full-corpus run

@@ -184,6 +184,56 @@ class Round4OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("incompatible hash family"))
   }
 
+  test("migrateMinhashIndex rebuilds a stale-family index from its shingles; probes then succeed") {
+    import org.apache.spark.sql.functions._
+    val old1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val old2 = Seq(
+      (3L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "red green blue cyan magenta KEY"),
+      (12L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_mig").toString
+    // per-batch partitions, like streaming index maintenance writes them
+    Dedup.buildMinhashIndex(old1, "doc_id", "text", 128, 32, dir,
+      partition = Some("batch=0"))
+    Dedup.buildMinhashIndex(old2, "doc_id", "text", 128, 32, dir,
+      partition = Some("batch=1"))
+    val expected = Dedup.dedupAgainstIndex(fresh, "doc_id", "text", 128, 32, 1, 2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected.contains((10L, 1L)))
+    // simulate a v1 index: band keys from a different (correlated)
+    // family = any keys the current family wouldn't produce, no marker
+    // (write aside + swap: Spark refuses overwriting a read-from path)
+    val tmpBands = s"$dir/bands_v1tmp"
+    spark.read.parquet(s"$dir/bands")
+      .withColumn("bk", concat(lit("v1|"), col("bk").cast("string")))
+      .write.partitionBy("batch").parquet(tmpBands)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/bands"))
+    assert(new java.io.File(tmpBands).renameTo(new java.io.File(s"$dir/bands")))
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_MINHASH_FAMILY_V")).foreach(f => assert(f.delete()))
+    intercept[IllegalStateException] {
+      Dedup.dedupAgainstIndex(fresh, "doc_id", "text", 128, 32, 1, 2, dir).collect()
+    }
+    // the migration: one pass over the family-independent shingles
+    assert(Dedup.migrateMinhashIndex(spark, dir, 128, 32))
+    val got = Dedup.dedupAgainstIndex(fresh, "doc_id", "text", 128, 32, 1, 2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "migrated index probes like the original")
+    // batch partition layout preserved for idempotent per-batch overwrite
+    assert(new java.io.File(s"$dir/bands/batch=0").isDirectory &&
+      new java.io.File(s"$dir/bands/batch=1").isDirectory)
+    // idempotent: a current-family index is a no-op
+    assert(!Dedup.migrateMinhashIndex(spark, dir, 128, 32))
+  }
+
   // ---- groupCentroids ----
 
   test("groupCentroids: exact integer sums (all-integer output)") {
