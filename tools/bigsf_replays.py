@@ -1,0 +1,348 @@
+#!/usr/bin/env python3
+"""Candidate-superset replays for the brute-pair oracles at big SF.
+
+Several gate oracles verify the engine against a BRUTE-FORCE O(N^2)
+pair join (exact bigram-Jaccard / containment / simhash hamming /
+embedding dot) — the strongest possible check at gate SF, intractable
+at the sf1 replica (1.25e11 pair predicates). This tool keeps the
+oracle's OWN SQL as the arbiter and replaces only the quadratic join:
+
+  1. Python computes an exact candidate-pair SUPERSET with the
+     standard prefix-filter / pigeonhole / matmul-prescreen arguments
+     (no false negatives BY CONSTRUCTION — see per-mode notes below);
+  2. the superset is registered as a DuckDB table `cand`;
+  3. the oracle SQL is rewritten so `FROM s a, s b` becomes a join
+     THROUGH `cand`, with every original predicate re-applied — so
+     ALL final arithmetic (intersections, unions, dots, hamming,
+     recursive closure, splitmix splits) is still DuckDB evaluating
+     the oracle's own expressions, on candidate pairs only.
+
+Superset guarantees:
+  - jaccard t: both-side prefix filter at length |x| - ceil(t*|x|) + 1
+    under a global (df asc, id asc) canonical order — longer than the
+    Bayardo et al. (WWW'07) indexing prefix |x| - ceil(2t/(1+t)*|x|)
+    + 1, hence a superset of an exact scheme (r9 validated this
+    machinery bit-exact at sf1 via tools/dedup_stats_replay.py);
+  - containment c: a pair with |A∩B| >= c*|A| must place a common
+    shingle inside A's first |A| - ceil(c*|A|) + 1 rarest shingles
+    (at most |A| - ceil(c*|A|) elements of A are outside B);
+  - simhash, hamming <= 3: 4 disjoint 16-bit bands; by pigeonhole a
+    pair within 3 bits collides on at least one full band;
+  - embedding dot >= t: float64 blocked matmul with an epsilon margin
+    (1e-9 against a worst-case f64 64-term dot error of ~1e-14).
+
+Every replay must be validated at a small SF whose brute oracle has
+already proven the engine output (run this tool at sf0.01/sf0.1 and
+expect PASS) before its sf1 verdict is trusted.
+
+Usage: python3 tools/bigsf_replays.py <sfDir> <verifyOutDir> <name...>
+Exit 0 iff every requested row PASSes.
+"""
+import json
+import os
+import sys
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF, OUT = sys.argv[1], sys.argv[2]
+NAMES = sys.argv[3:]
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# mode jaccard: threshold (num, den) of the J >= num/den predicate
+# mode containment: (num, den) of the |A∩B| >= num/den * |A| predicate
+FAMILY = {
+    "dp_dedup_minhash_lsh": dict(mode="jaccard", src="s", t=(1, 2)),
+    "dp_dedup_clusters":    dict(mode="jaccard", src="s", t=(1, 2)),
+    "dp_dedup_soft":        dict(mode="jaccard", src="s", t=(1, 2)),
+    "dp_dedup_stats":       dict(mode="jaccard", src="s", t=(1, 2)),
+    "dp_split_leakage":     dict(mode="jaccard", src="s", t=(1, 2)),
+    "dp_dedup_incremental": dict(mode="jaccard", src="s", t=(1, 2),
+                                 aliases=("n", "o"), both_dirs=True),
+    "dp_dedup_ngram":       dict(mode="jaccard", src="s", t=(3, 10),
+                                 nchars_window=25),
+    "dp_curate":            dict(mode="jaccard", src="sh2", t=(1, 2)),
+    "dp_dedup_containment": dict(mode="containment", src="nz", t=(9, 10)),
+    "dp_dedup_simhash":     dict(mode="simhash", src="s", maxham=3),
+    "dp_embed_neardup":     dict(mode="vec", src="embeddings", thr=0.4,
+                                 idcol="vec_id"),
+    "dp_dedup_semantic":    dict(mode="vec", src="embeddings", thr=0.4,
+                                 idcol="vec_id", both_dirs=True),
+}
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+
+def sets_prefix(sql, src, a, b):
+    """The oracle's WITH chain up to (excluding) the pair join, so the
+    per-doc sets come from the oracle's own expressions."""
+    import re
+    m = re.search(r",\s*pairs AS", sql)
+    if m:
+        return sql[:m.start()].rstrip()
+    j = sql.find(f"FROM {src} {a}, {src} {b}")
+    assert j > 0, f"pair join over {src} not found"
+    return sql[:sql.rfind("SELECT", 0, j)].rstrip().rstrip(",")
+
+
+def rewrite_join(sql, src, idcol, a, b):
+    pat = f"FROM {src} {a}, {src} {b}"
+    rep = (f"FROM {src} {a} JOIN cand ON {a}.{idcol} = cand.id_a "
+           f"JOIN {src} {b} ON {b}.{idcol} = cand.id_b")
+    assert pat in sql, pat
+    return sql.replace(pat, rep)
+
+
+def dedup_pairs(chunks, deduped, force=False, pending=0):
+    if force or pending > 10_000_000:
+        if chunks:
+            deduped.append(np.unique(np.concatenate(chunks)))
+        chunks.clear()
+        if len(deduped) > 16 or (force and len(deduped) > 1):
+            merged = np.unique(np.concatenate(deduped))
+            deduped.clear()
+            deduped.append(merged)
+        return 0
+    return pending
+
+
+def jaccard_candidates(ids, sets, t_num, t_den, nchars=None, nchars_window=None):
+    """Exact superset of unordered pairs with J >= t_num/t_den.
+    `nchars`/`nchars_window`: when the oracle ALSO requires
+    |n_chars_a - n_chars_b| <= window, apply it during generation (a
+    predicate of the oracle, so pruning by it preserves exactness)."""
+    n = len(sets)
+    shingle_id = {}
+    docs = []
+    for sh in sets:
+        s = sorted({shingle_id.setdefault(g, len(shingle_id)) for g in sh})
+        docs.append(np.array(s, np.int64))
+    df = np.zeros(len(shingle_id), np.int64)
+    for s in docs:
+        df[s] += 1
+    order_key = df * (len(shingle_id) + 1) + np.arange(len(shingle_id))
+    postings = defaultdict(list)
+    for d, s in enumerate(docs):
+        if len(s) == 0:
+            continue
+        ordered = s[np.argsort(order_key[s], kind="stable")]
+        plen = len(s) - (len(s) * t_num + t_den - 1) // t_den + 1
+        for g in ordered[: max(plen, 1)]:
+            postings[int(g)].append(d)
+    sizes = np.array([len(s) for s in docs], np.int64)
+    chunks, deduped, pending = [], [], 0
+    for lst in postings.values():
+        if len(lst) < 2:
+            continue
+        L = np.array(lst, np.int64)
+
+        def emit(pa, pb):
+            nonlocal pending
+            la, lb = sizes[pa], sizes[pb]
+            # size filter implied by J >= t: t*max <= I <= min
+            ok = np.minimum(la, lb) * t_den >= t_num * np.maximum(la, lb)
+            if nchars is not None and nchars_window is not None:
+                ok &= np.abs(nchars[pa] - nchars[pb]) <= nchars_window
+            if ok.any():
+                chunks.append(pa[ok] * n + pb[ok])
+                pending += int(ok.sum())
+            pending = dedup_pairs(chunks, deduped, pending=pending)
+
+        # block long posting lists so one hot shingle never allocates
+        # len^2 pair keys at once (per-block peak: step^2 = 16M keys)
+        step = 4096
+        for x0 in range(0, len(L), step):
+            A = L[x0:x0 + step]
+            i, j = np.triu_indices(len(A), 1)
+            emit(A[i], A[j])
+            for y0 in range(x0 + step, len(L), step):
+                B = L[y0:y0 + step]
+                emit(np.repeat(A, len(B)), np.tile(B, len(A)))
+    dedup_pairs(chunks, deduped, force=True)
+    keys = deduped[0] if deduped else np.empty(0, np.int64)
+    return ids[keys // n], ids[keys % n]
+
+
+def containment_candidates(ids, sets, c_num, c_den):
+    """Exact superset of DIRECTED pairs with |A∩B| >= c*|A|, A != B."""
+    n = len(sets)
+    shingle_id = {}
+    docs = []
+    for sh in sets:
+        s = sorted({shingle_id.setdefault(g, len(shingle_id)) for g in sh})
+        docs.append(np.array(s, np.int64))
+    df = np.zeros(len(shingle_id), np.int64)
+    for s in docs:
+        df[s] += 1
+    order_key = df * (len(shingle_id) + 1) + np.arange(len(shingle_id))
+    full_postings = defaultdict(list)
+    for d, s in enumerate(docs):
+        for g in s:
+            full_postings[int(g)].append(d)
+    out_a, out_b = [], []
+    for d, s in enumerate(docs):
+        if len(s) == 0:
+            continue
+        ordered = s[np.argsort(order_key[s], kind="stable")]
+        plen = len(s) - (len(s) * c_num + c_den - 1) // c_den + 1
+        cand = set()
+        for g in ordered[: max(plen, 1)]:
+            cand.update(full_postings[int(g)])
+        cand.discard(d)
+        if cand:
+            cl = np.fromiter(cand, np.int64)
+            out_a.append(np.full(len(cl), d, np.int64))
+            out_b.append(cl)
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    return ids[a], ids[b]
+
+
+def simhash_candidates(ids, sims):
+    """Exact superset (pigeonhole) of pairs within hamming 3 of 64-bit
+    sims split into 4 x 16-bit bands."""
+    u = sims.astype(np.uint64)
+    n = len(u)
+    chunks, deduped, pending = [], [], 0
+    for band in range(4):
+        key = (u >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            L = np.sort(order[s:e])
+            step = 4096  # same hot-bucket blocking as the jaccard path
+            for x0 in range(0, len(L), step):
+                A = L[x0:x0 + step]
+                i, j = np.triu_indices(len(A), 1)
+                chunks.append(A[i] * n + A[j])
+                pending += len(i)
+                pending = dedup_pairs(chunks, deduped, pending=pending)
+                for y0 in range(x0 + step, len(L), step):
+                    B = L[y0:y0 + step]
+                    chunks.append(np.repeat(A, len(B)) * n + np.tile(B, len(A)))
+                    pending += len(A) * len(B)
+                    pending = dedup_pairs(chunks, deduped, pending=pending)
+    dedup_pairs(chunks, deduped, force=True)
+    keys = deduped[0] if deduped else np.empty(0, np.int64)
+    return ids[keys // n], ids[keys % n]
+
+
+def vec_candidates(ids, E, thr):
+    """Superset of unordered pairs with dot >= thr: f64 blocked matmul,
+    1e-9 margin over the worst-case 64-term f64 dot rounding."""
+    n = E.shape[0]
+    out_a, out_b = [], []
+    block = max(1, int(2e9 / (8 * n)))
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        D = E[s:e] @ E.T
+        ii, jj = np.nonzero(D >= thr - 1e-9)
+        gi = ii + s
+        keep = gi < jj  # a < b once, dedupes the symmetric blocks
+        out_a.append(gi[keep])
+        out_b.append(jj[keep])
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    return ids[a], ids[b]
+
+
+def strict_compare(name, got, exp):
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        return f"schema: spark={gcols} oracle={ecols}"
+    got = got[gcols].reset_index(drop=True)
+    exp = exp[ecols].reset_index(drop=True)
+    if len(got) != len(exp):
+        return f"rows: spark={len(got)} oracle={len(exp)}"
+    for c in gcols:
+        gv, ev = got[c], exp[c]
+        if (gv.dtype.kind in "iu" and ev.dtype.kind == "f") or \
+           (gv.dtype.kind == "f" and ev.dtype.kind in "iu"):
+            return f"col {c}: dtype kind {gv.dtype} vs {ev.dtype}"
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            if not all((a == b) or (pd.isna(a) and pd.isna(b))
+                       for a, b in zip(gv, ev)):
+                return f"col {c}: float mismatch"
+        elif not gv.equals(ev):
+            bad = gv != ev
+            i = bad[bad].index[0]
+            return f"col {c} row {i}: spark={gv.iloc[i]} oracle={ev.iloc[i]}"
+    return None
+
+
+def run(name):
+    cfg = FAMILY[name]
+    sql = oracle[name]
+    a, b = cfg.get("aliases", ("a", "b"))
+    src, mode = cfg["src"], cfg["mode"]
+    idcol = cfg.get("idcol", "doc_id")
+    if mode == "jaccard":
+        win = cfg.get("nchars_window")
+        extra = ", n_chars" if win is not None else ""
+        sets = con.execute(
+            f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sh{extra} FROM {src} ORDER BY {idcol}"
+        ).fetchall()
+        ids = np.array([r[0] for r in sets], np.int64)
+        nch = np.array([r[2] for r in sets], np.int64) if win is not None else None
+        ca, cb = jaccard_candidates(ids, [r[1] for r in sets], *cfg["t"],
+                                    nchars=nch, nchars_window=win)
+    elif mode == "containment":
+        sets = con.execute(
+            f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sh FROM {src} ORDER BY {idcol}"
+        ).fetchall()
+        ids = np.array([r[0] for r in sets], np.int64)
+        ca, cb = containment_candidates(ids, [r[1] for r in sets], *cfg["t"])
+    elif mode == "simhash":
+        sims = con.execute(
+            f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sim FROM {src} ORDER BY {idcol}"
+        ).fetchdf()
+        ca, cb = simhash_candidates(
+            sims[idcol].to_numpy(np.int64), sims["sim"].to_numpy(np.int64))
+    elif mode == "vec":
+        emb = con.execute(
+            f"SELECT {idcol}, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM embeddings ORDER BY {idcol}").fetchdf()
+        ids = emb[idcol].to_numpy(np.int64)
+        E = np.stack(emb["v"].to_numpy())
+        ca, cb = vec_candidates(ids, E, cfg["thr"])
+    if cfg.get("both_dirs") and mode != "containment":
+        ca, cb = np.r_[ca, cb], np.r_[cb, ca]
+    cand = pd.DataFrame({"id_a": ca, "id_b": cb})
+    con.register("cand", cand)
+    print(f"  [{name}] {len(cand)} candidate pairs", flush=True)
+    # dp_dedup_semantic's pair CTE aliases the same table; dp_curate's
+    # join is over sh2 inside the pairs CTE — the single rewrite
+    # handles both because the textual join shape is identical
+    exp = con.execute(rewrite_join(sql, src, idcol, a, b)).fetchdf()
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
+    return strict_compare(name, got, exp)
+
+
+if __name__ == "__main__":
+    bad = []
+    for name in NAMES:
+        if name not in FAMILY:
+            print(f"  FAIL {name}: no replay config"); bad.append(name); continue
+        try:
+            err = run(name)
+        except Exception as e:
+            err = f"replay error: {e}"
+        if err:
+            print(f"  FAIL {name}: {err}"); bad.append(name)
+        else:
+            print(f"  PASS {name} (candidate-superset replay)")
+    sys.exit(1 if bad else 0)

@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Full-surface big-SF correctness sweep: replay EVERY gate row at an
+sf1-scale replica, with per-oracle time budgets and independent-replay
+fallbacks for the oracles whose DuckDB formulation cannot finish at
+scale (brute all-pairs / join-fan-out classes).
+
+Protocol (the r9 lesson: the MinHash permutation-correlation bug was
+invisible below sf1, so the whole surface — not just the heavy
+families — gets the 10x replay):
+
+  1. `graft.Verify <sfDir> <outDir>` runs every SparkEntry query at the
+     replica and writes one parquet dir per row (unless --skip-spark).
+  2. Each oracle SQL runs in its OWN subprocess against the replica
+     tables with a wall-clock budget (--timeout, default 180 s). A row
+     is PASS only on the same strict compare the gate uses (schema,
+     row count, per-column values, int/float dtype-kind parity).
+  3. Rows whose oracle is KNOWN not to finish at sf1 (documented in
+     REHEARSAL_r09: brute O(N^2) pair scans, PQ join fan-out) are
+     routed straight to their independent replay tool — NumPy/AllPairs
+     re-derivations validated bit-exact against the DuckDB-proven gate
+     outputs at small SF before use here. A row that times out WITHOUT
+     a replay is reported as NEEDS-REPLAY (a gap to close, not a pass).
+
+Usage:
+  python3 tools/sf1_verify.py <sfDir> <outDir> [--skip-spark]
+      [--timeout=N] [--only=a,b,c]
+Exit 0 iff every row is PASS (duck or replay).
+"""
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_sf1"
+TIMEOUT = 180
+ONLY = set()
+for a in sys.argv:
+    if a.startswith("--timeout="):
+        TIMEOUT = int(a[len("--timeout="):])
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+# oracle formulations documented as non-finishing at sf1 -> replay tool
+# (REHEARSAL_r09: dedup_stats brute is 1.25e11 pair predicates; the PQ
+# family's join fan-out is 60+ CPU-min; winnow's list-op CTE 80+ min)
+REPLAY = {
+    "dp_dedup_stats": [sys.executable, f"{TOOLS}/dedup_stats_replay.py", SF, OUT],
+    "dp_ann_pq": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_pq"],
+    "dp_ann_pq_rerank": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_pq_rerank"],
+    "dp_ann_ivfpq": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_ivfpq"],
+    "dp_dedup_substring_winnow": [
+        sys.executable, f"{TOOLS}/winnow_replay.py", f"{SF}/documents.parquet",
+        f"{OUT}/dp_dedup_substring_winnow", "24", "8", "50"],
+}
+# candidate-superset replays (tools/bigsf_replays.py): the oracle's own
+# SQL re-runs with the brute O(N^2) join rewritten through an exactly-
+# complete candidate table; validated PASS at sf0.01 against the
+# DuckDB-proven gate outputs before use at scale
+for _n in ("dp_dedup_minhash_lsh dp_dedup_clusters dp_dedup_soft "
+           "dp_split_leakage dp_dedup_incremental dp_dedup_ngram dp_curate "
+           "dp_dedup_containment dp_dedup_simhash dp_embed_neardup "
+           "dp_dedup_semantic").split():
+    REPLAY[_n] = [sys.executable, f"{TOOLS}/bigsf_replays.py", SF, OUT, _n]
+
+
+def compare_one(name, sql, q):
+    """Worker: run one oracle in DuckDB and strict-compare (the same
+    rules local_verify.py enforces) against the Verify parquet."""
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
+    except Exception as e:
+        q.put(("FAIL", f"read spark out: {e}")); return
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        q.put(("FAIL", f"oracle sql error: {e}")); return
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        q.put(("FAIL", f"schema: spark={gcols} oracle={ecols}")); return
+    got, exp = got[gcols].reset_index(drop=True), exp[ecols].reset_index(drop=True)
+    if len(got) != len(exp):
+        q.put(("FAIL", f"rows: spark={len(got)} oracle={len(exp)}")); return
+    for c in gcols:
+        gv, ev = got[c], exp[c]
+        if (gv.dtype.kind in "iu" and ev.dtype.kind == "f") or \
+           (gv.dtype.kind == "f" and ev.dtype.kind in "iu"):
+            q.put(("FAIL", f"col {c}: dtype kind {gv.dtype} vs {ev.dtype}")); return
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            ok = all((a == b) or (pd.isna(a) and pd.isna(b))
+                     for a, b in zip(gv, ev))
+            if not ok:
+                q.put(("FAIL", f"col {c}: float mismatch")); return
+        elif not gv.equals(ev):
+            bad = gv != ev
+            i = bad[bad].index[0]
+            q.put(("FAIL",
+                   f"col {c} row {i}: spark={gv.iloc[i]} oracle={ev.iloc[i]}"))
+            return
+    q.put(("PASS", len(got)))
+
+
+def run_with_budget(name, sql):
+    q = mp.Queue()
+    p = mp.Process(target=compare_one, args=(name, sql, q), daemon=True)
+    p.start()
+    p.join(TIMEOUT)
+    if p.is_alive():
+        p.terminate(); p.join()
+        return ("TIMEOUT", f"oracle exceeded {TIMEOUT}s")
+    return q.get() if not q.empty() else ("FAIL", "worker died")
+
+
+def run_replay(name):
+    cmd = REPLAY[name]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    tail = (r.stdout + r.stderr)[-400:].replace("\n", " | ")
+    return ("PASS-replay", tail) if r.returncode == 0 else ("FAIL-replay", tail)
+
+
+if __name__ == "__main__":
+    if "--skip-spark" not in sys.argv:
+        arg3 = f" {','.join(sorted(ONLY))}" if ONLY else ""
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}{arg3}"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=7200)
+        # Verify catches per-query Spark failures and prints [verify]
+        # lines; surface them — a missing output dir fails the compare
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+        if r.returncode != 0:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(f"Verify failed rc={r.returncode}")
+
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        if ONLY and name not in ONLY:
+            continue
+        if name in REPLAY:
+            status, info = run_replay(name)
+        else:
+            status, info = run_with_budget(name, oracle[name])
+            if status == "TIMEOUT" and name in REPLAY:
+                status, info = run_replay(name)
+        results[name] = (status, info)
+        print(f"  {status:12s} {name}  {info if status != 'PASS' else f'({info} rows)'}",
+              flush=True)
+
+    n = lambda s: sum(1 for st, _ in results.values() if st == s)
+    print(f"\n=== sf-big sweep: PASS {n('PASS')} + PASS-replay {n('PASS-replay')}"
+          f" / FAIL {n('FAIL') + n('FAIL-replay')} / NEEDS-REPLAY {n('TIMEOUT')}"
+          f" of {len(results)} ===")
+    bad = [k for k, (st, _) in results.items() if st.startswith("FAIL") or st == "TIMEOUT"]
+    if bad:
+        print("unresolved:", ", ".join(bad))
+    sys.exit(1 if bad else 0)
