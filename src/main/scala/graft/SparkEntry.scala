@@ -1351,40 +1351,62 @@ object SparkEntry {
     * the auto-routed engine path (exact below cap, sketch above) is
     * checkable by this ONE query regardless of which plan it picked.
     */
-  private lazy val quantileSketchReplaySql: String = {
+  private def quantileSketchReplaySqlFor(
+      baseSelect: String, keys: Seq[String], qs: Seq[Double]): String = {
     val cap = graft.functions.SeqAggregates.ReservoirCap
     def signed(u: String) =
       s"""CAST($u - CASE WHEN $u >= 9223372036854775808
            THEN 18446744073709551616 ELSE 0 END AS BIGINT)"""
+    val keyList = keys.mkString(", ")
+    val part = s"PARTITION BY $keyList"
+    val qsVals = qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    val keyOrd = keys.map(k => s"$k ASC").mkString(", ")
     // uid = mix64(mid) XOR rid (two chained mix64 stages): XOR of the
     // raw ids alone degenerates when mid == rid (uid = 0 for every
     // row), so the engine pre-scrambles mid — mirrored here chain A
     // (mix64 of mid) then chain B (DetSamplesAgg's own mix64 of uid)
-    s"""WITH ${mix64Ctes(
-          s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
-                     event_id AS rid, $M AS uid FROM events
-              WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""", "a")},
+    s"""WITH ${mix64Ctes(baseSelect, "a")},
         ${mix64Ctes(
-          s"""SELECT name, value, xor(${signed("au5")}, rid) AS uid FROM amh""", "b")},
+          s"""SELECT $keyList, value, xor(${signed("au5")}, rid) AS uid FROM amh""", "b")},
         pr AS (
-          SELECT name, value, ${signed("bu5")} AS prio FROM bmh
+          SELECT $keyList, value, ${signed("bu5")} AS prio FROM bmh
         ), sel AS (
-          SELECT name, value,
-                 row_number() OVER (PARTITION BY name ORDER BY prio ASC, value ASC) AS k
+          SELECT $keyList, value,
+                 row_number() OVER ($part ORDER BY prio ASC, value ASC) AS k
           FROM pr
         ), samp AS (
-          SELECT name, value FROM sel WHERE k <= $cap
+          SELECT $keyList, value FROM sel WHERE k <= $cap
         ), r AS (
-          SELECT name, value,
-                 row_number() OVER (PARTITION BY name ORDER BY value) - 1 AS rn,
-                 count(*) OVER (PARTITION BY name) AS n
+          SELECT $keyList, value,
+                 row_number() OVER ($part ORDER BY value) - 1 AS rn,
+                 count(*) OVER ($part) AS n
           FROM samp
         )
-        SELECT name, q, value FROM r
-        JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+        SELECT $keyList, q, value FROM r
+        JOIN (VALUES $qsVals) AS qs(q)
           ON rn = CAST(round(q * (n - 1)) AS BIGINT)
-        ORDER BY name ASC, q ASC"""
+        ORDER BY $keyOrd, q ASC"""
   }
+
+  private lazy val quantileSketchReplaySql: String =
+    quantileSketchReplaySqlFor(
+      s"""SELECT coalesce(event_type, '_not_exists') AS name, value,
+                 event_id AS rid, $M AS uid FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND value IS NOT NULL""",
+      Seq("name"), Seq(0.5, 0.9, 0.99))
+
+  /** The time-series variant: same universal replay, partitioned by
+    * (weekly bucket, name) — the sf1 sweep caught the old exact-window
+    * oracle diverging once weekly buckets crossed the routing cap and
+    * the engine (correctly) picked the sketch plan. */
+  private lazy val quantileTsSketchReplaySql: String =
+    quantileSketchReplaySqlFor(
+      s"""SELECT $M - $M % 604800000 AS bucket_ms,
+                 coalesce(event_type, '_not_exists') AS name, value,
+                 event_id AS rid, $M AS uid FROM events
+          WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'purchase'
+            AND value IS NOT NULL""",
+      Seq("bucket_ms", "name"), Seq(0.5))
 
   def oracleSql: Map[String, String] = Map(
     "dp_split" -> {
@@ -1730,21 +1752,11 @@ object SparkEntry {
              OR ('/' || source || '/' || lang) LIKE '/src2/en/%'
           ORDER BY mid DESC, rid DESC LIMIT 1000""",
 
-    "seq_agg_quantile_ts" ->
-      s"""WITH m AS (
-            SELECT $M - $M % 604800000 AS bucket_ms,
-                   coalesce(event_type, '_not_exists') AS name, value FROM events
-            WHERE $M BETWEEN $T0 AND $T31 AND event_type = 'purchase' AND value IS NOT NULL
-          ), r AS (
-            SELECT bucket_ms, name, value,
-                   row_number() OVER (PARTITION BY bucket_ms, name ORDER BY value) - 1 AS rn,
-                   count(*) OVER (PARTITION BY bucket_ms, name) AS n
-            FROM m
-          )
-          SELECT bucket_ms, name, q, value FROM r
-          JOIN (VALUES (CAST(0.5 AS DOUBLE))) AS qs(q)
-            ON rn = CAST(round(q * (n - 1)) AS BIGINT)
-          ORDER BY bucket_ms ASC, name ASC, q ASC""",
+    // universal sketch-replay form: exact below the routing cap (the
+    // sample keeps every row) AND above it (the oracle replays the
+    // deterministic bottom-k selection) — sf0.1 takes the exact plan,
+    // sf1's weekly buckets cross the cap and take the sketch plan
+    "seq_agg_quantile_ts" -> quantileTsSketchReplaySql,
 
     "seq_agg_unique_ts" ->
       s"""SELECT DISTINCT $M - $M % 604800000 AS bucket_ms, event_type AS name
