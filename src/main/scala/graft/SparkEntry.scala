@@ -741,6 +741,17 @@ object SparkEntry {
           TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
         "doc_id", "png")),
 
+    // ---- multimodal: the FULL PNG raster model — 16-bit samples,
+    //      half the streams Adam7-interlaced; the oracle re-enumerates
+    //      every big-endian 16-bit sample from the closed form, so any
+    //      pass-geometry, per-pass unfilter, or sample-assembly bug
+    //      shifts sample_sum and goes red ----
+    "dp_multimodal_png16" -> ((s, dir) =>
+      dataprep.Multimodal.decodePngRaster(
+        dataprep.Multimodal.withPngRasterPayload(
+          TestTables.documents(s, dir).select("doc_id"), "doc_id", "png"),
+        "doc_id", "png")),
+
     // ---- multimodal: REAL audio codec — RIFF/WAVE PCM built by the
     //      actual writer, decoded back by the actual chunk-walking
     //      parser; the oracle re-enumerates every signed 16-bit sample
@@ -2468,6 +2479,28 @@ object SparkEntry {
          FROM d, generate_series(0, 15) x(g),
                  generate_series(0, 15) y(g),
                  generate_series(0, 3) c(g)
+         WHERE x.g < d.w AND y.g < d.h AND c.g < d.ch
+         GROUP BY d.id, d.w, d.h, d.ch
+         ORDER BY d.id ASC""",
+
+    // 16-bit raster: same re-enumeration as dp_multimodal_pixels but
+    // mod 65536, channels from id % 2 (gray16 / rgb16) — the engine
+    // side must ALSO survive half the streams being Adam7-interlaced
+    // to reproduce these sums
+    "dp_multimodal_png16" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+                  CAST((doc_id * 7) % 16 + 1 AS BIGINT) AS h,
+                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch
+           FROM documents)
+         SELECT d.id, d.w AS width, d.h AS height, d.ch AS channels,
+                CAST(16 AS BIGINT) AS bit_depth,
+                CAST(d.w * d.h * d.ch AS BIGINT) AS n_samples,
+                CAST(sum((d.id + 3*x.g + 7*y.g + 11*c.g) % 65536) AS BIGINT) AS sample_sum
+         FROM d, generate_series(0, 15) x(g),
+                 generate_series(0, 15) y(g),
+                 generate_series(0, 2) c(g)
          WHERE x.g < d.w AND y.g < d.h AND c.g < d.ch
          GROUP BY d.id, d.w, d.h, d.ch
          ORDER BY d.id ASC""",

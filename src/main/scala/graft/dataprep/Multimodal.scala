@@ -207,45 +207,94 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Encode a REAL image: `pixel(x, y, c)` supplies each 8-bit
-      * sample (row-major, channels interleaved), scanlines are
-      * filtered with the adaptive filter cycle y % 5 — every filter
-      * type (None/Sub/Up/Average/Paeth) appears in any image ≥ 5 rows
-      * tall, so a decoder bug in any one of them surfaces — then
-      * deflate-compressed into a single IDAT. Output is a
-      * standard-conformant PNG ([[decodePixels]] and the JDK's
-      * ImageIO both read it back bit-exactly; spec-asserted). */
-    def encodePixels(width: Int, height: Int, colorType: Int,
+    /** Adam7 pass geometry (RFC 2083 §2.6): (x0, y0, dx, dy). Each
+      * pass is its own sub-image — own scanlines, own filter bytes. */
+    private val Adam7: Array[(Int, Int, Int, Int)] =
+      Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** The sub-images a stream carries: the whole image when not
+      * interlaced, else the seven Adam7 passes with their computed
+      * (x0, y0, dx, dy, passWidth, passHeight); empty passes excluded
+      * (an empty pass contributes NO scanlines, not zero-length ones). */
+    private def subImages(width: Int, height: Int,
+        interlaced: Boolean): Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1, width, height))
+      else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy,
+          math.max(0, (width - x0 + dx - 1) / dx),
+          math.max(0, (height - y0 + dy - 1) / dy))
+      }.filter(p => p._5 > 0 && p._6 > 0)
+
+    /** Encode a REAL image: `pixel(x, y, c)` supplies each sample
+      * (row-major, channels interleaved; 8- or 16-bit wide), scanlines
+      * are filtered with the adaptive filter cycle y % 5 — every
+      * filter type (None/Sub/Up/Average/Paeth) appears in any
+      * (sub-)image ≥ 5 rows tall, so a decoder bug in any one of them
+      * surfaces — then deflate-compressed into a single IDAT. With
+      * `interlaced` the seven Adam7 passes are emitted as independent
+      * sub-images per the spec. Output is a standard-conformant PNG
+      * ([[decodeRaster]] and the JDK's ImageIO both read it back
+      * bit-exactly; spec-asserted). */
+    def encodeRaster(width: Int, height: Int, colorType: Int,
+        bitDepth: Int, interlaced: Boolean,
         pixel: (Int, Int, Int) => Int): Array[Byte] = {
       require(width > 0 && height > 0, "positive dimensions")
+      require(bitDepth == 8 || bitDepth == 16,
+        s"encodeRaster writes 8/16-bit, got $bitDepth")
       val ch = channelsOf(colorType)
-      val stride = width * ch
-      val recon = new Array[Byte](stride * height) // unfiltered reference
-      val raw = new Array[Byte]((stride + 1) * height)
+      val bytesPer = bitDepth / 8
+      val bpp = ch * bytesPer
+      val passes = subImages(width, height, interlaced)
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        (pw * bpp + 1) * ph
+      }.sum
+      val raw = new Array[Byte](rawLen)
       var pos = 0
-      var y = 0
-      while (y < height) {
-        val f = y % 5
-        raw(pos) = f.toByte; pos += 1
-        var k = 0
-        while (k < stride) {
-          val i = y * stride + k
-          val v = pixel(k / ch, y, k % ch) & 0xFF
-          recon(i) = v.toByte
-          val left = if (k >= ch) recon(i - ch) & 0xFF else 0
-          val up = if (y > 0) recon(i - stride) & 0xFF else 0
-          val ul = if (y > 0 && k >= ch) recon(i - stride - ch) & 0xFF else 0
-          val filtered = f match {
-            case 0 => v
-            case 1 => v - left
-            case 2 => v - up
-            case 3 => v - (left + up) / 2
-            case _ => v - paeth(left, up, ul)
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val stride = pw * bpp
+        val recon = new Array[Byte](stride * ph) // unfiltered reference
+        var y = 0
+        while (y < ph) {
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < ch) {
+              val v = pixel(x0 + px * dx, y0 + y * dy, c)
+              val i = y * stride + px * bpp + c * bytesPer
+              if (bitDepth == 16) {
+                recon(i) = ((v >> 8) & 0xFF).toByte
+                recon(i + 1) = (v & 0xFF).toByte
+              } else recon(i) = (v & 0xFF).toByte
+              c += 1
+            }
+            px += 1
           }
-          raw(pos) = (filtered & 0xFF).toByte; pos += 1
-          k += 1
+          y += 1
         }
-        y += 1
+        y = 0
+        while (y < ph) {
+          val f = y % 5
+          raw(pos) = f.toByte; pos += 1
+          var k = 0
+          while (k < stride) {
+            val i = y * stride + k
+            val v = recon(i) & 0xFF
+            val left = if (k >= bpp) recon(i - bpp) & 0xFF else 0
+            val up = if (y > 0) recon(i - stride) & 0xFF else 0
+            val ul = if (y > 0 && k >= bpp) recon(i - stride - bpp) & 0xFF else 0
+            val filtered = f match {
+              case 0 => v
+              case 1 => v - left
+              case 2 => v - up
+              case 3 => v - (left + up) / 2
+              case _ => v - paeth(left, up, ul)
+            }
+            raw(pos) = (filtered & 0xFF).toByte; pos += 1
+            k += 1
+          }
+          y += 1
+        }
       }
       val deflater = new java.util.zip.Deflater()
       deflater.setInput(raw); deflater.finish()
@@ -255,27 +304,41 @@ object Multimodal {
       deflater.end()
       val ihdr = java.nio.ByteBuffer.allocate(13)
         .putInt(width).putInt(height)
-        .put(8.toByte).put(colorType.toByte)
-        .put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(bitDepth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte)
+        .put((if (interlaced) 1 else 0).toByte)
         .array()
       Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
         chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Full decode: signature + CRC-verified chunk walk, IHDR field
-      * validation (8-bit, deflate, filter method 0, no interlace; no
-      * palette — this codec never writes one), IDAT concatenation +
-      * inflate, then per-scanline unfiltering (the exact inverse of
-      * the five RFC 2083 filters). Returns (width, height, channels,
-      * pixels) with pixels row-major, channels interleaved — the
-      * recon array a real raster stage consumes. Throws on any
-      * malformed structure; corrupt media must surface, not decode to
-      * zeros. */
-    def decodePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    /** The common 8-bit non-interlaced encode (see [[encodeRaster]]). */
+    def encodePixels(width: Int, height: Int, colorType: Int,
+        pixel: (Int, Int, Int) => Int): Array[Byte] =
+      encodeRaster(width, height, colorType, 8, interlaced = false, pixel)
+
+    /** A decoded raster: samples row-major, channels interleaved, each
+      * in [0, 2^bitDepth); palette images come back expanded to 8-bit
+      * RGB (channels = 3, bitDepth = 8). */
+    final case class Raster(width: Int, height: Int, channels: Int,
+        bitDepth: Int, samples: Array[Int])
+
+    /** Full decode of the COMPLETE PNG raster model: signature +
+      * CRC-verified chunk walk, then bit depths 1/2/4/8/16 (sub-byte
+      * samples unpacked MSB-first), all five color types (palette via
+      * PLTE, expanded to 8-bit RGB, out-of-range indexes rejected),
+      * and Adam7 interlace (each pass unfiltered as its own sub-image,
+      * then deinterlaced). Unfiltering runs at the spec's byte level
+      * with bpp = max(1, channels·depth/8) — the exact inverse of the
+      * five RFC 2083 filters. Throws on any malformed structure;
+      * corrupt media must surface, not decode to zeros. */
+    def decodeRaster(bytes: Array[Byte]): Raster = {
       require(bytes.length >= 45 &&
         java.util.Arrays.equals(bytes.slice(0, 8), Signature), "not a PNG")
       val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
-      var width = 0; var height = 0; var ch = 0; var stride = 0
+      var width = 0; var height = 0; var depth = 0; var colorType = 0
+      var interlaced = false
+      var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var seenIhdr = false; var seenIend = false
       while (!seenIend) {
@@ -295,12 +358,24 @@ object Multimodal {
             val f = java.nio.ByteBuffer.wrap(typeAndData, 4, len)
             width = f.getInt(); height = f.getInt()
             require(width > 0 && height > 0, "bad dimensions")
-            require(f.get() == 8, "only 8-bit depth supported")
-            ch = channelsOf(f.get() & 0xFF)
+            depth = f.get() & 0xFF
+            colorType = f.get() & 0xFF
+            val okDepth: Set[Int] = colorType match {
+              case 0         => Set(1, 2, 4, 8, 16)
+              case 3         => Set(1, 2, 4, 8)
+              case 2 | 4 | 6 => Set(8, 16)
+              case ct => throw new IllegalArgumentException(s"bad color type $ct")
+            }
+            require(okDepth(depth),
+              s"bad bit depth $depth for color type $colorType")
             require(f.get() == 0, "bad compression method")
             require(f.get() == 0, "bad filter method")
-            require(f.get() == 0, "interlace not supported")
-            stride = width * ch
+            val il = f.get() & 0xFF
+            require(il <= 1, s"bad interlace method $il")
+            interlaced = il == 1
+          case "PLTE" =>
+            require(seenIhdr && len > 0 && len % 3 == 0 && len <= 768, "bad PLTE")
+            palette = java.util.Arrays.copyOfRange(typeAndData, 4, 4 + len)
           case "IDAT" =>
             require(seenIhdr, "IDAT before IHDR")
             idat.write(typeAndData, 4, len)
@@ -308,9 +383,20 @@ object Multimodal {
           case _ => () // ancillary chunk: CRC checked above, skipped
         }
       }
+      require(colorType != 3 || palette != null, "palette image without PLTE")
+      val spp = colorType match { // samples per pixel on the wire
+        case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4
+      }
+      val bpp = math.max(1, spp * depth / 8)
+      def rowB(pixels: Int) = (pixels * spp * depth + 7) / 8
+      val passes = subImages(width, height, interlaced)
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        (rowB(pw) + 1).toLong * ph
+      }.sum
+      require(rawLen <= Int.MaxValue - 8, "image too large")
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((stride + 1) * height)
+      val raw = new Array[Byte](rawLen.toInt)
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
@@ -319,31 +405,90 @@ object Multimodal {
       }
       require(off == raw.length, "pixel data shorter than dimensions")
       inflater.end()
-      val px = new Array[Byte](stride * height)
-      var y = 0
-      while (y < height) {
-        val f = raw(y * (stride + 1)) & 0xFF
-        require(f <= 4, s"bad filter type $f")
-        var k = 0
-        while (k < stride) {
-          val i = y * stride + k
-          val x = raw(y * (stride + 1) + 1 + k) & 0xFF
-          val left = if (k >= ch) px(i - ch) & 0xFF else 0
-          val up = if (y > 0) px(i - stride) & 0xFF else 0
-          val ul = if (y > 0 && k >= ch) px(i - stride - ch) & 0xFF else 0
-          val recon = f match {
-            case 0 => x
-            case 1 => x + left
-            case 2 => x + up
-            case 3 => x + (left + up) / 2
-            case _ => x + paeth(left, up, ul)
+      val out = new Array[Int](width * height * spp)
+      var base = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val rb = rowB(pw)
+        val recon = new Array[Byte](rb * ph)
+        var y = 0
+        while (y < ph) {
+          val f = raw(base + y * (rb + 1)) & 0xFF
+          require(f <= 4, s"bad filter type $f")
+          var k = 0
+          while (k < rb) {
+            val i = y * rb + k
+            val x = raw(base + y * (rb + 1) + 1 + k) & 0xFF
+            val left = if (k >= bpp) recon(i - bpp) & 0xFF else 0
+            val up = if (y > 0) recon(i - rb) & 0xFF else 0
+            val ul = if (y > 0 && k >= bpp) recon(i - rb - bpp) & 0xFF else 0
+            val rec = f match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + (left + up) / 2
+              case _ => x + paeth(left, up, ul)
+            }
+            recon(i) = (rec & 0xFF).toByte
+            k += 1
           }
-          px(i) = (recon & 0xFF).toByte
-          k += 1
+          y += 1
         }
-        y += 1
+        base += (rb + 1) * ph
+        var py = 0
+        while (py < ph) {
+          val rowStart = py * rb
+          var px = 0
+          while (px < pw) {
+            val destPix = ((y0 + py * dy) * width + (x0 + px * dx)) * spp
+            var c = 0
+            while (c < spp) {
+              val sIdx = px * spp + c
+              out(destPix + c) = depth match {
+                case 16 =>
+                  ((recon(rowStart + 2 * sIdx) & 0xFF) << 8) |
+                    (recon(rowStart + 2 * sIdx + 1) & 0xFF)
+                case 8 => recon(rowStart + sIdx) & 0xFF
+                case d =>
+                  val per = 8 / d
+                  val b = recon(rowStart + sIdx / per) & 0xFF
+                  (b >> (8 - d * (sIdx % per + 1))) & ((1 << d) - 1)
+              }
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
       }
-      (width, height, ch, px)
+      if (colorType == 3) {
+        val n = palette.length / 3
+        val rgb = new Array[Int](width * height * 3)
+        var i = 0
+        while (i < width * height) {
+          val ix = out(i)
+          require(ix < n, s"palette index $ix out of range ($n entries)")
+          rgb(3 * i) = palette(3 * ix) & 0xFF
+          rgb(3 * i + 1) = palette(3 * ix + 1) & 0xFF
+          rgb(3 * i + 2) = palette(3 * ix + 2) & 0xFF
+          i += 1
+        }
+        Raster(width, height, 3, 8, rgb)
+      } else Raster(width, height, spp, depth, out)
+    }
+
+    /** Decode to 8-bit bytes — the shape the pixel pipeline consumes.
+      * Delegates to [[decodeRaster]]; a 16-bit stream must be read via
+      * decodeRaster explicitly (no silent 16→8-bit truncation here).
+      * Returns (width, height, channels, pixels) with pixels
+      * row-major, channels interleaved. */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val r = decodeRaster(bytes)
+      require(r.bitDepth <= 8,
+        "16-bit raster: read it via decodeRaster (no silent 8-bit truncation)")
+      val px = new Array[Byte](r.samples.length)
+      var i = 0
+      while (i < px.length) { px(i) = r.samples(i).toByte; i += 1 }
+      (r.width, r.height, r.channels, px)
     }
 
     /** Parse (width, height, channels) from real PNG bytes: verify the
@@ -555,6 +700,55 @@ object Multimodal {
         var i = 0
         while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
         PngPixels(r.id, w.toLong, h.toLong, ch.toLong, px.length.toLong, sum)
+      })
+      .toDF()
+      .orderBy(col("id").asc)
+  }
+
+  final case class PngRaster(
+      id: Long, width: Long, height: Long, channels: Long, bit_depth: Long,
+      n_samples: Long, sample_sum: Long)
+
+  /** Attach a 16-bit PNG per row — [[Png.encodeRaster]] at bit depth
+    * 16, grayscale/truecolor alternating by id % 2, ADAM7-INTERLACED
+    * for every id % 4 < 2 — with the closed-form sample
+    * (id + 3x + 7y + 11c) mod 65536. Small dimensions (≤ 16×16) keep
+    * the oracle's re-enumeration affordable; the codec is
+    * size-generic. */
+  def withPngRasterPayload(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id * 7 % 16 + 1).toInt
+        val ct = if (id % 2 == 0) 0 else 2
+        (id, Png.encodeRaster(w, h, ct, 16, interlaced = id % 4 < 2,
+          (x, y, c) => ((id + 3L * x + 7L * y + 11L * c) % 65536).toInt))
+      })
+      .toDF(idCol, outCol)
+  }
+
+  /** Decode 16-bit (half of them Adam7-interlaced) PNG bytes via
+    * [[Png.decodeRaster]] and reduce to oracle-checkable aggregates:
+    * dimensions, declared depth, and the sum of every 16-bit sample.
+    * Deinterlacing must be INVISIBLE here — interlaced and plain
+    * streams of the same id arithmetic produce identical rows — so
+    * any bug in pass geometry, per-pass unfiltering, or big-endian
+    * sample assembly shifts `sample_sum` and goes red. */
+  def decodePngRaster(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val ras = Png.decodeRaster(r.bytes)
+        var sum = 0L
+        var i = 0
+        while (i < ras.samples.length) { sum += ras.samples(i); i += 1 }
+        PngRaster(r.id, ras.width.toLong, ras.height.toLong,
+          ras.channels.toLong, ras.bitDepth.toLong,
+          ras.samples.length.toLong, sum)
       })
       .toDF()
       .orderBy(col("id").asc)

@@ -154,16 +154,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("Png.decodePixels: foreign (ImageIO-encoded) PNGs decode bit-exactly; 16-bit/palette/interlace rejected loudly") {
+  test("Png.decodePixels: foreign (ImageIO-encoded) PNGs decode bit-exactly, incl. 16-bit and palette") {
     // the inverse direction of the ImageIO cross-check above: bytes OUR
     // writer never produced (JDK encoder picks its own filters/zlib
     // strategy), read by OUR decoder
     def f(x: Int, y: Int, c: Int): Int = (5 + 3 * x + 7 * y + 11 * c) % 256
     val (w, h) = (19, 13)
-    def imageioPng(imgType: Int, ch: Int): Array[Byte] = {
+    def imageioPng(imgType: Int, ch: Int,
+        g: (Int, Int, Int) => Int = f): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, imgType)
       for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
-        img.getRaster.setSample(x, y, c, f(x, y, c))
+        img.getRaster.setSample(x, y, c, g(x, y, c))
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -177,32 +178,117 @@ class MultimodalSpec extends SparkSpec {
         assert((px((y * w + x) * ch + c) & 0xFF) == f(x, y, c),
           s"type=$imgType sample ($x,$y,$c)")
     }
-    // REAL foreign 16-bit and palette streams (ImageIO writes
-    // TYPE_USHORT_GRAY as bit-depth 16 and TYPE_BYTE_INDEXED as
-    // colorType 3): out of the codec's declared scope — must reject
-    // loudly, never decode garbage
+    // REAL foreign 16-bit stream: ImageIO writes TYPE_USHORT_GRAY as
+    // bit-depth 16 — decodeRaster reads every big-endian sample back
+    def f16(x: Int, y: Int, c: Int): Int = (5 + 257 * x + 1031 * y) % 65536
+    val r16 = Multimodal.Png.decodeRaster(
+      imageioPng(java.awt.image.BufferedImage.TYPE_USHORT_GRAY, 1, f16))
+    assert((r16.width, r16.height, r16.channels, r16.bitDepth) == ((w, h, 1, 16)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(r16.samples(y * w + x) == f16(x, y, 0), s"16-bit sample ($x,$y)")
+    // ...and decodePixels refuses to silently truncate it to 8 bits
     val e16 = intercept[IllegalArgumentException](Multimodal.Png.decodePixels(
-      imageioPng(java.awt.image.BufferedImage.TYPE_USHORT_GRAY, 1)))
-    assert(e16.getMessage.contains("8-bit"), e16.getMessage)
-    val ePal = intercept[IllegalArgumentException](Multimodal.Png.decodePixels(
-      imageioPng(java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, 1)))
-    assert(ePal.getMessage.contains("color type"), ePal.getMessage)
-    // Adam7 interlace: no JDK encoder writes it, so patch the IHDR
-    // interlace byte (offset 28) on our own stream and re-CRC
+      imageioPng(java.awt.image.BufferedImage.TYPE_USHORT_GRAY, 1, f16)))
+    assert(e16.getMessage.contains("decodeRaster"), e16.getMessage)
+    // REAL foreign palette stream (TYPE_BYTE_INDEXED → colorType 3):
+    // expanded to 8-bit RGB, compared against the JDK's own expansion
+    val palPng = imageioPng(java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, 1)
+    val palImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(palPng))
+    val rPal = Multimodal.Png.decodeRaster(palPng)
+    assert((rPal.width, rPal.height, rPal.channels, rPal.bitDepth) == ((w, h, 3, 8)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = palImg.getRGB(x, y)
+      val i = (y * w + x) * 3
+      assert(rPal.samples(i) == ((rgb >> 16) & 0xFF)
+        && rPal.samples(i + 1) == ((rgb >> 8) & 0xFF)
+        && rPal.samples(i + 2) == (rgb & 0xFF), s"palette pixel ($x,$y)")
+    }
+    // invalid IHDR fields still surface loudly (patch + re-CRC)
     def patchIhdr(png: Array[Byte], off: Int, v: Byte): Array[Byte] = {
       val b = png.clone(); b(off) = v
       val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
       java.nio.ByteBuffer.wrap(b).putInt(29, crc.getValue.toInt); b
     }
     val own = Multimodal.Png.encodePixels(6, 6, 2, f)
-    val eIl = intercept[IllegalArgumentException](
-      Multimodal.Png.decodePixels(patchIhdr(own, 28, 1)))
-    assert(eIl.getMessage.contains("interlace"), eIl.getMessage)
-    // and the same loud-rejection contract via raw IHDR patches
     assert(intercept[IllegalArgumentException](
-      Multimodal.Png.decodePixels(patchIhdr(own, 24, 16))).getMessage.contains("8-bit"))
+      Multimodal.Png.decodePixels(patchIhdr(own, 24, 7))).getMessage.contains("bad bit depth"))
     assert(intercept[IllegalArgumentException](
-      Multimodal.Png.decodePixels(patchIhdr(own, 25, 3))).getMessage.contains("color type"))
+      Multimodal.Png.decodePixels(patchIhdr(own, 25, 5))).getMessage.contains("bad color type"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Png.decodePixels(patchIhdr(own, 28, 2))).getMessage.contains("bad interlace"))
+    // truecolor at bit depth 4 is not a legal combination
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Png.decodePixels(patchIhdr(own, 24, 4))).getMessage.contains("bad bit depth"))
+  }
+
+  test("Png 16-bit + Adam7: round trips, ImageIO cross-reads our interlaced streams, sub-byte depths unpack") {
+    def f16(x: Int, y: Int, c: Int): Int = (9 + 257 * x + 1031 * y + 4099 * c) % 65536
+    // 16-bit gray / RGB / RGBA, plain and interlaced; dims below and
+    // above the 8×8 Adam7 tile so empty and partial passes both occur
+    for ((w, h, ct, ch) <- Seq((1, 1, 0, 1), (5, 3, 0, 1), (17, 9, 2, 3),
+        (13, 21, 6, 4), (8, 8, 0, 1));
+        il <- Seq(false, true)) {
+      val png = Multimodal.Png.encodeRaster(w, h, ct, 16, il, f16)
+      val r = Multimodal.Png.decodeRaster(png)
+      assert((r.width, r.height, r.channels, r.bitDepth) == ((w, h, ch, 16)),
+        s"($w,$h,$ct,il=$il)")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(r.samples((y * w + x) * ch + c) == f16(x, y, c),
+          s"($w,$h,$ct,il=$il) sample ($x,$y,$c)")
+      // the JDK decoder deinterlaces and widens identically — proves
+      // our interlaced writer emits spec PNG, and cross-validates the
+      // pass geometry against an independent implementation
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h, s"($w,$h,$ct,il=$il)")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(img.getRaster.getSample(x, y, c) == f16(x, y, c),
+          s"ImageIO ($w,$h,$ct,il=$il) sample ($x,$y,$c)")
+    }
+    // 8-bit interlaced round trip through the pipeline's decodePixels
+    def f8(x: Int, y: Int, c: Int): Int = (3 + 3 * x + 7 * y + 11 * c) % 256
+    for ((w, h, ct, ch) <- Seq((19, 13, 2, 3), (4, 11, 0, 1), (9, 2, 6, 4))) {
+      val png = Multimodal.Png.encodeRaster(w, h, ct, 8, interlaced = true, f8)
+      val (dw, dh, dch, px) = Multimodal.Png.decodePixels(png)
+      assert((dw, dh, dch) == ((w, h, ch)), s"($w,$h,$ct)")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((px((y * w + x) * ch + c) & 0xFF) == f8(x, y, c),
+          s"interlaced-8 ($w,$h,$ct) sample ($x,$y,$c)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(img.getRaster.getSample(x, y, c) == f8(x, y, c),
+          s"ImageIO interlaced-8 ($w,$h,$ct) sample ($x,$y,$c)")
+    }
+    // hand-built depth-2 palette stream: packed sub-byte indices
+    // (MSB-first) expand through PLTE to the exact RGB triples
+    val palette = Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ payload
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      java.nio.ByteBuffer.allocate(12 + payload.length)
+        .putInt(payload.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val (pw, ph) = (5, 3) // 5 2-bit indices per row → 2 bytes per scanline
+    val idx = Array.tabulate(ph, pw)((y, x) => (x + y) % 4)
+    val scan = (0 until ph).flatMap { y =>
+      val b0 = (idx(y)(0) << 6) | (idx(y)(1) << 4) | (idx(y)(2) << 2) | idx(y)(3)
+      Seq(0.toByte, b0.toByte, (idx(y)(4) << 6).toByte) // filter None
+    }.toArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scan); defl.finish()
+    val zo = new java.io.ByteArrayOutputStream()
+    val zb = new Array[Byte](256)
+    while (!defl.finished()) zo.write(zb, 0, defl.deflate(zb))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(pw).putInt(ph)
+      .put(2.toByte).put(3.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val palPng2 = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", palette) ++
+      chunk("IDAT", zo.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val r2 = Multimodal.Png.decodeRaster(palPng2)
+    assert((r2.width, r2.height, r2.channels, r2.bitDepth) == ((pw, ph, 3, 8)))
+    for (y <- 0 until ph; x <- 0 until pw; c <- 0 until 3)
+      assert(r2.samples((y * pw + x) * 3 + c) == palette(3 * idx(y)(x) + c) % 256,
+        s"depth-2 palette pixel ($x,$y,$c)")
   }
 
   test("Wav: encode→decode bit-exact; RIFF chunk walk; AudioSystem ground truth; malformed rejected") {
