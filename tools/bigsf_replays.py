@@ -283,6 +283,20 @@ def strict_compare(name, got, exp):
     return None
 
 
+def _cand_cache_path(prefix_sql, src, idcol, key_cfg):
+    """Candidates are a pure function of (the oracle's own set-defining
+    SQL prefix, source CTE, id column, thresholds) — same key, same
+    candidate superset. Several gate oracles share the exact prefix
+    text (clusters/soft/split_leakage; minhash_lsh/incremental), so
+    caching the generated pair arrays on disk turns the 30-min
+    generation into a load for every family member after the first."""
+    import hashlib
+    h = hashlib.sha256(
+        "\x00".join([prefix_sql, src, idcol, repr(sorted(key_cfg.items())),
+                     SF]).encode()).hexdigest()[:24]
+    return f"/tmp/graft_bigsf_cand_{h}.npz"
+
+
 def run(name):
     cfg = FAMILY[name]
     sql = oracle[name]
@@ -291,20 +305,39 @@ def run(name):
     idcol = cfg.get("idcol", "doc_id")
     if mode == "jaccard":
         win = cfg.get("nchars_window")
-        extra = ", n_chars" if win is not None else ""
-        sets = con.execute(
-            f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sh{extra} FROM {src} ORDER BY {idcol}"
-        ).fetchall()
-        ids = np.array([r[0] for r in sets], np.int64)
-        nch = np.array([r[2] for r in sets], np.int64) if win is not None else None
-        ca, cb = jaccard_candidates(ids, [r[1] for r in sets], *cfg["t"],
-                                    nchars=nch, nchars_window=win)
+        pfx = sets_prefix(sql, src, a, b)
+        cpath = _cand_cache_path(pfx, src, idcol,
+                                 dict(mode=mode, t=cfg["t"], win=win))
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            ca, cb = z["ca"], z["cb"]
+            print(f"  [{name}] candidate cache hit: {cpath}", flush=True)
+        else:
+            extra = ", n_chars" if win is not None else ""
+            sets = con.execute(
+                f"{pfx} SELECT {idcol}, sh{extra} FROM {src} ORDER BY {idcol}"
+            ).fetchall()
+            ids = np.array([r[0] for r in sets], np.int64)
+            nch = np.array([r[2] for r in sets], np.int64) if win is not None else None
+            ca, cb = jaccard_candidates(ids, [r[1] for r in sets], *cfg["t"],
+                                        nchars=nch, nchars_window=win)
+            np.savez_compressed(cpath + ".tmp.npz", ca=ca, cb=cb)
+            os.replace(cpath + ".tmp.npz", cpath)
     elif mode == "containment":
-        sets = con.execute(
-            f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sh FROM {src} ORDER BY {idcol}"
-        ).fetchall()
-        ids = np.array([r[0] for r in sets], np.int64)
-        ca, cb = containment_candidates(ids, [r[1] for r in sets], *cfg["t"])
+        pfx = sets_prefix(sql, src, a, b)
+        cpath = _cand_cache_path(pfx, src, idcol, dict(mode=mode, t=cfg["t"]))
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            ca, cb = z["ca"], z["cb"]
+            print(f"  [{name}] candidate cache hit: {cpath}", flush=True)
+        else:
+            sets = con.execute(
+                f"{pfx} SELECT {idcol}, sh FROM {src} ORDER BY {idcol}"
+            ).fetchall()
+            ids = np.array([r[0] for r in sets], np.int64)
+            ca, cb = containment_candidates(ids, [r[1] for r in sets], *cfg["t"])
+            np.savez_compressed(cpath + ".tmp.npz", ca=ca, cb=cb)
+            os.replace(cpath + ".tmp.npz", cpath)
     elif mode == "simhash":
         sims = con.execute(
             f"{sets_prefix(sql, src, a, b)} SELECT {idcol}, sim FROM {src} ORDER BY {idcol}"
