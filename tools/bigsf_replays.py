@@ -351,6 +351,14 @@ def run(name):
         ids = emb[idcol].to_numpy(np.int64)
         E = np.stack(emb["v"].to_numpy())
         ca, cb = vec_candidates(ids, E, cfg["thr"])
+    if os.environ.get("GRAFT_CAND_ONLY"):
+        # pre-generation mode: populate the candidate cache (the 30-min
+        # part) for this row's family and skip the verify — lets several
+        # families' caches build in parallel while the serial sweep is
+        # busy verifying another row
+        print(f"  [{name}] candidates cached ({len(ca)} pairs), "
+              f"verify skipped (GRAFT_CAND_ONLY)", flush=True)
+        return None
     if cfg.get("both_dirs") and mode != "containment":
         ca, cb = np.r_[ca, cb], np.r_[cb, ca]
     cand = pd.DataFrame({"id_a": ca, "id_b": cb})
