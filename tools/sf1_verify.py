@@ -124,7 +124,11 @@ def run_with_budget(name, sql):
 
 def run_replay(name):
     cmd = REPLAY[name]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    except subprocess.TimeoutExpired:
+        # a timed-out replay is a gap to close, not a sweep-killer
+        return ("FAIL-replay", "replay exceeded 7200s")
     tail = (r.stdout + r.stderr)[-400:].replace("\n", " | ")
     return ("PASS-replay", tail) if r.returncode == 0 else ("FAIL-replay", tail)
 
