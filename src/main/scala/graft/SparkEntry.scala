@@ -1882,19 +1882,36 @@ object SparkEntry {
             AND len(list_intersect(a.sh, b.sh)) * 10 >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))
           ORDER BY id_a, id_b""",
 
-    // Brute-force containment over all ordered pairs; the Spark side's
-    // prefix filter is exact (a qualifying pair always shares a prefix
-    // hash — pigeonhole), so the candidate pruning must not change the
-    // result. Shingle-less docs drop on both sides.
+    // Brute-force containment over all ordered pairs, under the
+    // operator's FULL contract: the gate query passes maxDfFrac=0.1,
+    // maxDfAbs=500, and containmentPairs' documented semantics exclude
+    // exactly the pairs whose EVERY shared shingle is hot (document
+    // frequency above min(maxDfAbs, floor(maxDfFrac*N)) — evidence
+    // consisting solely of stop-bigrams). The hot/hotl CTEs replicate
+    // that cap; inter_cnt and n_a stay computed on the FULL shingle
+    // lists, as the engine's exact verification does. At sf0.01/sf0.1
+    // no bigram crosses the cap (hot is empty) and this reduces to the
+    // plain brute join; the round-10 sf1 sweep is where the corner
+    // first bites (900 hot bigrams, 121 732 hot-only pairs) and the
+    // engine matched this contract bit-exactly. The engine also
+    // truncates an adversarially huge hot set to the 2^20 hottest
+    // keys — unreachable here (|hot| is bounded by total shingle
+    // occurrences / cap, ~5k at sf1), so the oracle omits it.
     "dp_dedup_containment" ->
       s"""$DSH_CTE,
-          nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+          nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+          hot AS (SELECT h FROM (SELECT unnest(sh) AS h FROM nz) GROUP BY h
+                  HAVING count(*) > least(500, greatest(1,
+                    CAST(floor(0.1 * (SELECT count(*) FROM nz)) AS BIGINT)))),
+          hotl AS (SELECT coalesce(list(h), []) AS hl FROM hot)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_cnt,
                  CAST(len(a.sh) AS BIGINT) AS n_a
-          FROM nz a, nz b
+          FROM nz a, nz b, hotl
           WHERE a.doc_id <> b.doc_id
             AND len(list_intersect(a.sh, b.sh)) * 10 >= 9 * len(a.sh)
+            AND len(list_filter(list_intersect(a.sh, b.sh),
+                                x -> NOT list_contains(hl, x))) > 0
           ORDER BY id_a, id_b""",
 
     // clusters: the pair set (brute-force Jaccard — LSH at these

@@ -64,7 +64,11 @@ FAMILY = {
     "dp_dedup_ngram":       dict(mode="jaccard", src="s", t=(3, 10),
                                  nchars_window=25),
     "dp_curate":            dict(mode="jaccard", src="sh2", t=(1, 2)),
-    "dp_dedup_containment": dict(mode="containment", src="nz", t=(9, 10)),
+    # cap=(maxDfFrac, maxDfAbs): the gate query's posting cap — the
+    # oracle (and so this replay) excludes pairs whose every shared
+    # shingle is hot (df > min(maxDfAbs, floor(maxDfFrac*N)))
+    "dp_dedup_containment": dict(mode="containment", src="nz", t=(9, 10),
+                                 cap=(0.1, 500)),
     "dp_dedup_simhash":     dict(mode="simhash", src="s", maxham=3),
     "dp_embed_neardup":     dict(mode="vec", src="embeddings", thr=0.4,
                                  idcol="vec_id"),
@@ -259,7 +263,8 @@ def vec_candidates(ids, E, thr):
     return ids[a], ids[b]
 
 
-def containment_expected(ids, docs, ca, cb, c_num, c_den):
+def containment_expected(ids, docs, ca, cb, c_num, c_den,
+                         cap_frac=1.0, cap_abs=0):
     """Exact expected rows (id_a, id_b, inter_cnt, n_a) of the directed
     containment oracle `|A∩B| * c_den >= c_num * |A|`, computed in
     NumPy from an exact directed candidate superset (ca -> cb, doc
@@ -269,6 +274,12 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den):
     directions are then tested against the exact predicate — a
     direction absent from the superset cannot pass it (superset
     exactness), so emitting any passing direction is sound.
+
+    cap_frac/cap_abs mirror the gate query's posting cap: the oracle's
+    contract excludes pairs whose every shared shingle is hot
+    (document frequency > min(cap_abs, floor(cap_frac*N))), so a
+    second per-pair count restricted to non-hot shingles gates the
+    emission. cap_frac=1.0, cap_abs=0 disables (no hot set).
 
     Performance shape: first-touch page faults are very expensive in
     this environment (measured ~40 s/GB on fresh mmaps), so the hot
@@ -281,6 +292,17 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den):
     off = np.zeros(n + 1, np.int64)
     off[1:] = np.cumsum(lens)
     V = int(flat.max()) + 1 if len(flat) else 1
+    # hot set per the gate query's cap (df counts docs: per-doc
+    # shingle lists are distinct)
+    nothot = np.ones(V, bool)
+    if cap_abs or cap_frac < 1.0:
+        df = np.zeros(V, np.int64)
+        for d in docs:
+            df[d] += 1
+        cap = max(1, int(cap_frac * n))
+        if cap_abs:
+            cap = min(cap, cap_abs)
+        nothot = df <= cap
     # map doc ids -> indexes, apply the necessary size condition
     # (inter <= min(|A|,|B|) so c*|A| <= |B|), build unordered keys
     P = len(ca)
@@ -312,6 +334,7 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den):
     del order
     Q = len(gath)
     inter = np.empty(Q, np.int64)
+    inter_nh = np.empty(Q, np.int64)
     if Q:
         starts = np.flatnonzero(np.r_[True, memb[1:] != memb[:-1]])
         ends = np.r_[starts[1:], Q]
@@ -329,14 +352,17 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den):
             AR = np.arange(max(tot, 2 * len(AR)), dtype=np.int64)
         csum = np.cumsum(reps) - reps
         gidx = np.repeat(off[g] - csum, reps) + AR[:tot]
-        member = mark[flat[gidx]]
+        sh = flat[gidx]
+        member = mark[sh]
         prow = np.repeat(AR[:e - s], reps)
         inter[s:e] = np.bincount(prow, weights=member,
                                  minlength=e - s).astype(np.int64)
+        inter_nh[s:e] = np.bincount(prow, weights=member & nothot[sh],
+                                    minlength=e - s).astype(np.int64)
         mark[dm] = False
     out_a, out_b, out_i = [], [], []
     for x, y in ((plo, phi), (phi, plo)):
-        okd = inter * c_den >= c_num * lens[x]
+        okd = (inter * c_den >= c_num * lens[x]) & (inter_nh > 0)
         out_a.append(x[okd])
         out_b.append(y[okd])
         out_i.append(inter[okd])
@@ -465,7 +491,9 @@ def run(name):
         # pattern as tools/pq_replay.py / dedup_stats_replay.py.
         print(f"  [{name}] {len(ca)} directed candidates -> NumPy exact "
               f"intersection verify", flush=True)
-        exp = containment_expected(ids, docs, ca, cb, *cfg["t"])
+        cf, cx = cfg.get("cap", (1.0, 0))
+        exp = containment_expected(ids, docs, ca, cb, *cfg["t"],
+                                   cap_frac=cf, cap_abs=cx)
         got = con.execute(
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
         return strict_compare(name, got, exp)
