@@ -263,6 +263,58 @@ def vec_candidates(ids, E, thr):
     return ids[a], ids[b]
 
 
+def _bitmap_inter(docs, lens, flat, off, V, pa, pb, nothot=None):
+    """Exact |A∩B| for index pair arrays (pa, pb), aligned to input
+    order. Counts each pair once: the smaller set's elements are
+    gathered and tested against a boolean bitmap of the larger set,
+    grouped by the bitmap doc so temporaries stay allocator-recycled
+    (first-touch page faults cost ~40 s/GB here). With `nothot`, also
+    returns the count restricted to non-hot shingles."""
+    Q = len(pa)
+    small = lens[pa] <= lens[pb]
+    gath = np.where(small, pa, pb)
+    memb = np.where(small, pb, pa)
+    del small
+    order = np.argsort(memb, kind="stable")
+    gath, memb = gath[order], memb[order]
+    inter = np.empty(Q, np.int64)
+    inter_nh = np.empty(Q, np.int64) if nothot is not None else None
+    if Q:
+        starts = np.flatnonzero(np.r_[True, memb[1:] != memb[:-1]])
+        ends = np.r_[starts[1:], Q]
+    else:
+        starts = ends = np.empty(0, np.int64)
+    mark = np.zeros(V, bool)
+    AR = np.arange(2, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        dm = docs[memb[s]]
+        mark[dm] = True
+        g = gath[s:e]
+        reps = lens[g]
+        tot = int(reps.sum())
+        if len(AR) < tot:
+            AR = np.arange(max(tot, 2 * len(AR)), dtype=np.int64)
+        csum = np.cumsum(reps) - reps
+        gidx = np.repeat(off[g] - csum, reps) + AR[:tot]
+        sh = flat[gidx]
+        member = mark[sh]
+        prow = np.repeat(AR[:e - s], reps)
+        inter[s:e] = np.bincount(prow, weights=member,
+                                 minlength=e - s).astype(np.int64)
+        if nothot is not None:
+            inter_nh[s:e] = np.bincount(prow, weights=member & nothot[sh],
+                                        minlength=e - s).astype(np.int64)
+        mark[dm] = False
+    # scatter back to input order
+    out = np.empty(Q, np.int64)
+    out[order] = inter
+    if nothot is None:
+        return out
+    out_nh = np.empty(Q, np.int64)
+    out_nh[order] = inter_nh
+    return out, out_nh
+
+
 def containment_expected(ids, docs, ca, cb, c_num, c_den,
                          cap_frac=1.0, cap_abs=0):
     """Exact expected rows (id_a, id_b, inter_cnt, n_a) of the directed
@@ -322,44 +374,8 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den,
     plo = ukey // n
     phi = ukey % n
     del ukey
-    # gather side = smaller set, membership (bitmap) side = larger;
-    # unique keys are sorted by (lo, hi) — regroup by membership doc
-    small = lens[plo] <= lens[phi]
-    gath = np.where(small, plo, phi)
-    memb = np.where(small, phi, plo)
-    del small
-    order = np.argsort(memb, kind="stable")
-    gath, memb = gath[order], memb[order]
-    plo, phi = plo[order], phi[order]
-    del order
-    Q = len(gath)
-    inter = np.empty(Q, np.int64)
-    inter_nh = np.empty(Q, np.int64)
-    if Q:
-        starts = np.flatnonzero(np.r_[True, memb[1:] != memb[:-1]])
-        ends = np.r_[starts[1:], Q]
-    else:
-        starts = ends = np.empty(0, np.int64)
-    mark = np.zeros(V, bool)
-    AR = np.arange(2, dtype=np.int64)
-    for s, e in zip(starts, ends):
-        dm = docs[memb[s]]
-        mark[dm] = True
-        g = gath[s:e]
-        reps = lens[g]
-        tot = int(reps.sum())
-        if len(AR) < tot:
-            AR = np.arange(max(tot, 2 * len(AR)), dtype=np.int64)
-        csum = np.cumsum(reps) - reps
-        gidx = np.repeat(off[g] - csum, reps) + AR[:tot]
-        sh = flat[gidx]
-        member = mark[sh]
-        prow = np.repeat(AR[:e - s], reps)
-        inter[s:e] = np.bincount(prow, weights=member,
-                                 minlength=e - s).astype(np.int64)
-        inter_nh[s:e] = np.bincount(prow, weights=member & nothot[sh],
-                                    minlength=e - s).astype(np.int64)
-        mark[dm] = False
+    inter, inter_nh = _bitmap_inter(docs, lens, flat, off, V, plo, phi,
+                                    nothot=nothot)
     out_a, out_b, out_i = [], [], []
     for x, y in ((plo, phi), (phi, plo)):
         okd = (inter * c_den >= c_num * lens[x]) & (inter_nh > 0)
@@ -424,21 +440,55 @@ def run(name):
         pfx = sets_prefix(sql, src, a, b)
         cpath = _cand_cache_path(pfx, src, idcol,
                                  dict(mode=mode, t=cfg["t"], win=win))
-        if os.path.exists(cpath):
-            z = np.load(cpath)
+        tpath = cpath[:-4] + "_true.npz"
+        extra = ", n_chars" if win is not None else ""
+        sets = con.execute(
+            f"{pfx} SELECT {idcol}, sh{extra} FROM {src} ORDER BY {idcol}"
+        ).fetchall()
+        ids = np.array([r[0] for r in sets], np.int64)
+        if os.path.exists(tpath):
+            z = np.load(tpath)
             ca, cb = z["ca"], z["cb"]
-            print(f"  [{name}] candidate cache hit: {cpath}", flush=True)
+            print(f"  [{name}] true-pair cache hit: {tpath}", flush=True)
         else:
-            extra = ", n_chars" if win is not None else ""
-            sets = con.execute(
-                f"{pfx} SELECT {idcol}, sh{extra} FROM {src} ORDER BY {idcol}"
-            ).fetchall()
-            ids = np.array([r[0] for r in sets], np.int64)
-            nch = np.array([r[2] for r in sets], np.int64) if win is not None else None
-            ca, cb = jaccard_candidates(ids, [r[1] for r in sets], *cfg["t"],
-                                        nchars=nch, nchars_window=win)
-            np.savez_compressed(cpath + ".tmp.npz", ca=ca, cb=cb)
-            os.replace(cpath + ".tmp.npz", cpath)
+            if os.path.exists(cpath):
+                z = np.load(cpath)
+                ca, cb = z["ca"], z["cb"]
+                print(f"  [{name}] candidate cache hit: {cpath}", flush=True)
+            else:
+                nch = (np.array([r[2] for r in sets], np.int64)
+                       if win is not None else None)
+                ca, cb = jaccard_candidates(ids, [r[1] for r in sets],
+                                            *cfg["t"],
+                                            nchars=nch, nchars_window=win)
+                np.savez_compressed(cpath + ".tmp.npz", ca=ca, cb=cb)
+                os.replace(cpath + ".tmp.npz", cpath)
+            # Registering the full superset as `cand` made DuckDB's join
+            # the bottleneck at sf1 (10^8-10^9 pair rows). J >= t is
+            # exact integer arithmetic — i*(td+tn) >= tn*(|A|+|B|) — so
+            # prefilter the superset to the TRUE Jaccard pairs with the
+            # bitmap counter; the oracle SQL still re-applies ALL its
+            # own predicates (intersections, unions, windows) on every
+            # surviving pair. Cached per family like the candidates.
+            t_num, t_den = cfg["t"]
+            sid = {}
+            docs = [np.array(sorted({sid.setdefault(g, len(sid))
+                                     for g in r[1]}), np.int64)
+                    for r in sets]
+            lens = np.array([len(d) for d in docs], np.int64)
+            flat = np.concatenate(docs) if docs else np.empty(0, np.int64)
+            off = np.zeros(len(docs) + 1, np.int64)
+            off[1:] = np.cumsum(lens)
+            V = int(flat.max()) + 1 if len(flat) else 1
+            ia = np.searchsorted(ids, ca)
+            ib = np.searchsorted(ids, cb)
+            inter = _bitmap_inter(docs, lens, flat, off, V, ia, ib)
+            ok = inter * (t_den + t_num) >= t_num * (lens[ia] + lens[ib])
+            ca, cb = ca[ok], cb[ok]
+            print(f"  [{name}] {int(ok.sum())} true pairs of {len(ok)} "
+                  f"candidates", flush=True)
+            np.savez_compressed(tpath + ".tmp.npz", ca=ca, cb=cb)
+            os.replace(tpath + ".tmp.npz", tpath)
     elif mode == "containment":
         pfx = sets_prefix(sql, src, a, b)
         cpath = _cand_cache_path(pfx, src, idcol, dict(mode=mode, t=cfg["t"]))
