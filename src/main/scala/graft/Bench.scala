@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,6 +20,11 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       // events.parquet carries pandas ns timestamps; see TestTables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // scratch override: shuffle/spill/localCheckpoint follow GRAFT_TMP
+    // (see GraftTmp — scratch WRITES are what a credit-throttled cloud
+    // disk punishes; a cluster provisions local dirs on fast media)
+    val spark = GraftTmp.sparkLocalDir()
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session/scheduler init + parquet reader paths, so the
@@ -121,9 +126,12 @@ object Bench {
         // progressive rest (60/120/180 s): the r9 throttle signature
         // was burst-credit exhaustion, which recovers with idle time
         val restS = 60 * attempts
+        val nOut = baselinePairs.flatMap { case (n, a, b) =>
+          floors.get(n).map(fl => math.min(a, b) / math.max(fl, 1.0))
+        }.count(_ > 3.0)
         System.err.println(String.format(java.util.Locale.ROOT,
-          "[bench] sanity median %.2fx pinned floor (>1.5x) - box looks throttled; resting %ds (attempt %d/%d)",
-          Double.box(sanityRatio), Int.box(restS), Int.box(attempts), Int.box(maxAttempts)))
+          "[bench] sanity median %.2fx pinned floor, %d scenario(s) >3x (clean needs median<=1.5x AND <=1 outlier) - resting %ds (attempt %d/%d)",
+          Double.box(sanityRatio), Int.box(nOut), Int.box(restS), Int.box(attempts), Int.box(maxAttempts)))
         Thread.sleep(restS * 1000L)
       }
     }
@@ -132,7 +140,8 @@ object Bench {
         "[bench] STILL %.2fx floor after %d attempts - stamping throttled:true",
         Double.box(sanityRatio), Int.box(attempts)))
     val envPart = s""","env":{"throttled":${!clean},"sanity_ratio":${f3(sanityRatio)}""" +
-      s""","sanity_attempts":$attempts,"floor_scenarios":${floors.size}}"""
+      s""","sanity_attempts":$attempts,"floor_scenarios":${floors.size}""" +
+      s""","scratch":"${if (GraftTmp.overridden) GraftTmp.dir else "default"}"}"""
     // probe mode: measure the sanity scenarios and exit — pins
     // BENCH_FLOOR.json on a rested box without paying a sweep's IO
     if (sys.env.contains("SPARK_GRAFT_BENCH_PROBE")) {
@@ -227,7 +236,7 @@ object Bench {
       def run(): Double = {
         val t0 = System.nanoTime()
         graft.ingest.BulkIngest.ingestPartitioned(lines, mapping,
-          requestTimeMs = 1706745599999L, path = "/tmp/graft_bench_ingest",
+          requestTimeMs = 1706745599999L, path = s"${GraftTmp.dir}/graft_bench_ingest",
           allowedDriftMs = 10L * 365 * 86400 * 1000)
         (System.nanoTime() - t0) / 1e9
       }
@@ -241,7 +250,7 @@ object Bench {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(): Unit
         }
-        val d = new java.io.File("/tmp/graft_bench_ingest")
+        val d = new java.io.File(s"${GraftTmp.dir}/graft_bench_ingest")
         if (d.exists()) rm(d)
       }
       // cold includes one-time plan/codegen compilation; warm is the
@@ -257,7 +266,7 @@ object Bench {
       // after the GC lets the flusher drain before timing starts.
       Thread.sleep(3000)
       val cold = run()
-      val n0 = spark.read.parquet("/tmp/graft_bench_ingest").count() // before cleanup
+      val n0 = spark.read.parquet(s"${GraftTmp.dir}/graft_bench_ingest").count() // before cleanup
       cleanOutput()
       System.gc() // cold run's garbage shouldn't become warm-run pauses
       val warm1 = run()
@@ -287,7 +296,7 @@ object Bench {
       // default executor is serial) so the concurrent scenario below
       // actually overlaps requests, like the reference's server does
       val facade = new graft.server.EsHttpFacade(
-        spark, mapping, "/tmp/graft_bench_ingest", serving = true,
+        spark, mapping, s"${GraftTmp.dir}/graft_bench_ingest", serving = true,
         limits = graft.server.RateLimits(maxInflight = 64))
       facade.start()
       try {
@@ -315,7 +324,7 @@ object Bench {
         // warm path, not the per-call cold-plan floor
         val grpcPart = try {
           val gapi = new graft.server.grpc.GrpcSeqApi(spark, facade.table,
-            "/tmp/graft_bench_ingest/_async", serving = Some(facade.core))
+            s"${GraftTmp.dir}/graft_bench_ingest/_async", serving = Some(facade.core))
           val gport = gapi.start()
           val gclient = new graft.server.grpc.GrpcSeqClient("127.0.0.1", gport, gapi)
           try {
@@ -345,31 +354,42 @@ object Bench {
           def pageBody(offset: Int) =
             s"""{"query":"*","from":0,"to":${Long.MaxValue},"size":100,"offset":$offset}"""
           post(pageBody(4900)) // deepest page: ONE prefix job covers all 50
-          val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
           val errors = new java.util.concurrent.atomic.AtomicInteger()
-          val t0 = System.nanoTime()
-          val threads = (0 until vus).map { v =>
-            val th = new Thread(() => {
-              val cl = java.net.http.HttpClient.newHttpClient()
-              var iter = v * 7 // stagger start pages across VUs
-              while ((System.nanoTime() - t0) / 1e6 < durationMs) {
-                val b = pageBody((iter % 50) * 100)
-                val s0 = System.nanoTime()
-                try {
-                  cl.send(java.net.http.HttpRequest.newBuilder(uri)
-                    .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
-                    java.net.http.HttpResponse.BodyHandlers.ofString())
-                  lat.add(Double.box((System.nanoTime() - s0) / 1e6))
-                } catch { case _: Throwable => errors.incrementAndGet() }
-                iter += 1
-                Thread.sleep(200)
-              }
-            })
-            th.setDaemon(true); th.start(); th
-          }
-          threads.foreach(_.join())
           import scala.jdk.CollectionConverters._
-          val ts = lat.asScala.map(_.doubleValue).toSeq.sorted
+          // one 10 s VU window; a single window's p95 is GC-pause
+          // lottery (observed 7/21/24 ms across same-code sweeps), so
+          // run two and keep the better — the sweep's own min-of-two
+          // convention ("samples":2,"stat":"min")
+          def window(): Seq[Double] = {
+            val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+            val t0 = System.nanoTime()
+            val threads = (0 until vus).map { v =>
+              val th = new Thread(() => {
+                val cl = java.net.http.HttpClient.newHttpClient()
+                var iter = v * 7 // stagger start pages across VUs
+                while ((System.nanoTime() - t0) / 1e6 < durationMs) {
+                  val b = pageBody((iter % 50) * 100)
+                  val s0 = System.nanoTime()
+                  try {
+                    cl.send(java.net.http.HttpRequest.newBuilder(uri)
+                      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
+                      java.net.http.HttpResponse.BodyHandlers.ofString())
+                    lat.add(Double.box((System.nanoTime() - s0) / 1e6))
+                  } catch { case _: Throwable => errors.incrementAndGet() }
+                  iter += 1
+                  Thread.sleep(200)
+                }
+              })
+              th.setDaemon(true); th.start(); th
+            }
+            threads.foreach(_.join())
+            lat.asScala.map(_.doubleValue).toSeq.sorted
+          }
+          def p95of(s: Seq[Double]): Double =
+            if (s.isEmpty) Double.MaxValue else s(math.min(s.size - 1, s.size * 95 / 100))
+          val w1 = window()
+          val w2 = window()
+          val ts = if (p95of(w1) <= p95of(w2)) w1 else w2
           // aggs shape: 2 VUs, 10 total iterations of COUNT group-by
           val aggUri = java.net.URI.create(
             s"http://127.0.0.1:${facade.port}/aggregate")
@@ -383,22 +403,29 @@ object Bench {
             (System.nanoTime() - s0) / 1e6
           }
           { val cl = java.net.http.HttpClient.newHttpClient(); aggPost(cl) } // agg plan warm
-          val aggLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
-          val aggThreads = (0 until 2).map { _ =>
-            val th = new Thread(() => {
-              val cl = java.net.http.HttpClient.newHttpClient()
-              (1 to 5).foreach { _ =>
-                try aggLat.add(Double.box(aggPost(cl)))
-                catch { case _: Throwable => errors.incrementAndGet() }
-                Thread.sleep(200)
-              }
-            })
-            th.setDaemon(true); th.start(); th
+          def aggWindow(): Seq[Double] = {
+            val aggLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+            val aggThreads = (0 until 2).map { _ =>
+              val th = new Thread(() => {
+                val cl = java.net.http.HttpClient.newHttpClient()
+                (1 to 5).foreach { _ =>
+                  try aggLat.add(Double.box(aggPost(cl)))
+                  catch { case _: Throwable => errors.incrementAndGet() }
+                  Thread.sleep(200)
+                }
+              })
+              th.setDaemon(true); th.start(); th
+            }
+            aggThreads.foreach(_.join())
+            aggLat.asScala.map(_.doubleValue).toSeq.sorted
           }
-          aggThreads.foreach(_.join())
-          val ats = aggLat.asScala.map(_.doubleValue).toSeq.sorted
+          val aw1 = aggWindow()
+          val aw2 = aggWindow()
+          def medOf(s: Seq[Double]): Double =
+            if (s.isEmpty) Double.MaxValue else s(s.size / 2)
+          val ats = if (medOf(aw1) <= medOf(aw2)) aw1 else aw2
           if (ts.isEmpty) "" else {
-            val p95 = ts(math.min(ts.size - 1, ts.size * 95 / 100))
+            val p95 = p95of(ts)
             val aggP = if (ats.isEmpty) ""
               else s""","agg_vus":2,"agg_p50":${ats(ats.size / 2).round},"agg_n":${ats.size}"""
             s""","serving_concurrent_ms":{"vus":$vus,"duration_s":10,"p50":${ts(ts.size / 2).round},"p95":${p95.round},"n":${ts.size},"errors":${errors.get}$aggP}"""
@@ -422,7 +449,24 @@ object Bench {
     val qSamples = sampled.map { case (k, (a, b)) =>
       s"\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart,"queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
+    // the entry gate defends the sweep's START; a mid-sweep CPU-steal
+    // or credit-drain window can still pollute the middle (observed:
+    // same-code sweeps of 63.6 s and 155 s, both with clean entry
+    // sanity). Re-measure the sanity scenarios at the EXIT and stamp
+    // the ratio — a consumer trusts the total only when both ends are
+    // clean.
+    val postRatios = sanityOnce().flatMap { case (n, a, b) =>
+      floors.get(n).map(fl => math.min(a, b) / math.max(fl, 1.0))
+    }.sorted
+    val postRatio = if (postRatios.isEmpty) 0.0 else postRatios(postRatios.size / 2)
+    val postClean = postRatios.isEmpty ||
+      (postRatio <= 1.5 && postRatios.count(_ > 3.0) <= 1)
+    if (!postClean)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] EXIT sanity %.2fx floor - the sweep itself was polluted mid-run; rerun on a quieter box",
+        Double.box(postRatio)))
+    val envPost = s""","env_post":{"degraded":${!postClean},"sanity_ratio":${f3(postRatio)}}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost,"queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
     // root), overridable via env — no baked-in absolute paths
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -450,5 +494,10 @@ object Bench {
     }
     println(head + taken.mkString(",") + trailer(results.size - taken.size))
     spark.stop()
+    // hard-exit: java.net.http.HttpClient selector threads (from the
+    // serving sections) are non-daemon on JDK 17 and keep the forked
+    // JVM alive after main returns — five such zombies were found
+    // holding 65 GB during a sweep, polluting every later run
+    sys.exit(0)
   }
 }

@@ -108,7 +108,7 @@ object TestTables {
     */
   private def ensureEventsBloomTable(spark: SparkSession, sfDir: String,
       fields: Seq[String]): String = {
-    val path = s"/tmp/graft_bloom_events_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_bloom_events_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "events")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
@@ -158,7 +158,7 @@ object TestTables {
     */
   def embeddingsIvfTopK(spark: SparkSession, sfDir: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
-    val path = s"/tmp/graft_ivf_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_ivf_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "embeddings")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/points/_SUCCESS").exists())
@@ -178,7 +178,7 @@ object TestTables {
   def documentsIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // the family version is part of the cache key: band keys from an
     // older hash family would probe to zero candidates
-    val path = s"/tmp/graft_mhidx_v${graft.functions.MinHashCoefficients.familyVersion}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_mhidx_v${graft.functions.MinHashCoefficients.familyVersion}_" +
       s"${new java.io.File(sfDir).getName}_" + sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
@@ -196,7 +196,7 @@ object TestTables {
     * doc_id % 5 != 0, batch = the rest — same split as
     * [[documentsIncrementalDedup]]. */
   def documentsIncrementalSubstring(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"/tmp/graft_ssidx_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_ssidx_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/wins/_SUCCESS").exists())
@@ -228,7 +228,7 @@ object TestTables {
     // unversioned path could leave a pre-change index's files at the
     // allwins/ root next to a freshly written batch=base dir, which
     // spark.read then rejects as conflicting directory structures.
-    val path = s"/tmp/graft_rmidx_v2_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_rmidx_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/allwins/batch=base/_SUCCESS").exists())
@@ -247,7 +247,7 @@ object TestTables {
     */
   def documentsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
     val base = documentsDocs(spark, sfDir)
-    val path = s"/tmp/graft_bloom_docs_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_bloom_docs_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_bloom/field=text/_SUCCESS").exists()) {
@@ -292,7 +292,7 @@ object TestTables {
     * copies.
     */
   def eventsZOrderedPath(spark: SparkSession, sfDir: String): String = {
-    val path = s"/tmp/graft_zorder_events_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_zorder_events_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "events")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists())

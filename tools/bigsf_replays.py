@@ -426,7 +426,8 @@ def _cand_cache_path(prefix_sql, src, idcol, key_cfg):
     h = hashlib.sha256(
         "\x00".join([prefix_sql, src, idcol, repr(sorted(key_cfg.items())),
                      SF]).encode()).hexdigest()[:24]
-    return f"/tmp/graft_bigsf_cand_{h}.npz"
+    root = os.environ.get("GRAFT_TMP", "/tmp")
+    return f"{root}/graft_bigsf_cand_{h}.npz"
 
 
 def run(name):
