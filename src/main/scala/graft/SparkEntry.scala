@@ -1017,11 +1017,36 @@ object SparkEntry {
   // deterministic hyperplanes the Spark kernel uses (integer pre-images
   // from LshPlanes.planeInts; the m/1e6-0.5 arithmetic is identical
   // IEEE ops on both engines, embeddings.parquet is 64-dim).
-  private def lshBucketSqlExpr(vCol: String): String =
-    graft.functions.LshPlanes.planeInts(12, 64).zipWithIndex.map { case (row, p) =>
+  private def lshBucketSqlExpr(vCol: String, nBits: Int = 12): String =
+    graft.functions.LshPlanes.planeInts(nBits, 64).zipWithIndex.map { case (row, p) =>
       val arr = "list_transform([" + row.mkString(",") + "], x -> CAST(x AS DOUBLE)/1000000.0 - 0.5)"
       s"CASE WHEN list_dot_product($vCol, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
+
+  // Dedup.embeddingNearDupPairs switches plans on corpus size (doc at
+  // Dedup.scala: n <= bruteForceMax=10000 -> exact O(n^2); above ->
+  // banded 32-bit random-hyperplane LSH, 4 bands x 8 bits, candidates
+  // = pairs sharing >= 1 band, then exact-dot verified). The oracle
+  // encodes the SAME contract so it is exact on BOTH sides of the
+  // cutover — below it the band predicate is inert, above it the
+  // oracle demands exactly the pairs the documented plan yields
+  // (the r10 sf1 sweep caught the divergence: an uncutover-aware
+  // brute oracle asserts recall the operator never promises at scale).
+  private def nearDupPairJoinSql(extraSelect: String): String =
+    s"""WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 ${lshBucketSqlExpr("CAST(embedding AS DOUBLE[])", 32)} AS sig
+          FROM embeddings),
+        cut AS (SELECT count(*) <= 10000 AS brute FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b$extraSelect
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) >= 0.4
+          AND ((SELECT brute FROM cut)
+               OR ((a.sig >> 0) & 255) = ((b.sig >> 0) & 255)
+               OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255)
+               OR ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255)
+               OR ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255))"""
 
   /** Generated oracle for the trained-IVF query: mirrors
     * Similarity.trainIvfCentroids's deterministic Lloyd steps (exact
@@ -2018,11 +2043,8 @@ object SparkEntry {
           ORDER BY new_id, old_id""",
 
     "dp_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS dot_e6
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      s"""${nearDupPairJoinSql(""",
+               CAST(floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS dot_e6""")}
         ORDER BY id_a, id_b""",
 
     // MMR greedy replayed as chained argmax CTEs: pool = top-20 by
@@ -2059,19 +2081,33 @@ object SparkEntry {
     // dp_embed_neardup's brute-force pair graph, closed transitively
     // (the dp_dedup_clusters recursive pattern), keeping rows that are
     // their own min-label representative.
+    // pair graph = the cutover-aware near-dup contract (see
+    // nearDupPairJoinSql), closed transitively (the dp_dedup_clusters
+    // recursive pattern), keeping rows that are their own min-label
+    // representative.
     "dp_dedup_semantic" ->
-      """WITH RECURSIVE p AS MATERIALIZED (
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  ${lshBucketSqlExpr("CAST(embedding AS DOUBLE[])", 32)} AS sig
+           FROM embeddings),
+         cut AS (SELECT count(*) <= 10000 AS brute FROM e),
+         p AS MATERIALIZED (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a, embeddings b
+           FROM e a, e b
            WHERE a.vec_id < b.vec_id
-             AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
-         e AS MATERIALIZED (
+             AND list_dot_product(a.v, b.v) >= 0.4
+             AND ((SELECT brute FROM cut)
+                  OR ((a.sig >> 0) & 255) = ((b.sig >> 0) & 255)
+                  OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255)
+                  OR ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255)
+                  OR ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255))),
+         ed AS MATERIALIZED (
            SELECT id_a AS src, id_b AS dst FROM p
            UNION SELECT id_b, id_a FROM p),
          reach(v, u) AS (
            SELECT vec_id, vec_id FROM embeddings
            UNION
-           SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+           SELECT r.v, ed.dst FROM reach r JOIN ed ON r.u = ed.src),
          reps AS (SELECT v AS vec_id, min(u) AS rep FROM reach GROUP BY v)
          SELECT emb.vec_id, emb.label
          FROM embeddings emb JOIN reps USING (vec_id)

@@ -70,9 +70,13 @@ FAMILY = {
     "dp_dedup_containment": dict(mode="containment", src="nz", t=(9, 10),
                                  cap=(0.1, 500)),
     "dp_dedup_simhash":     dict(mode="simhash", src="s", maxham=3),
-    "dp_embed_neardup":     dict(mode="vec", src="embeddings", thr=0.4,
+    # src="e": the cutover-aware oracles (SparkEntry.nearDupPairJoinSql)
+    # alias the signature CTE; the exact-threshold prescreen stays a
+    # strict superset of (dot >= thr AND shares-a-band), and the
+    # rewritten SQL re-applies BOTH predicates on every candidate
+    "dp_embed_neardup":     dict(mode="vec", src="e", thr=0.4,
                                  idcol="vec_id"),
-    "dp_dedup_semantic":    dict(mode="vec", src="embeddings", thr=0.4,
+    "dp_dedup_semantic":    dict(mode="vec", src="e", thr=0.4,
                                  idcol="vec_id", both_dirs=True),
 }
 
