@@ -76,7 +76,13 @@ object Bench {
       "seq_search_range_numeric",
       // not a published scenario, but the comparable (entity, time)
       // needle: zone-map-pruned read over the Z-ordered copy
-      "events_zorder_lookup")
+      "events_zorder_lookup",
+      // WRITE-path probe (below): the r10 gate was read-only — all
+      // seven scenarios are page-cache-warm reads — so a box whose
+      // scratch WRITES were credit-throttled stamped clean sanity
+      // while the shuffle/write-heavy rows inflated 4x (official r10
+      // dp_curate 12.0s vs 2.7s same-code on provisioned scratch)
+      "write_probe_ingest")
     val floors: Map[String, Double] = try {
       // explicit UTF-8: the forked JVM's default charset may be ASCII,
       // and Source.fromFile then throws on any multibyte byte sequence
@@ -92,8 +98,51 @@ object Bench {
         System.err.println(s"[bench] no pinned floor (${e.getClass.getSimpleName}: ${e.getMessage}) - sanity gate disabled")
         Map.empty
     }
-    def sanityOnce(): Seq[(String, Double, Double)] =
-      baselineQs.filter(SparkEntry.queries.contains).map { n =>
+    // write-probe input: 50k events rendered to NDJSON once, pinned as
+    // localCheckpoint blocks (NOT persist(): the read scenarios call
+    // clearCache() per sample, which would evict a CacheManager entry
+    // and fold the re-materialization into the probe's timed window)
+    val probeLines: Option[org.apache.spark.sql.DataFrame] = try {
+      import org.apache.spark.sql.functions._
+      val src = spark.read.parquet(s"$sfDir/events.parquet").limit(50000)
+      val df = src.select(to_json(struct(
+          date_format(timestamp_millis(graft.tables.TestTables.tsMid(src)),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
+          col("event_type"),
+          col("user_id").cast("string").as("user_id"),
+          col("value").cast("string").as("value"),
+          col("props"))).as("value"))
+        .localCheckpoint(true)
+      Some(df)
+    } catch { case _: Throwable => None }
+    val probeMapping = {
+      import graft.model.IndexType
+      graft.model.SeqMapping.of(
+        "event_type" -> IndexType.Keyword,
+        "user_id"    -> IndexType.Keyword,
+        "value"      -> IndexType.Keyword,
+        "props"      -> IndexType.Text)
+    }
+    val probePath = s"${GraftTmp.dir}/graft_sanity_ingest"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    // the timed span is the full ingest write path (JSON parse → id
+    // gen → tokenize → day-partitioned parquet write) to GRAFT_TMP —
+    // the predecessor tree is deleted OUTSIDE the window, same
+    // protocol as the headline ingest scenario
+    def writeProbeOnce(lines: org.apache.spark.sql.DataFrame): Double = {
+      val d = new java.io.File(probePath)
+      if (d.exists()) rmTree(d)
+      val t0 = System.nanoTime()
+      graft.ingest.BulkIngest.ingestPartitioned(lines, probeMapping,
+        requestTimeMs = 1706745599999L, path = probePath,
+        allowedDriftMs = 10L * 365 * 86400 * 1000)
+      (System.nanoTime() - t0) / 1e6
+    }
+    def sanityOnce(): Seq[(String, Double, Double)] = {
+      val reads = baselineQs.filter(SparkEntry.queries.contains).map { n =>
         def once(): Double = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -102,6 +151,12 @@ object Bench {
         }
         (n, once(), once())
       }
+      val write = probeLines.toSeq.map { l =>
+        def once(): Double = try writeProbeOnce(l) catch { case _: Throwable => -1.0 }
+        ("write_probe_ingest", once(), once())
+      }
+      reads ++ write
+    }
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_SANITY_RETRIES")
       .flatMap(_.toIntOption).getOrElse(3)
     var attempts = 0
@@ -337,7 +392,54 @@ object Bench {
             val gt = (1 to 30).map { i =>
               val t0 = System.nanoTime(); page(100 + i); (System.nanoTime() - t0) / 1e6
             }.sorted
-            s""","serving_grpc_ms":{"p50":${gt(gt.size / 2).round},"p90":${gt(gt.size * 9 / 10).round},"n":${gt.size}}"""
+            // the same k6 window (20 VUs x 10 s match-all paging over
+            // 50 pages x 100 docs, 0.2 s think time) over the
+            // reference's PRIMARY api: proto clients must see
+            // comparable latency under concurrency, not just on a
+            // sequential loop. One shared channel — gRPC multiplexes
+            // concurrent calls over HTTP/2 streams, like real clients.
+            val gconc = try {
+              val vus = sys.env.get("SPARK_GRAFT_BENCH_VUS")
+                .flatMap(_.toIntOption).getOrElse(20)
+              val qAll = SearchQuery("*", 0L, Long.MaxValue)
+              def cpage(offset: Int) =
+                gclient.search(PSearchRequest(qAll, size = 100, offset = offset,
+                  withTotal = false, asc = false))
+              cpage(4900) // deepest page: ONE prefix job covers all 50
+              def gwindow(): (Seq[Double], Int) = {
+                val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+                val errs = new java.util.concurrent.atomic.AtomicInteger()
+                val t0 = System.nanoTime()
+                val threads = (0 until vus).map { v =>
+                  val th = new Thread(() => {
+                    var iter = v * 7 // stagger start pages across VUs
+                    while ((System.nanoTime() - t0) / 1e6 < 10000) {
+                      val s0 = System.nanoTime()
+                      try {
+                        cpage((iter % 50) * 100)
+                        lat.add(Double.box((System.nanoTime() - s0) / 1e6))
+                      } catch { case _: Throwable => errs.incrementAndGet() }
+                      iter += 1
+                      Thread.sleep(200)
+                    }
+                  })
+                  th.setDaemon(true); th.start(); th
+                }
+                threads.foreach(_.join())
+                import scala.jdk.CollectionConverters._
+                (lat.asScala.map(_.doubleValue).toSeq.sorted, errs.get)
+              }
+              def p95of(s: Seq[Double]): Double =
+                if (s.isEmpty) Double.MaxValue else s(math.min(s.size - 1, s.size * 95 / 100))
+              // two windows, keep the better p95 (min-of-two, same as
+              // the HTTP window); errors reported for the kept window
+              val (g1, e1) = gwindow()
+              val (g2, e2) = gwindow()
+              val (gs, gErrs) = if (p95of(g1) <= p95of(g2)) (g1, e1) else (g2, e2)
+              if (gs.isEmpty) "" else
+                s""","serving_grpc_concurrent_ms":{"vus":$vus,"duration_s":10,"p50":${gs(gs.size / 2).round},"p95":${p95of(gs).round},"n":${gs.size},"errors":$gErrs}"""
+            } catch { case _: Throwable => "" }
+            s""","serving_grpc_ms":{"p50":${gt(gt.size / 2).round},"p90":${gt(gt.size * 9 / 10).round},"n":${gt.size}}$gconc"""
           } finally { gclient.close(); gapi.stop() }
         } catch { case _: Throwable => "" }
         // ---- concurrent load: the reference's published read numbers
@@ -354,14 +456,17 @@ object Bench {
           def pageBody(offset: Int) =
             s"""{"query":"*","from":0,"to":${Long.MaxValue},"size":100,"offset":$offset}"""
           post(pageBody(4900)) // deepest page: ONE prefix job covers all 50
-          val errors = new java.util.concurrent.atomic.AtomicInteger()
           import scala.jdk.CollectionConverters._
           // one 10 s VU window; a single window's p95 is GC-pause
           // lottery (observed 7/21/24 ms across same-code sweeps), so
           // run two and keep the better — the sweep's own min-of-two
-          // convention ("samples":2,"stat":"min")
-          def window(): Seq[Double] = {
+          // convention ("samples":2,"stat":"min"). Errors are counted
+          // PER WINDOW so the emitted count is attributable to the
+          // kept window's sample set, not an accumulation across both
+          // paging windows and both agg windows.
+          def window(): (Seq[Double], Int) = {
             val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+            val errs = new java.util.concurrent.atomic.AtomicInteger()
             val t0 = System.nanoTime()
             val threads = (0 until vus).map { v =>
               val th = new Thread(() => {
@@ -375,7 +480,7 @@ object Bench {
                       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
                       java.net.http.HttpResponse.BodyHandlers.ofString())
                     lat.add(Double.box((System.nanoTime() - s0) / 1e6))
-                  } catch { case _: Throwable => errors.incrementAndGet() }
+                  } catch { case _: Throwable => errs.incrementAndGet() }
                   iter += 1
                   Thread.sleep(200)
                 }
@@ -383,13 +488,13 @@ object Bench {
               th.setDaemon(true); th.start(); th
             }
             threads.foreach(_.join())
-            lat.asScala.map(_.doubleValue).toSeq.sorted
+            (lat.asScala.map(_.doubleValue).toSeq.sorted, errs.get)
           }
           def p95of(s: Seq[Double]): Double =
             if (s.isEmpty) Double.MaxValue else s(math.min(s.size - 1, s.size * 95 / 100))
-          val w1 = window()
-          val w2 = window()
-          val ts = if (p95of(w1) <= p95of(w2)) w1 else w2
+          val (w1, e1) = window()
+          val (w2, e2) = window()
+          val (ts, tErrs) = if (p95of(w1) <= p95of(w2)) (w1, e1) else (w2, e2)
           // aggs shape: 2 VUs, 10 total iterations of COUNT group-by
           val aggUri = java.net.URI.create(
             s"http://127.0.0.1:${facade.port}/aggregate")
@@ -403,32 +508,33 @@ object Bench {
             (System.nanoTime() - s0) / 1e6
           }
           { val cl = java.net.http.HttpClient.newHttpClient(); aggPost(cl) } // agg plan warm
-          def aggWindow(): Seq[Double] = {
+          def aggWindow(): (Seq[Double], Int) = {
             val aggLat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+            val errs = new java.util.concurrent.atomic.AtomicInteger()
             val aggThreads = (0 until 2).map { _ =>
               val th = new Thread(() => {
                 val cl = java.net.http.HttpClient.newHttpClient()
                 (1 to 5).foreach { _ =>
                   try aggLat.add(Double.box(aggPost(cl)))
-                  catch { case _: Throwable => errors.incrementAndGet() }
+                  catch { case _: Throwable => errs.incrementAndGet() }
                   Thread.sleep(200)
                 }
               })
               th.setDaemon(true); th.start(); th
             }
             aggThreads.foreach(_.join())
-            aggLat.asScala.map(_.doubleValue).toSeq.sorted
+            (aggLat.asScala.map(_.doubleValue).toSeq.sorted, errs.get)
           }
-          val aw1 = aggWindow()
-          val aw2 = aggWindow()
+          val (aw1, ae1) = aggWindow()
+          val (aw2, ae2) = aggWindow()
           def medOf(s: Seq[Double]): Double =
             if (s.isEmpty) Double.MaxValue else s(s.size / 2)
-          val ats = if (medOf(aw1) <= medOf(aw2)) aw1 else aw2
+          val (ats, aErrs) = if (medOf(aw1) <= medOf(aw2)) (aw1, ae1) else (aw2, ae2)
           if (ts.isEmpty) "" else {
             val p95 = p95of(ts)
             val aggP = if (ats.isEmpty) ""
-              else s""","agg_vus":2,"agg_p50":${ats(ats.size / 2).round},"agg_n":${ats.size}"""
-            s""","serving_concurrent_ms":{"vus":$vus,"duration_s":10,"p50":${ts(ts.size / 2).round},"p95":${p95.round},"n":${ts.size},"errors":${errors.get}$aggP}"""
+              else s""","agg_vus":2,"agg_p50":${ats(ats.size / 2).round},"agg_n":${ats.size},"agg_errors":$aErrs"""
+            s""","serving_concurrent_ms":{"vus":$vus,"duration_s":10,"p50":${ts(ts.size / 2).round},"p95":${p95.round},"n":${ts.size},"errors":$tErrs$aggP}"""
           }
         } catch { case _: Throwable => "" }
         s""","serving_ms":{"p50":${times(times.size / 2).round},"p90":${times(times.size * 9 / 10).round},"first_ms":${firstMs.round},"n":${times.size}}$grpcPart$concPart"""

@@ -29,7 +29,9 @@ object GraftTmp {
   def sparkLocalDir(): Option[String] =
     if (overridden) {
       val d = new java.io.File(dir, "spark_local")
-      d.mkdirs()
+      if (!d.mkdirs() && !d.isDirectory)
+        throw new java.io.IOException(
+          s"GRAFT_TMP scratch dir is not creatable: ${d.getAbsolutePath}")
       Some(d.getAbsolutePath)
     } else None
 }

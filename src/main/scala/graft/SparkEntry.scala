@@ -713,11 +713,23 @@ object SparkEntry {
         .withColumnRenamed("n_overlap_max", "n_overlap")
     }),
 
-    // ---- multimodal binary plumbing (stubbed decode, mapPartitions) ----
+    // ---- multimodal binary plumbing: sniffed decode over text
+    //      payloads (no magic bytes -> the declared fallback route) ----
     "dp_multimodal_stub" -> ((s, dir) =>
       dataprep.Multimodal.extractFeatures(
         dataprep.Multimodal.withTextPayload(TestTables.documents(s, dir), "text", "payload"),
         "doc_id", "payload")),
+
+    // ---- multimodal: magic-byte dispatch over a MIXED corpus — PNG
+    //      and WAV payloads route to the REAL codecs (full pixel /
+    //      PCM decode), text to the fallback; every decoded feature
+    //      is id arithmetic the oracle recomputes ----
+    "dp_multimodal_sniff" -> ((s, dir) =>
+      dataprep.Multimodal.extractFeatures(
+        dataprep.Multimodal.withMixedPayload(
+          TestTables.documents(s, dir), "doc_id", "text", "payload"),
+        "doc_id", "payload")
+        .select(col("id"), col("kind"), col("width"), col("height"), col("channels"))),
 
     // ---- multimodal: REAL codec path — PNG built by the actual
     //      writer (signature + CRC'd big-endian IHDR), decoded back by
@@ -1024,29 +1036,43 @@ object SparkEntry {
     }.mkString(" + ")
 
   // Dedup.embeddingNearDupPairs switches plans on corpus size (doc at
-  // Dedup.scala: n <= bruteForceMax=10000 -> exact O(n^2); above ->
-  // banded 32-bit random-hyperplane LSH, 4 bands x 8 bits, candidates
-  // = pairs sharing >= 1 band, then exact-dot verified). The oracle
-  // encodes the SAME contract so it is exact on BOTH sides of the
-  // cutover — below it the band predicate is inert, above it the
-  // oracle demands exactly the pairs the documented plan yields
-  // (the r10 sf1 sweep caught the divergence: an uncutover-aware
-  // brute oracle asserts recall the operator never promises at scale).
-  private def nearDupPairJoinSql(extraSelect: String): String =
-    s"""WITH e AS MATERIALIZED (
+  // Dedup.scala: n <= BruteForceMaxDefault -> exact O(n^2); above ->
+  // banded random-hyperplane LSH over LshBands x LshBandBits,
+  // candidates = pairs sharing >= 1 band, then exact-dot verified).
+  // The oracle encodes the SAME contract — built from Dedup's own
+  // constants so a cutover/band-layout change cannot silently desync
+  // it — and is exact on BOTH sides of the cutover: below it the band
+  // predicate is inert, above it the oracle demands exactly the pairs
+  // the documented plan yields (the r10 sf1 sweep caught the
+  // divergence: an uncutover-aware brute oracle asserts recall the
+  // operator never promises at scale). Assumes the session conf
+  // spark.graft.dedup.bruteForceMax is UNSET during verification.
+  private def nearDupPairCtes: String =
+    s"""e AS MATERIALIZED (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                 ${lshBucketSqlExpr("CAST(embedding AS DOUBLE[])", 32)} AS sig
+                 ${lshBucketSqlExpr("CAST(embedding AS DOUBLE[])",
+                   dataprep.Dedup.LshBands * dataprep.Dedup.LshBandBits)} AS sig
           FROM embeddings),
-        cut AS (SELECT count(*) <= 10000 AS brute FROM e)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b$extraSelect
+        cut AS (SELECT count(*) <= ${dataprep.Dedup.BruteForceMaxDefault} AS brute FROM e)"""
+
+  private def nearDupBandPredicate: String =
+    (0 until dataprep.Dedup.LshBands).map { b =>
+      val sh = b * dataprep.Dedup.LshBandBits
+      val mask = (1 << dataprep.Dedup.LshBandBits) - 1
+      s"((a.sig >> $sh) & $mask) = ((b.sig >> $sh) & $mask)"
+    }.mkString("\n               OR ")
+
+  private def nearDupPairSelect(extraSelect: String): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b$extraSelect
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.v, b.v) >= 0.4
           AND ((SELECT brute FROM cut)
-               OR ((a.sig >> 0) & 255) = ((b.sig >> 0) & 255)
-               OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255)
-               OR ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255)
-               OR ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255))"""
+               OR $nearDupBandPredicate)"""
+
+  private def nearDupPairJoinSql(extraSelect: String): String =
+    s"""WITH $nearDupPairCtes
+        ${nearDupPairSelect(extraSelect)}"""
 
   /** Generated oracle for the trained-IVF query: mirrors
     * Similarity.trainIvfCentroids's deterministic Lloyd steps (exact
@@ -2078,29 +2104,15 @@ object SparkEntry {
           SELECT rank, vec_id, mmr_scaled_e6 FROM ($unions) ORDER BY rank"""
     },
 
-    // dp_embed_neardup's brute-force pair graph, closed transitively
-    // (the dp_dedup_clusters recursive pattern), keeping rows that are
-    // their own min-label representative.
-    // pair graph = the cutover-aware near-dup contract (see
-    // nearDupPairJoinSql), closed transitively (the dp_dedup_clusters
-    // recursive pattern), keeping rows that are their own min-label
+    // pair graph = the cutover-aware near-dup contract (the shared
+    // nearDupPairCtes/nearDupPairSelect, same CTEs dp_embed_neardup
+    // uses), closed transitively (the dp_dedup_clusters recursive
+    // pattern), keeping rows that are their own min-label
     // representative.
     "dp_dedup_semantic" ->
-      s"""WITH RECURSIVE e AS MATERIALIZED (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  ${lshBucketSqlExpr("CAST(embedding AS DOUBLE[])", 32)} AS sig
-           FROM embeddings),
-         cut AS (SELECT count(*) <= 10000 AS brute FROM e),
+      s"""WITH RECURSIVE $nearDupPairCtes,
          p AS MATERIALIZED (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM e a, e b
-           WHERE a.vec_id < b.vec_id
-             AND list_dot_product(a.v, b.v) >= 0.4
-             AND ((SELECT brute FROM cut)
-                  OR ((a.sig >> 0) & 255) = ((b.sig >> 0) & 255)
-                  OR ((a.sig >> 8) & 255) = ((b.sig >> 8) & 255)
-                  OR ((a.sig >> 16) & 255) = ((b.sig >> 16) & 255)
-                  OR ((a.sig >> 24) & 255) = ((b.sig >> 24) & 255))),
+           ${nearDupPairSelect("")}),
          ed AS MATERIALIZED (
            SELECT id_a AS src, id_b AS dst FROM p
            UNION SELECT id_b, id_a FROM p),
@@ -2492,13 +2504,39 @@ object SparkEntry {
                      * greatest(1, src_h * num // den) * 3 AS BIGINT) AS est_bytes
          FROM r ORDER BY id""",
 
+    // text payloads carry no PNG/WAV magic, so every row takes the
+    // sniffer's declared fallback route (kind='other', length-derived
+    // pseudo-features)
     "dp_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                substr(hex(encode(text)), 1, 16) AS head_hex,
-               CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
-               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
-               CAST(3 AS BIGINT) AS fake_channels
+               'other' AS kind,
+               CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels
+        FROM documents ORDER BY id ASC""",
+
+    // Mixed corpus: the sniffer must route id%3==0 through the real
+    // PNG raster decode (dims + channels from the encoded color
+    // type), id%3==1 through the real WAV PCM decode (frames, rate,
+    // channels), the rest through the fallback — all parameters are
+    // the withMixedPayload id arithmetic, recomputed here
+    "dp_multimodal_sniff" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'other' END AS kind,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN doc_id % 24 + 1
+                    WHEN 1 THEN doc_id % 32 + 1
+                    ELSE octet_length(encode(text)) % 640 + 1 END AS BIGINT) AS width,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN (doc_id * 7) % 24 + 1
+                    WHEN 1 THEN 8000 + ((doc_id // 3) % 4) * 4000
+                    ELSE (octet_length(encode(text)) * 7) % 480 + 1 END AS BIGINT) AS height,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN (CASE CAST((doc_id // 3) % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                    WHEN 1 THEN (doc_id // 3) % 2 + 1
+                    ELSE 3 END AS BIGINT) AS channels
         FROM documents ORDER BY id ASC""",
 
     // What the PNG payload ENCODES is pure id arithmetic — so the

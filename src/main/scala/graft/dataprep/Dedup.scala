@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Brute/LSH cutover for [[embeddingNearDupPairs]] and the band
+    * layout of its LSH leg — shared constants so the oracles that
+    * encode the cutover contract (SparkEntry's nearDup CTEs) cannot
+    * silently desync from the operator. NOTE: the session conf
+    * `spark.graft.dedup.bruteForceMax` overrides the cutover at run
+    * time; the oracles assume it is UNSET during verification. */
+  val BruteForceMaxDefault = 10000L
+  val LshBands = 4
+  val LshBandBits = 8
+
   /** Exact duplicates by content hash. Output: one row per distinct
     * content, with the representative (min id) and the group size.
     */
@@ -741,7 +751,7 @@ object Dedup {
     * consumed.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bruteForceMax: Long = 10000L,
+      threshold: Double, bruteForceMax: Long = Dedup.BruteForceMaxDefault,
       knownCount: Option[Long] = None): DataFrame = {
     // session-conf override of the cutover (plan-shape tests force the
     // LSH path on small fixtures with it; a deployment can tune it
@@ -759,13 +769,15 @@ object Dedup {
           expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
         .orderBy("id_a", "id_b")
     } else {
+      val sigBits = Dedup.LshBands * Dedup.LshBandBits
+      val bandMask = (1L << Dedup.LshBandBits) - 1
       val s = spread(pts)
-        .withColumn("sig", Similarity.lshBuckets(col("v"), 32))
+        .withColumn("sig", Similarity.lshBuckets(col("v"), sigBits))
         .persist() // signature is a 32-projection pass — compute once
       def slice(sig: Column, b: Column): Column =
-        call_function("shiftright", sig, b * 8).bitwiseAND(lit(0xFFL))
-      val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
-        .withColumn("key", shiftleft(col("band").cast("long"), 32)
+        call_function("shiftright", sig, b * Dedup.LshBandBits).bitwiseAND(lit(bandMask))
+      val banded = s.withColumn("band", explode(sequence(lit(0), lit(Dedup.LshBands - 1))))
+        .withColumn("key", shiftleft(col("band").cast("long"), sigBits)
           .bitwiseOR(slice(col("sig"), col("band"))))
       // narrow band join: (id, sig, key) only — vectors attach after
       // the candidate pairs are deduped, one array copy per pair
@@ -775,11 +787,11 @@ object Dedup {
       // under its FIRST shared band, computable map-side from the two
       // signatures already on the row (zero-shuffle dedup, as in
       // [[simhashPairs]])
-      val firstShared = (0 until 4).foldRight(lit(-1): Column) { (b, acc) =>
+      val firstShared = (0 until Dedup.LshBands).foldRight(lit(-1): Column) { (b, acc) =>
         when(slice(col("sig_a"), lit(b)) === slice(col("sig_b"), lit(b)), lit(b)).otherwise(acc)
       }
       left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
-        .where(call_function("shiftright", col("key"), lit(32)) === firstShared)
+        .where(call_function("shiftright", col("key"), lit(sigBits)) === firstShared)
         .join(s.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
         .join(s.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
         .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))

@@ -6,15 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata travelling alongside. The
   * Spark-side machinery — schema, partition-preserving mapPartitions
-  * batch processing, deterministic output — is real; the actual media
-  * decode for GENERIC media is STUBBED (no codec libraries in this
-  * container) behind [[MediaStub.decode]], which derives
-  * fake-but-deterministic features from the raw bytes — swap that one
-  * function for a real decoder (JavaCV, TwelveMonkeys, ffmpeg pipes)
-  * in production. PNG is the exception: [[Png]] is a complete real
-  * codec (CRC'd chunk framing, deflate scanlines with all five
-  * adaptive filters, inflate + unfilter on read), proving the decode
-  * stage of the dataflow on actual binary structure.
+  * batch processing, deterministic output — is real, and so are the
+  * two shipped codecs: [[Png]] (CRC'd chunk framing, deflate
+  * scanlines with all five adaptive filters, palette, Adam7, bit
+  * depths 1–16) and [[Wav]] (RIFF chunk walk, integer PCM 8/16-bit).
+  * [[Media.decode]] sniffs the magic bytes and dispatches to them;
+  * only payloads outside both formats take the one declared
+  * deterministic fallback ([[Media.fallback]] — swap it for JavaCV/
+  * TwelveMonkeys/ffmpeg pipes in production).
   */
 object Multimodal {
 
@@ -23,18 +22,52 @@ object Multimodal {
       id: Long,
       n_bytes: Long,
       head_hex: String,
-      fake_width: Long,
-      fake_height: Long,
-      fake_channels: Long)
+      kind: String,
+      width: Long,
+      height: Long,
+      channels: Long)
 
-  /** STUB decoder: deterministic pseudo-features from the payload.
-    * A real implementation would parse the container format here.
+  /** Magic-byte sniffer + codec dispatch — the generic-media decode
+    * entry point. PNG (`\x89PNG\r\n\x1a\n`) routes to the real
+    * [[Png.decodeRaster]] (full pixel decode, so a corrupt stream
+    * throws rather than passing as header metadata); `RIFF....WAVE`
+    * routes to the real [[Wav.decode]]. Anything else takes the ONE
+    * declared fallback: deterministic pseudo-features from the byte
+    * length — the stand-in for codec families this container lacks
+    * (JPEG, MP3, H.264 …); swap [[fallback]] for JavaCV/TwelveMonkeys/
+    * ffmpeg pipes in production. The dispatch itself, and both real
+    * legs, are production plumbing.
     */
-  object MediaStub {
-    def decode(bytes: Array[Byte]): (Long, Long, Long) = {
+  object Media {
+    def sniff(bytes: Array[Byte]): String =
+      if (bytes.length >= 8 &&
+          java.util.Arrays.equals(bytes.slice(0, 8), Png.Signature)) "png"
+      else if (bytes.length >= 12 &&
+          new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(bytes, 8, 4, "US-ASCII") == "WAVE") "wav"
+      else "other"
+
+    /** Declared fallback for non-PNG/WAV payloads: deterministic
+      * pseudo-features derived from the byte length (a real decoder
+      * replaces exactly this function). */
+    def fallback(bytes: Array[Byte]): (Long, Long, Long) = {
       val n = bytes.length.toLong
-      // ??? real decode goes here; deterministic fake stands in:
       (n % 640 + 1, (n * 7) % 480 + 1, 3L)
+    }
+
+    /** (kind, width, height, channels). PNG: raster dimensions from a
+      * full pixel decode. WAV: (frames, sampleRate, channels) — the
+      * audio analogue of a raster's shape. Other: [[fallback]]. */
+    def decode(bytes: Array[Byte]): (String, Long, Long, Long) = sniff(bytes) match {
+      case "png" =>
+        val r = Png.decodeRaster(bytes)
+        ("png", r.width.toLong, r.height.toLong, r.channels.toLong)
+      case "wav" =>
+        val (rate, ch, _, samples) = Wav.decode(bytes)
+        ("wav", (samples.length / ch).toLong, rate.toLong, ch.toLong)
+      case _ =>
+        val (w, h, c) = fallback(bytes)
+        ("other", w, h, c)
     }
   }
 
@@ -51,9 +84,11 @@ object Multimodal {
   /** Feature extraction over a binary column via typed mapPartitions —
     * the Scala analogue of a Pandas-UDF `mapInPandas` stage: rows
     * stream through per partition, the decode runs once per payload,
-    * and the output schema is an explicit case class. Deterministic,
-    * so the result is oracle-comparable (n_bytes/head_hex mirror
-    * octet_length/hex(substr) in SQL).
+    * and the output schema is an explicit case class. The decode is
+    * [[Media.decode]]: magic-byte dispatch to the real PNG/WAV codecs,
+    * deterministic fallback otherwise — so the result stays oracle-
+    * comparable (payload generators encode their parameters as id
+    * arithmetic; n_bytes/head_hex mirror octet_length/hex(substr)).
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -63,17 +98,51 @@ object Multimodal {
       .as[MediaRow]
     typed.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = MediaStub.decode(r.bytes)
+        val (kind, w, h, c) = Media.decode(r.bytes)
         MediaFeatures(
           id = r.id,
           n_bytes = r.bytes.length.toLong,
           head_hex = hex(r.bytes.take(8)),
-          fake_width = w,
-          fake_height = h,
-          fake_channels = c)
+          kind = kind,
+          width = w,
+          height = h,
+          channels = c)
       }
     }.toDF()
       .orderBy(col("id").asc)
+  }
+
+  /** Mixed-media payload — the corpus shape [[Media]]'s dispatch
+    * exists for: PNG for id % 3 == 0, WAV for id % 3 == 1, raw UTF-8
+    * text otherwise. All codec parameters are id arithmetic (widths,
+    * depths, rates, frame functions) so an external oracle recomputes
+    * every decoded feature without running either codec. */
+  def withMixedPayload(df: DataFrame, idCol: String, textCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            // FULL pixel streams (decodeRaster demands real scanlines),
+            // small dims so a corpus-wide decode stays cheap
+            val ct = ((id / 3) % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+            Png.encodePixels((id % 24 + 1).toInt, (id * 7 % 24 + 1).toInt, ct,
+              (x, y, c) => ((id + 3L * x + 7L * y + 11L * c) % 256).toInt)
+          case 1 =>
+            val frames = (id % 32 + 1).toInt
+            val ch = ((id / 3) % 2 + 1).toInt
+            val rate = (8000 + ((id / 3) % 4) * 4000).toInt
+            Wav.encodePcm(rate, ch, 16, frames,
+              (f, c) => (((id + 13L * f + 17L * c) % 65536) - 32768).toInt)
+          case _ =>
+            Option(t).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (id, payload)
+      })
+      .toDF(idCol, outCol)
   }
 
   /** Build a binary "payload" column from text (the testdata carries no
@@ -126,8 +195,8 @@ object Multimodal {
     * (maxW, maxH) preserving aspect ratio, all in integer rational
     * arithmetic (floor(src·num/den), min 1) so the plan is bit-stable
     * and oracle-checkable. Upscaling is never planned (scale capped at
-    * 1). The stub decode supplies source dims; a real decoder slots in
-    * behind [[MediaStub.decode]] without touching the dataflow.
+    * 1). [[Media.decode]] supplies source dims — real PNG/WAV decode
+    * behind the magic-byte sniff, the declared fallback otherwise.
     */
   def resizePlan(df: DataFrame, idCol: String, binCol: String,
       maxW: Long, maxH: Long): DataFrame = {
@@ -139,7 +208,7 @@ object Multimodal {
       .as[MediaRow]
     typed.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = MediaStub.decode(r.bytes)
+        val (_, w, h, c) = Media.decode(r.bytes)
         // the binding constraint picks the rational scale; cap at 1:1
         val (num, den) =
           if (w * maxH <= h * maxW) (math.min(maxH, h), h)
@@ -170,7 +239,7 @@ object Multimodal {
     * filter types, inflate + per-scanline unfilter on read.
     */
   object Png {
-    private val Signature = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    private[dataprep] val Signature = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
     /** Paeth predictor (RFC 2083 §6.6): nearest of left/up/upper-left
       * to the linear estimate a + b - c, ties resolved a, b, c. */

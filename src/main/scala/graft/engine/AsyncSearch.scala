@@ -185,11 +185,42 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
   }
 
   def startAsync(id: String, engine: SeqEngine, query: String,
-      fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit =
+      fromMs: Long, toMs: Long, chunkMs: Long = 86400000L): Unit = {
+    // persist the request BEFORE the first chunk runs: a process that
+    // dies anywhere after StartAsyncSearch leaves enough on disk for a
+    // restarted store to resume the remaining chunks
+    // (fracmanager/async_searcher.go:52-260 — progress survives
+    // restart, not just completed results)
+    Files.createDirectories(Paths.get(idDir(id)))
+    Files.writeString(Paths.get(s"${idDir(id)}/.request"),
+      s"$fromMs\u0000$toMs\u0000$chunkMs\u0000$query")
     pool.submit(new Runnable {
       override def run(): Unit =
         ChunkedAsyncSearcher.this.run(id, engine, query, fromMs, toMs, chunkMs)
     })
+    ()
+  }
+
+  /** Resume every search whose persisted request has neither a
+    * completion nor a cancel marker — what a restarted store calls
+    * once, with its rebuilt engine. Done chunks are skipped by their
+    * markers inside [[run]]; only the missing ones re-execute. Returns
+    * the resumed ids. */
+  def resumeIncomplete(engine: => SeqEngine): Seq[String] = {
+    val root = new java.io.File(resultsDir)
+    if (!root.isDirectory) return Nil
+    val ids = root.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      .filter { id =>
+        Files.exists(Paths.get(s"${idDir(id)}/.request")) &&
+          !isComplete(id) && !isCanceled(id)
+      }
+    ids.foreach { id =>
+      val Array(from, to, chunk, query) =
+        Files.readString(Paths.get(s"${idDir(id)}/.request")).split("\u0000", 4)
+      startAsync(id, engine, query, from.toLong, to.toLong, chunk.toLong)
+    }
+    ids
+  }
 
   def isComplete(id: String): Boolean =
     Files.exists(Paths.get(s"${idDir(id)}/.complete"))

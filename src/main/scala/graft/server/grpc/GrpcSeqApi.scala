@@ -51,7 +51,26 @@ final class GrpcSeqApi(
   @volatile private var asyncStarted = false
   private lazy val asyncSearcher = {
     asyncStarted = true
-    new ChunkedAsyncSearcher(spark, asyncDir)
+    val s = new ChunkedAsyncSearcher(spark, asyncDir)
+    // restart durability: a previous process over this asyncDir may
+    // have died between StartAsyncSearch and completion. Reload the
+    // persisted request metadata (retention/aggs/asc are consulted at
+    // fetch time via asyncReqs) and resume the unfinished chunk work —
+    // the reference's contract (fracmanager/async_searcher.go:52-260).
+    val root = new java.io.File(asyncDir)
+    if (root.isDirectory) root.listFiles().filter(_.isDirectory).foreach { d =>
+      val meta = new java.io.File(d, ".meta")
+      if (meta.isFile && !asyncReqs.containsKey(d.getName))
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(meta.toPath)
+          val startedMs = java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong()
+          val req = readStartAsyncRequest(
+            CodedInputStream.newInstance(bytes, 8, bytes.length - 8))
+          asyncReqs.put(d.getName, (req, startedMs))
+        } catch { case _: Throwable => () }
+    }
+    s.resumeIncomplete(engine)
+    s
   }
   // async searches need fixed request params + start time at fetch time
   private val asyncReqs =
@@ -204,6 +223,14 @@ final class GrpcSeqApi(
       .addService(org.sparkproject.connect.grpc.ServerInterceptors.intercept(
         serviceDefinition, TraceInterceptor, AdmissionInterceptor))
       .build().start()
+    // resume persisted async progress AT STARTUP when any exists (the
+    // searcher is otherwise lazy so unused servers spawn no pool)
+    val root = new java.io.File(asyncDir)
+    if (root.isDirectory && root.listFiles().exists(d => d.isDirectory &&
+        new java.io.File(d, ".request").isFile &&
+        !new java.io.File(d, ".complete").isFile &&
+        !new java.io.File(d, ".canceled").isFile))
+      asyncSearcher
     server.getPort
   }
 
@@ -583,7 +610,20 @@ final class GrpcSeqApi(
 
   private def handleStartAsync(r: PStartAsyncRequest): PStartAsyncResponse = {
     val id = java.util.UUID.randomUUID().toString
-    asyncReqs.put(id, (r, System.currentTimeMillis()))
+    val startedMs = System.currentTimeMillis()
+    asyncReqs.put(id, (r, startedMs))
+    // persist what FETCH time needs (retention window, aggs, asc) in
+    // the request's own wire format, next to the searcher's chunk
+    // progress — a restarted process reloads both and serves this
+    // search identically (see the asyncSearcher init)
+    try {
+      val d = java.nio.file.Paths.get(s"$asyncDir/$id")
+      java.nio.file.Files.createDirectories(d)
+      val body = writeStartAsyncRequest(r)
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putLong(startedMs).put(body)
+      java.nio.file.Files.write(d.resolve(".meta"), bb.array())
+    } catch { case _: Throwable => () }
     val eng = engine
     // the proto has no chunk parameter — the server picks the chunk
     // layout. Clamp the requested span to the table's actual time

@@ -370,4 +370,77 @@ class MultimodalSpec extends SparkSpec {
       assert(c == (id % 3 match { case 0 => 1L; case 1 => 3L; case _ => 4L }), s"id=$id")
     }
   }
+
+  test("Media sniffer: FOREIGN streams dispatch to the real codecs; junk takes the fallback") {
+    // PNG leg, foreign bytes: ImageIO (not our writer) encodes the
+    // stream — the sniffer must recognize it and the raster decode
+    // must produce the true dimensions
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 9).foreach(y => (0 until 17).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val foreignPng = bos.toByteArray
+    assert(Multimodal.Media.sniff(foreignPng) == "png")
+    assert(Multimodal.Media.decode(foreignPng) == (("png", 17L, 9L, 3L)))
+
+    // WAV leg, foreign bytes: javax.sound writes the RIFF stream
+    val fmt = new javax.sound.sampled.AudioFormat(11025f, 16, 2, true, false)
+    val pcm = Array.tabulate(24 * 2 * 2)(i => (i * 13).toByte) // 24 frames, 2ch, 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 24L)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    val foreignWav = wbos.toByteArray
+    assert(Multimodal.Media.sniff(foreignWav) == "wav")
+    assert(Multimodal.Media.decode(foreignWav) == (("wav", 24L, 11025L, 2L)))
+
+    // neither magic: the declared deterministic fallback
+    val junk = "no magic here, just text".getBytes("UTF-8")
+    val n = junk.length.toLong
+    assert(Multimodal.Media.sniff(junk) == "other")
+    assert(Multimodal.Media.decode(junk) == (("other", n % 640 + 1, n * 7 % 480 + 1, 3L)))
+    // a PNG signature with a corrupt body must THROW (real decode is
+    // load-bearing), not fall back silently
+    val corrupt = foreignPng.take(20)
+    intercept[Exception] { Multimodal.Media.decode(corrupt) }
+  }
+
+  test("extractFeatures over a mixed corpus routes every row per its magic bytes") {
+    val d = Seq((0L, "png row"), (1L, "wav row"), (2L, "text row"),
+      (3L, "png again"), (4L, "wav again"), (5L, "more text"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.withMixedPayload(d, "doc_id", "text", "payload"),
+      "doc_id", "payload").collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val kind = r.getAs[String]("kind")
+      (id % 3) match {
+        case 0 =>
+          assert(kind == "png", s"id=$id")
+          assert(r.getAs[Long]("width") == id % 24 + 1)
+          assert(r.getAs[Long]("height") == id * 7 % 24 + 1)
+          assert(r.getAs[Long]("channels") ==
+            ((id / 3) % 3 match { case 0 => 1L; case 1 => 3L; case _ => 4L }))
+          // the payload really is a PNG stream: signature in head_hex
+          assert(r.getAs[String]("head_hex") == "89504E470D0A1A0A")
+        case 1 =>
+          assert(kind == "wav", s"id=$id")
+          assert(r.getAs[Long]("width") == id % 32 + 1)      // frames
+          assert(r.getAs[Long]("height") == 8000 + (id / 3) % 4 * 4000) // rate
+          assert(r.getAs[Long]("channels") == (id / 3) % 2 + 1)
+          assert(r.getAs[String]("head_hex").startsWith("52494646")) // "RIFF"
+        case _ =>
+          assert(kind == "other", s"id=$id")
+          val n = r.getAs[Long]("n_bytes")
+          assert(r.getAs[Long]("width") == n % 640 + 1)
+          assert(r.getAs[Long]("height") == n * 7 % 480 + 1)
+          assert(r.getAs[Long]("channels") == 3L)
+      }
+    }
+  }
 }

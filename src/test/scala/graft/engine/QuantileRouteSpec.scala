@@ -4,9 +4,12 @@ import graft.SparkSpec
 import graft.tables.TestTables
 
 /** The quantile auto-route (SeqEngine.aggregateQuantileAuto): exact
-  * window-rank plan only when every bucket fits the cap; the bounded-
-  * memory bottom-k sketch above it — where the plan must carry NO
-  * per-group window sort (the skew-fragile shape at scale).
+  * window-rank ANSWERS when every bucket fits the cap; the bounded-
+  * memory bottom-k sketch above it. For caps at or below the sketch's
+  * sample bound the route is a single aggregation pass (the sketch's
+  * complete-below-cap sample IS the exact answer) — no probe, and the
+  * plan must carry NO per-group window sort (the skew-fragile shape at
+  * scale). Only a cap above the sample bound pays for the probe.
   */
 class QuantileRouteSpec extends SparkSpec {
 
@@ -33,6 +36,16 @@ class QuantileRouteSpec extends SparkSpec {
     val sketch = engine.aggregateQuantileSketch("*", t0, t31, agg).collect().toSeq
     val routed = engine.aggregateQuantileAuto("*", t0, t31, agg, cap = 10L).collect().toSeq
     assert(routed == sketch)
+  }
+
+  test("the default cap routes in one pass: no window sort, no probe cache") {
+    val out = engine.aggregateQuantileAuto("*", t0, t31, agg)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // single-pass: nothing persisted by the route (the old probe left a
+    // MEMORY_AND_DISK frame in the CacheManager for its lifetime)
+    assert(!plan.contains("InMemoryTableScan"), plan)
   }
 
   test("aggregate() dispatches quantiles through the auto-route") {

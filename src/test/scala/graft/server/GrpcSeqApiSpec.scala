@@ -398,4 +398,79 @@ class GrpcSeqApiSpec extends SparkSpec {
     val qe = SearchQuery("x", 0L, 1L, explain = true)
     assert(rt(writeSearchQuery, readSearchQuery, qe) == qe)
   }
+
+  test("async search: progress survives a store restart (killed between Start and Fetch)") {
+    import java.nio.file.{Files => NF, Paths => NP}
+    // a 5-day table so the day-chunked search leaves real multi-chunk
+    // progress to kill mid-flight
+    val rlines = (10 to 14).flatMap(d => Seq(
+      s"""{"timestamp":"2024-03-$d 09:00:00","level":"error","message":"boom day$d"}""",
+      s"""{"timestamp":"2024-03-$d 10:00:00","level":"info","message":"fine day$d"}"""))
+    val tdir = NF.createTempDirectory("grpc_restart_docs").toString
+    BulkIngest.writePartitioned(BulkIngest.project(rlines.toDF("value"), mapping,
+      requestTimeMs = 1710460800000L, allowedDriftMs = 10L * 86400000), tdir)
+    val asyncDir = NF.createTempDirectory("grpc_restart").toString
+    val q = SearchQuery("level:error", 0L, Long.MaxValue)
+
+    // ---- process #1: accept the search, then DIE (shutdownNow kills
+    // the chunk pool and the server) between Start and Fetch ----
+    val api1 = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tdir), mapping), asyncDir)
+    val port1 = api1.start()
+    val client1 = new GrpcSeqClient("127.0.0.1", port1, api1)
+    val id = try {
+      val started = client1.startAsync(PStartAsyncRequest(q, asc = false,
+        aggs = Seq(PAggQuery("", "level", func = 0, Nil, ""))))
+      // wait until SOME chunk progress is persisted, then kill
+      def markers() = Option(new java.io.File(s"$asyncDir/${started.searchId}")
+        .listFiles()).toSeq.flatten.count(_.getName.startsWith(".done_"))
+      val dl = System.currentTimeMillis() + 60000
+      while (markers() < 1 && System.currentTimeMillis() < dl) Thread.sleep(20)
+      assert(markers() >= 1, "no persisted progress to kill")
+      started.searchId
+    } finally { client1.close(); api1.stop() }
+    // the kill races the chunk loop; when it lost (all 5 chunks
+    // finished), reconstruct the exact mid-flight disk state a slower
+    // kill leaves: completion mark gone, one chunk missing
+    val idDir = s"$asyncDir/$id"
+    NF.deleteIfExists(NP.get(s"$idDir/.complete"))
+    val doneMarkers = new java.io.File(idDir).listFiles()
+      .filter(_.getName.startsWith(".done_"))
+    assert(doneMarkers.nonEmpty)
+    val victim = doneMarkers.minBy(_.getName.stripPrefix(".done_").toLong)
+    val victimStart = victim.getName.stripPrefix(".done_")
+    NF.delete(victim.toPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$idDir/chunk=$victimStart"))
+    assert(!NF.exists(NP.get(s"$idDir/.complete")))
+
+    // ---- process #2: brand-new server AND engine over a fresh read
+    // of the table (TableStatesSpec-style restart); start() must
+    // resume the persisted search on its own ----
+    val api2 = new GrpcSeqApi(spark,
+      DocsTable(spark.read.parquet(tdir), mapping), asyncDir)
+    val port2 = api2.start()
+    val client2 = new GrpcSeqClient("127.0.0.1", port2, api2)
+    try {
+      val dl = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < dl) {
+        done = client2.fetchAsync(PFetchAsyncRequest(id, withDocs = false, 0, 0)).done
+        if (!done) Thread.sleep(200)
+      }
+      assert(done, "restarted store must finish the persisted search")
+      val far = client2.fetchAsync(PFetchAsyncRequest(id, withDocs = true, 20, 0))
+      assert(far.done)
+      assert(far.resp.docs.size == 5) // one merged error doc per day
+      // the aggregation comes from the RELOADED on-disk request meta —
+      // the original request object died with process #1
+      assert(far.resp.aggs.head.buckets.map(b => b.key -> b.value).toMap ==
+        Map("error" -> 5.0))
+      // retention stays anchored at the ORIGINAL start time
+      assert(far.expirationMs.exists(_ > System.currentTimeMillis()))
+    } finally { client2.close(); api2.stop() }
+  }
 }

@@ -395,6 +395,81 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den,
                            kind="mergesort").reset_index(drop=True)
 
 
+# Independent quality floors (VERDICT r10 item 3): above their LSH
+# cutovers the gate oracles mirror the engine's own banding, so
+# contract-conformance alone could hide a silent recall collapse. These
+# checks use ONLY the data's geometry and the documented band layouts —
+# no engine pre-images — and require measured recall against the brute
+# closure to reach at least (1 - ALLOWANCE) x the pinned independence
+# model's population prediction (the r9 model, commit 7ceab67).
+MODEL_ALLOWANCE = 0.05
+
+# documented layouts (mirror Dedup.LshBands/LshBandBits and the
+# dp_dedup_minhash_lsh gate args: numHashes=128, bands=32 -> r=4)
+VEC_BANDS, VEC_BITS = 4, 8
+MH_BANDS, MH_ROWS = 32, 4
+
+
+def recall_floor_vec(name, ids, E, ca, cb, thr, got):
+    """Random-hyperplane model: P(bit agrees) = 1 - theta/pi, per band
+    (1-theta/pi)^bits, pair recall 1-(1-P)^bands — averaged over the
+    brute closure's pairs at their actual angles."""
+    if len(ids) <= 10000:
+        return None  # brute route: the oracle IS the closure
+    ia = np.searchsorted(ids, ca)
+    ib = np.searchsorted(ids, cb)
+    dots = np.einsum("ij,ij->i", E[ia], E[ib])
+    na = np.linalg.norm(E[ia], axis=1)
+    nb = np.linalg.norm(E[ib], axis=1)
+    true = dots >= thr
+    if not true.any():
+        return None
+    theta = np.arccos(np.clip(dots[true] / (na[true] * nb[true]), -1.0, 1.0))
+    p_band = (1.0 - theta / np.pi) ** VEC_BITS
+    pred = float(np.mean(1.0 - (1.0 - p_band) ** VEC_BANDS))
+    brute = set(zip(ca[true].tolist(), cb[true].tolist()))
+    eng = set(zip(got["id_a"].to_numpy(np.int64).tolist(),
+                  got["id_b"].to_numpy(np.int64).tolist()))
+    measured = len(eng & brute) / len(brute)
+    print(f"  [{name}] LSH recall floor: measured {measured:.4f} vs "
+          f"model {pred:.4f} over {len(brute)} brute pairs", flush=True)
+    if measured < (1 - MODEL_ALLOWANCE) * pred:
+        return (f"recall {measured:.4f} below banding-model floor "
+                f"{(1 - MODEL_ALLOWANCE) * pred:.4f} (model {pred:.4f})")
+    return None
+
+
+def recall_floor_minhash(name, ids, sets, ca, cb, got):
+    """MinHash banding model p = 1-(1-J^r)^b over the true-Jaccard
+    closure — J computed exactly per pair with the bitmap counter."""
+    if len(ca) == 0:
+        return None
+    sid = {}
+    docs = [np.array(sorted({sid.setdefault(g, len(sid)) for g in r[1]}),
+                     np.int64) for r in sets]
+    lens = np.array([len(d) for d in docs], np.int64)
+    flat = np.concatenate(docs) if docs else np.empty(0, np.int64)
+    off = np.zeros(len(docs) + 1, np.int64)
+    off[1:] = np.cumsum(lens)
+    V = int(flat.max()) + 1 if len(flat) else 1
+    ia = np.searchsorted(ids, ca)
+    ib = np.searchsorted(ids, cb)
+    inter = _bitmap_inter(docs, lens, flat, off, V, ia, ib)
+    union = lens[ia] + lens[ib] - inter
+    J = inter / np.maximum(union, 1)
+    pred = float(np.mean(1.0 - (1.0 - J ** MH_ROWS) ** MH_BANDS))
+    brute = set(zip(ca.tolist(), cb.tolist()))
+    eng = set(zip(got["id_a"].to_numpy(np.int64).tolist(),
+                  got["id_b"].to_numpy(np.int64).tolist()))
+    measured = len(eng & brute) / len(brute)
+    print(f"  [{name}] LSH recall floor: measured {measured:.4f} vs "
+          f"model {pred:.4f} over {len(brute)} true pairs", flush=True)
+    if measured < (1 - MODEL_ALLOWANCE) * pred:
+        return (f"recall {measured:.4f} below banding-model floor "
+                f"{(1 - MODEL_ALLOWANCE) * pred:.4f} (model {pred:.4f})")
+    return None
+
+
 def strict_compare(name, got, exp):
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
@@ -431,6 +506,7 @@ def _cand_cache_path(prefix_sql, src, idcol, key_cfg):
         "\x00".join([prefix_sql, src, idcol, repr(sorted(key_cfg.items())),
                      SF]).encode()).hexdigest()[:24]
     root = os.environ.get("GRAFT_TMP", "/tmp")
+    os.makedirs(root, exist_ok=True)
     return f"{root}/graft_bigsf_cand_{h}.npz"
 
 
@@ -440,6 +516,7 @@ def run(name):
     a, b = cfg.get("aliases", ("a", "b"))
     src, mode = cfg["src"], cfg["mode"]
     idcol = cfg.get("idcol", "doc_id")
+    floor_fn = None  # set for rows with an independent recall floor
     if mode == "jaccard":
         win = cfg.get("nchars_window")
         pfx = sets_prefix(sql, src, a, b)
@@ -494,6 +571,9 @@ def run(name):
                   f"candidates", flush=True)
             np.savez_compressed(tpath + ".tmp.npz", ca=ca, cb=cb)
             os.replace(tpath + ".tmp.npz", tpath)
+        if name == "dp_dedup_minhash_lsh":
+            def floor_fn(got, ids=ids, sets=sets, ca=ca, cb=cb):
+                return recall_floor_minhash(name, ids, sets, ca, cb, got)
     elif mode == "containment":
         pfx = sets_prefix(sql, src, a, b)
         cpath = _cand_cache_path(pfx, src, idcol, dict(mode=mode, t=cfg["t"]))
@@ -527,6 +607,9 @@ def run(name):
         ids = emb[idcol].to_numpy(np.int64)
         E = np.stack(emb["v"].to_numpy())
         ca, cb = vec_candidates(ids, E, cfg["thr"])
+        if name == "dp_embed_neardup":
+            def floor_fn(got, ids=ids, E=E, ca=ca, cb=cb, thr=cfg["thr"]):
+                return recall_floor_vec(name, ids, E, ca, cb, thr, got)
     if os.environ.get("GRAFT_CAND_ONLY"):
         # pre-generation mode: populate the candidate cache (the 30-min
         # part) for this row's family and skip the verify — lets several
@@ -563,7 +646,10 @@ def run(name):
     exp = con.execute(rewrite_join(sql, src, idcol, a, b)).fetchdf()
     got = con.execute(
         f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
-    return strict_compare(name, got, exp)
+    err = strict_compare(name, got, exp)
+    if not err and floor_fn is not None:
+        err = floor_fn(got)
+    return err
 
 
 if __name__ == "__main__":
