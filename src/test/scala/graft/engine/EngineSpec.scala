@@ -285,6 +285,40 @@ class EngineSpec extends SparkSpec {
     s1.shutdown(); s2.shutdown()
   }
 
+  test("chunked async: resumeIncomplete finishes a killed search from its persisted request") {
+    val dir = java.nio.file.Files.createTempDirectory("resume").toString
+    val chunkMs = 7L * 86400000 // 5 weekly chunks over Jan 2024
+    val s1 = new ChunkedAsyncSearcher(spark, dir)
+    s1.startAsync("j2", eng, "event_type:error", T0, T31, chunkMs)
+    s1.shutdown() // kill: the pool dies wherever the chunk loop happens to be
+    // normalize the racy kill point to a guaranteed-mid-flight state
+    // (what a slower kill leaves): completion mark gone, >=1 chunk missing
+    val idDir = new java.io.File(s"$dir/j2")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/j2/.complete"))
+    Option(idDir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".done_")).headOption.foreach { m =>
+        val st = m.getName.stripPrefix(".done_")
+        java.nio.file.Files.delete(m.toPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$dir/j2/chunk=$st"))
+      }
+    assert(!s1.isComplete("j2"))
+    // a brand-new searcher resumes from .request alone (no caller args)
+    val s2 = new ChunkedAsyncSearcher(spark, dir)
+    assert(s2.resumeIncomplete(eng) == Seq("j2"))
+    val dl = System.currentTimeMillis() + 60000
+    while (!s2.isComplete("j2") && System.currentTimeMillis() < dl) Thread.sleep(100)
+    assert(s2.isComplete("j2"))
+    assert(s2.fetchPartial("j2").get.count() ==
+      eng.matches("event_type:error", T0, T31).count())
+    // a complete search is NOT resumed again
+    val s3 = new ChunkedAsyncSearcher(spark, dir)
+    assert(s3.resumeIncomplete(eng).isEmpty)
+    s2.shutdown(); s3.shutdown()
+  }
+
   test("async search: start, await, fetch, restart-survivability") {
     val dir = java.nio.file.Files.createTempDirectory("async").toString
     val mgr = new AsyncSearchManager(spark, dir)
