@@ -54,7 +54,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # mode jaccard: threshold (num, den) of the J >= num/den predicate
 # mode containment: (num, den) of the |A∩B| >= num/den * |A| predicate
 FAMILY = {
-    "dp_dedup_minhash_lsh": dict(mode="jaccard", src="s", t=(1, 2)),
+    # numpy_pairs: DuckDB's rewritten join stalls on THIS row's list
+    # expressions at sf1 (>90 min on 250k candidate pairs whose total
+    # |A|x|B| arithmetic is only 8.5e8 ops — a pathological plan, not
+    # real work), so the pair columns (inter/union counts) are computed
+    # exactly in NumPy instead — the same trust pattern as the
+    # containment row (validated at sf0.01 against the DuckDB-proven
+    # gate outputs before any sf1 verdict is trusted)
+    "dp_dedup_minhash_lsh": dict(mode="jaccard", src="s", t=(1, 2),
+                                 numpy_pairs=True),
     "dp_dedup_clusters":    dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_dedup_soft":        dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_dedup_stats":       dict(mode="jaccard", src="s", t=(1, 2)),
@@ -395,6 +403,134 @@ def containment_expected(ids, docs, ca, cb, c_num, c_den,
                            kind="mergesort").reset_index(drop=True)
 
 
+# --- engine-arithmetic replay of the MinHash banding contract --------
+# dp_dedup_minhash_lsh's documented contract is banded-LSH recall
+# (1-(1-J^r)^b), not brute exactness: at sf1 the closure contains
+# threshold-grazing pairs (J=0.6 -> per-pair miss p ~ 1.2%) the gate
+# SFs never produced, so the brute-equality expectation over-asserts —
+# the same scale-threshold contract class as the r10 quantile/posting/
+# embed-cutover finds. The expected pair set therefore applies the
+# SAME band-collision predicate the engine documents: XXH64(seed 42)
+# shingle hashes (pure-python implementation of the public spec,
+# validated bit-for-bit against Spark's xxhash64), the splitmix64-
+# derived affine permutations mod P = 2^31-1 (MinHashCoefficients),
+# and the 31x band fold (MinHashBandKeysExpr). The recall floor above
+# still judges the result against the UNfiltered brute closure via the
+# independence model, so this replay cannot silently follow a recall
+# collapse.
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3, _XP4, _XP5 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
+                                0x165667B19E3779F9, 0x85EBCA77C2B2AE63,
+                                0x27D4EB2F165667C5)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data, seed=42):
+    """XXH64 over bytes — matches Spark's xxhash64 (returns unsigned)."""
+    n = len(data); i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64; v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64; v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64; i += 8
+            v2 = (_rotl((v2 + int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64; i += 8
+            v3 = (_rotl((v3 + int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64; i += 8
+            v4 = (_rotl((v4 + int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64; i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (_rotl((v * _XP2) & _M64, 31) * _XP1) & _M64) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h = (h ^ (_rotl((int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64) & _M64
+        h = (_rotl(h, 27) * _XP1 + _XP4) & _M64; i += 8
+    if i + 4 <= n:
+        h = (h ^ (int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64) & _M64
+        h = (_rotl(h, 23) * _XP2 + _XP3) & _M64; i += 4
+    while i < n:
+        h = (h ^ (data[i] * _XP5) & _M64) & _M64
+        h = (_rotl(h, 11) * _XP1) & _M64; i += 1
+    h = (h ^ (h >> 33)) & _M64; h = (h * _XP2) & _M64
+    h = (h ^ (h >> 29)) & _M64; h = (h * _XP3) & _M64
+    return (h ^ (h >> 32)) & _M64
+
+
+_MHP = 2147483647  # Mersenne prime, MinHashCoefficients.P
+
+
+def _splitmix64(z):
+    z = (z + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z = z ^ (z >> 31)
+    return z - (1 << 64) if z >= (1 << 63) else z  # signed, like Java
+
+
+def _mh_coeffs(num_hashes):
+    a = np.empty(num_hashes, np.int64)
+    b = np.empty(num_hashes, np.int64)
+    for i in range(num_hashes):
+        a[i] = _splitmix64(2 * i) % (_MHP - 1) + 1   # python %: mathematical mod
+        b[i] = _splitmix64(2 * i + 1) % _MHP
+    return a, b
+
+
+def minhash_band_keys(sets, num_hashes=128, bands=32):
+    """Per-doc band keys replaying the engine arithmetic exactly:
+    xm = signed(XXH64(shingle)) mod P, sig_i = min (a_i*xm+b_i) mod P,
+    band key = 31x fold of the band's r signature values (uint64 wrap).
+    `sets` is the oracle-SQL per-doc shingle STRING lists."""
+    hcache = {}
+    def xm_of(sh):
+        v = hcache.get(sh)
+        if v is None:
+            u = xxh64(sh.encode("utf-8"))
+            s = u - (1 << 64) if u >= (1 << 63) else u
+            v = s % _MHP
+            hcache[sh] = v
+        return v
+    docs_xm = [np.array([xm_of(g) for g in r[1]], np.int64) for r in sets]
+    a, b = _mh_coeffs(num_hashes)
+    n = len(docs_xm)
+    sig = np.empty((n, num_hashes), np.int64)
+    # chunk docs so the (shingles x num_hashes) temp stays ~100 MB
+    lens = np.array([len(d) for d in docs_xm], np.int64)
+    i = 0
+    while i < n:
+        j = i; tot = 0
+        while j < n and (tot == 0 or tot + lens[j] <= 100_000):
+            tot += lens[j]; j += 1
+        xm = np.concatenate([docs_xm[k] for k in range(i, j)]) \
+            if tot else np.empty(0, np.int64)
+        if tot:
+            V = (xm[:, None] * a[None, :] + b[None, :]) % _MHP
+            starts = np.zeros(j - i, np.int64)
+            starts[1:] = np.cumsum(lens[i:j])[:-1]
+            empty = lens[i:j] == 0
+            # zero-shingle docs make duplicate/out-of-range reduceat
+            # indices (numpy then returns a neighbour's row) — clamp the
+            # indices and overwrite those docs with the engine's
+            # empty-signature value (all P) via the mask
+            red = np.minimum.reduceat(V, np.minimum(starts, tot - 1), axis=0)
+            sig[i:j] = np.where(empty[:, None], _MHP, red)
+        else:
+            sig[i:j] = _MHP
+        i = j
+    r = num_hashes // bands
+    keys = np.full((n, bands), 0, np.uint64)
+    for bi in range(bands):
+        h = np.full(n, np.uint64(1125899906842597 + bi), np.uint64)
+        for j2 in range(r):
+            h = h * np.uint64(31) + sig[:, bi * r + j2].astype(np.uint64)
+        keys[:, bi] = h
+    return keys
+
+
 # Independent quality floors (VERDICT r10 item 3): above their LSH
 # cutovers the gate oracles mirror the engine's own banding, so
 # contract-conformance alone could hide a silent recall collapse. These
@@ -574,6 +710,44 @@ def run(name):
         if name == "dp_dedup_minhash_lsh":
             def floor_fn(got, ids=ids, sets=sets, ca=ca, cb=cb):
                 return recall_floor_minhash(name, ids, sets, ca, cb, got)
+        if cfg.get("numpy_pairs"):
+            # exact NumPy pair columns over the true-pair closure
+            # FILTERED BY THE DOCUMENTED BANDING CONTRACT (see the
+            # minhash_band_keys comment): the expected frame is the
+            # oracle's WHERE set (J >= t implies its length-ratio
+            # condition) restricted to pairs sharing >= 1 of the
+            # engine-arithmetic band keys, with inter/union computed by
+            # the exact bitmap counter
+            sid = {}
+            docs = [np.array(sorted({sid.setdefault(g, len(sid))
+                                     for g in r[1]}), np.int64)
+                    for r in sets]
+            lens = np.array([len(d) for d in docs], np.int64)
+            flat = np.concatenate(docs) if docs else np.empty(0, np.int64)
+            off = np.zeros(len(docs) + 1, np.int64)
+            off[1:] = np.cumsum(lens)
+            V = int(flat.max()) + 1 if len(flat) else 1
+            ia = np.searchsorted(ids, ca)
+            ib = np.searchsorted(ids, cb)
+            keys = minhash_band_keys(sets, *cfg.get("band_layout", (128, 32)))
+            shares = (keys[ia] == keys[ib]).any(axis=1)
+            print(f"  [{name}] banding contract excludes "
+                  f"{int((~shares).sum())} of {len(ca)} true pairs", flush=True)
+            ia, ib = ia[shares], ib[shares]
+            inter = _bitmap_inter(docs, lens, flat, off, V, ia, ib)
+            exp = pd.DataFrame({
+                "id_a": ca[shares], "id_b": cb[shares],
+                "inter_cnt": inter,
+                "union_cnt": lens[ia] + lens[ib] - inter,
+            }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            print(f"  [{name}] {len(exp)} contract pairs -> NumPy exact "
+                  f"inter/union verify", flush=True)
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
+            err = strict_compare(name, got, exp)
+            if not err and floor_fn is not None:
+                err = floor_fn(got)
+            return err
     elif mode == "containment":
         pfx = sets_prefix(sql, src, a, b)
         cpath = _cand_cache_path(pfx, src, idcol, dict(mode=mode, t=cfg["t"]))
