@@ -62,15 +62,18 @@ FAMILY = {
     # containment row (validated at sf0.01 against the DuckDB-proven
     # gate outputs before any sf1 verdict is trusted)
     "dp_dedup_minhash_lsh": dict(mode="jaccard", src="s", t=(1, 2),
-                                 numpy_pairs=True),
+                                 numpy_pairs=True, band_contract=True),
     "dp_dedup_clusters":    dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_dedup_soft":        dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_dedup_stats":       dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_split_leakage":     dict(mode="jaccard", src="s", t=(1, 2)),
     "dp_dedup_incremental": dict(mode="jaccard", src="s", t=(1, 2),
                                  aliases=("n", "o"), both_dirs=True),
+    # numpy_pairs (no band contract — the engine op is the EXACT
+    # length-blocked brute join): same DuckDB-stall workaround as
+    # dp_dedup_minhash_lsh, same select shape
     "dp_dedup_ngram":       dict(mode="jaccard", src="s", t=(3, 10),
-                                 nchars_window=25),
+                                 nchars_window=25, numpy_pairs=True),
     "dp_curate":            dict(mode="jaccard", src="sh2", t=(1, 2)),
     # cap=(maxDfFrac, maxDfAbs): the gate query's posting cap — the
     # oracle (and so this replay) excludes pairs whose every shared
@@ -729,11 +732,14 @@ def run(name):
             V = int(flat.max()) + 1 if len(flat) else 1
             ia = np.searchsorted(ids, ca)
             ib = np.searchsorted(ids, cb)
-            keys = minhash_band_keys(sets, *cfg.get("band_layout", (128, 32)))
-            shares = (keys[ia] == keys[ib]).any(axis=1)
-            print(f"  [{name}] banding contract excludes "
-                  f"{int((~shares).sum())} of {len(ca)} true pairs", flush=True)
-            ia, ib = ia[shares], ib[shares]
+            if cfg.get("band_contract"):
+                keys = minhash_band_keys(sets, *cfg.get("band_layout", (128, 32)))
+                shares = (keys[ia] == keys[ib]).any(axis=1)
+                print(f"  [{name}] banding contract excludes "
+                      f"{int((~shares).sum())} of {len(ca)} true pairs", flush=True)
+                ia, ib = ia[shares], ib[shares]
+            else:
+                shares = np.ones(len(ca), bool)
             inter = _bitmap_inter(docs, lens, flat, off, V, ia, ib)
             exp = pd.DataFrame({
                 "id_a": ca[shares], "id_b": cb[shares],

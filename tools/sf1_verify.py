@@ -55,6 +55,10 @@ REPLAY = {
     "dp_dedup_substring_winnow": [
         sys.executable, f"{TOOLS}/winnow_replay.py", f"{SF}/documents.parquet",
         f"{OUT}/dp_dedup_substring_winnow", "24", "8", "50"],
+    # the incremental variant's DuckDB winnowing exceeds 1800 s at sf1
+    "dp_dedup_substring_incr": [
+        sys.executable, f"{TOOLS}/winnow_replay.py", f"{SF}/documents.parquet",
+        f"{OUT}/dp_dedup_substring_incr", "24", "8", "50", "--incr"],
 }
 # candidate-superset replays (tools/bigsf_replays.py): the oracle's own
 # SQL re-runs with the brute O(N^2) join rewritten through an exactly-
