@@ -606,20 +606,27 @@ object Similarity {
     * n-gram [[Decontaminate]]: drop corpus documents whose embedding is
     * too close to ANY benchmark embedding (paraphrased test-set leaks
     * that share no n-grams still collide here). Per corpus doc the max
-    * dot over the benchmark set is computed map-side against the
-    * BROADCAST benchmark — the one place broadcast is the genuinely
-    * right scale shape: benchmarks are MBs while the corpus is TBs, so
-    * the corpus never shuffles at all. Output: (id, max_dot_e6) of the
-    * KEPT (max dot < threshold) docs, id-ordered.
+    * dot over the benchmark set is computed MAP-SIDE against the
+    * collected benchmark matrix ([[graft.functions.MaxDotExpr]], one
+    * reference object in codegen) — the genuinely right scale shape:
+    * benchmarks are MBs while the corpus is TBs, so the corpus neither
+    * shuffles NOR fans out |corpus|×|bench| join rows (the r11 sf1
+    * bench measured the broadcast-join + re-aggregation form of this
+    * at 22.8 s for 19k×1k; the single-scan form replaces it, bit-equal:
+    * same per-pair accumulation order, max is order-independent).
+    * Output: (id, max_dot_e6) of the KEPT (max dot < threshold) docs,
+    * id-ordered. An EMPTY benchmark keeps the old join semantics —
+    * empty output.
     */
   def embeddingDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val b = bench.select(col(vecCol).cast("array<double>").as("bv"))
-    c.join(broadcast(b))
-      .groupBy(col("id"))
-      // max is order-independent — safe over doubles, unlike a sum
-      .agg(max(dot(col("v"), col("bv"))).as("max_dot"))
+    val rows = bench.select(col(vecCol).cast("array<double>").as("bv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (rows.isEmpty)
+      return c.select(col("id"), lit(0L).as("max_dot_e6")).limit(0)
+    c.withColumn("max_dot",
+        graft.functions.VectorExpressions.maxDot(col("v"), rows))
       .where(col("max_dot") < threshold)
       .select(col("id"),
         expr("CAST(floor(max_dot * 1000000 + 0.5) AS BIGINT)").as("max_dot_e6"))

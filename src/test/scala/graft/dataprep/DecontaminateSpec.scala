@@ -77,4 +77,37 @@ class DecontaminateSpec extends SparkSpec {
       lit(false), 1, bloom).count()
     assert(got == 0L)
   }
+
+  test("embeddingDecontaminate: single-scan MaxDotExpr equals the join+max form; empty bench -> empty") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // dot 1.0 with b1 -> dropped
+      (2L, Seq(0.0, 1.0, 0.0)),   // max dot 0.2 -> kept
+      (3L, Seq(0.3, 0.1, 0.0)),   // max dot 0.31 -> kept (strict <)
+      (4L, Seq(0.0, 0.0, 0.9))    // max dot 0.36 -> dropped at 0.35
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0, 0.1, 0.0)),
+      (101L, Seq(0.0, 0.2, 0.4))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDecontaminate(
+      corpus, bench, "vec_id", "embedding", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 200000L), (3L, 310000L)))
+    // the reference formulation: broadcast join + per-pair dot + MAX
+    val joined = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(bench.select(col("embedding").as("bv"))))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorExpressions.dotProduct(col("v"), col("bv"))).as("m"))
+      .where(col("m") < 0.35)
+      .select(col("vec_id"), expr("CAST(floor(m * 1000000 + 0.5) AS BIGINT)"))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == joined.toSeq)
+    // empty benchmark keeps the join semantics: empty output
+    val none = Similarity.embeddingDecontaminate(
+      corpus, bench.limit(0), "vec_id", "embedding", threshold = 0.35)
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("id", "max_dot_e6"))
+  }
 }
