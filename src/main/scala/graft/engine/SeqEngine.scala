@@ -444,21 +444,21 @@ final class SeqEngine(val table: DocsTable) extends Serializable {
       case AggFunc.Quantile(x) => x
       case other => throw new SeqQlError(s"quantile sketch called with $other")
     }
-    val spark = table.df.sparkSession
-    import spark.implicits._
-    import graft.functions.SeqAggregates
     val hasBucket = agg.intervalMs > 0
-    val ds = qf.as[(Long, String, Option[Double], Long)]
-    val agged = ds.groupByKey(t => (t._1, t._2))
-      .mapValues(t => SeqAggregates.DetIn(t._3, t._4))
-      .agg(SeqAggregates.detSamplesAgg(qs).toColumn)
-    val rows = agged.flatMap { case ((b, n), res) =>
-      // value-less buckets (only NotExists contributions) carry no
-      // quantile rows — but a legitimately-NaN data value survives,
-      // matching the exact path's isNotNull semantics
-      if (res.total == 0) Nil
-      else qs.zip(res.quantiles).map { case (q, value) => (b, n, q, value) }
-    }.toDF("bucket_ms", "name", "q", "value")
+    // the UNTYPED imperative form of the bottom-k sketch: rows flow
+    // through a native hash aggregate with a binary buffer instead of
+    // the Dataset groupByKey path (which boxes a case class + Option
+    // per row — ~590k rows/s and GC-sensitive at the sf1 replica).
+    // Same arithmetic: both forms call SeqAggregates.DetOps verbatim.
+    val agged = qf.groupBy(col("b"), col("n"))
+      .agg(graft.functions.DetSamplesAggregate.column(col("v"), col("u"), qs).as("r"))
+    // value-less buckets (only NotExists contributions) carry no
+    // quantile rows — but a legitimately-NaN data value survives,
+    // matching the exact path's isNotNull semantics
+    val rows = agged.where(col("r.total") > 0)
+      .select(col("b").as("bucket_ms"), col("n").as("name"),
+        posexplode(col("r.quantiles")).as(Seq("pos", "value")))
+      .withColumn("q", element_at(lit(qs.toArray), col("pos") + 1))
     val keyNames = (if (hasBucket) Seq("bucket_ms") else Nil) ++
       (if (agg.groupBy.isDefined) Seq("name") else Nil)
     rows.select(keyNames.map(col) ++ Seq(col("q"), col("value")): _*)

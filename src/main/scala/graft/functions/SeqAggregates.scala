@@ -144,16 +144,19 @@ object SeqAggregates {
       var total: Long, var notExists: Long, var used: Int,
       var prios: Array[Long], var samples: Array[Double])
 
-  final class DetSamplesAgg(quantiles: Seq[Double])
-      extends Aggregator[DetIn, DetBuf, StatsResult] {
-
-    override def zero: DetBuf =
+  /** The deterministic bottom-k buffer ops, shared VERBATIM by the
+    * typed [[DetSamplesAgg]] (streaming / Dataset path) and the
+    * untyped [[DetSamplesAggregate]] (the engine's hash-aggregate
+    * path) — one implementation, so the two plans are bit-identical
+    * and the external oracles replay a single arithmetic. */
+  object DetOps {
+    def zero: DetBuf =
       DetBuf(Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L, 0L, 0,
         Array.empty[Long], Array.empty[Double])
 
     /** Keep the ReservoirCap smallest (prio, value) pairs of the used
       * prefix; memory stays bounded by 2x cap between compactions. */
-    private def compact(b: DetBuf): Unit = {
+    def compact(b: DetBuf): Unit = {
       if (b.used <= ReservoirCap) return
       val idx = (0 until b.used).toArray
         .sortBy(i => (b.prios(i), b.samples(i)))
@@ -171,21 +174,20 @@ object SeqAggregates {
       b.samples = java.util.Arrays.copyOf(b.samples, cap)
     }
 
-    override def reduce(b: DetBuf, in: DetIn): DetBuf = in.value match {
-      case None => b.notExists += 1; b
-      case Some(v) =>
-        b.total += 1
-        b.sum += v
-        if (v < b.min) b.min = v
-        if (v > b.max) b.max = v
-        ensureRoom(b)
-        b.prios(b.used) = mix64(in.uid)
-        b.samples(b.used) = v
-        b.used += 1
-        b
+    def addNull(b: DetBuf): Unit = b.notExists += 1
+
+    def add(b: DetBuf, v: Double, uid: Long): Unit = {
+      b.total += 1
+      b.sum += v
+      if (v < b.min) b.min = v
+      if (v > b.max) b.max = v
+      ensureRoom(b)
+      b.prios(b.used) = mix64(uid)
+      b.samples(b.used) = v
+      b.used += 1
     }
 
-    override def merge(a: DetBuf, c: DetBuf): DetBuf = {
+    def merge(a: DetBuf, c: DetBuf): DetBuf = {
       a.total += c.total
       a.notExists += c.notExists
       a.sum += c.sum
@@ -198,7 +200,7 @@ object SeqAggregates {
       a
     }
 
-    override def finish(b: DetBuf): StatsResult = {
+    def finish(b: DetBuf, quantiles: Seq[Double]): StatsResult = {
       compact(b)
       val sorted = b.samples.take(b.used).sorted
       StatsResult(
@@ -210,6 +212,24 @@ object SeqAggregates {
         notExists = b.notExists,
         quantiles = quantiles.map(q => quantileOf(sorted, q)).toArray)
     }
+  }
+
+  final class DetSamplesAgg(quantiles: Seq[Double])
+      extends Aggregator[DetIn, DetBuf, StatsResult] {
+
+    override def zero: DetBuf = DetOps.zero
+
+    override def reduce(b: DetBuf, in: DetIn): DetBuf = {
+      in.value match {
+        case None    => DetOps.addNull(b)
+        case Some(v) => DetOps.add(b, v, in.uid)
+      }
+      b
+    }
+
+    override def merge(a: DetBuf, c: DetBuf): DetBuf = DetOps.merge(a, c)
+
+    override def finish(b: DetBuf): StatsResult = DetOps.finish(b, quantiles)
 
     override def bufferEncoder: Encoder[DetBuf] = Encoders.product[DetBuf]
     override def outputEncoder: Encoder[StatsResult] = Encoders.product[StatsResult]
