@@ -192,8 +192,9 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
     // (fracmanager/async_searcher.go:52-260 — progress survives
     // restart, not just completed results)
     Files.createDirectories(Paths.get(idDir(id)))
-    Files.writeString(Paths.get(s"${idDir(id)}/.request"),
-      s"$fromMs\u0000$toMs\u0000$chunkMs\u0000$query")
+    AsyncSearchFiles.writeAtomic(Paths.get(s"${idDir(id)}/.request"),
+      s"$fromMs\u0000$toMs\u0000$chunkMs\u0000$query"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     pool.submit(new Runnable {
       override def run(): Unit =
         ChunkedAsyncSearcher.this.run(id, engine, query, fromMs, toMs, chunkMs)
@@ -214,12 +215,22 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
         Files.exists(Paths.get(s"${idDir(id)}/.request")) &&
           !isComplete(id) && !isCanceled(id)
       }
-    ids.foreach { id =>
-      val Array(from, to, chunk, query) =
-        Files.readString(Paths.get(s"${idDir(id)}/.request")).split("\u0000", 4)
-      startAsync(id, engine, query, from.toLong, to.toLong, chunk.toLong)
+    // per-id isolation: one corrupt/truncated .request (crash mid-write
+    // on an old release, disk fault) must not abort the whole resume —
+    // and with it the server start that calls this lazily. Log + skip.
+    ids.filter { id =>
+      try {
+        val Array(from, to, chunk, query) =
+          Files.readString(Paths.get(s"${idDir(id)}/.request")).split("\u0000", 4)
+        startAsync(id, engine, query, from.toLong, to.toLong, chunk.toLong)
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[async-resume] skipping unparseable search dir '$id': $e")
+          false
+      }
     }
-    ids
   }
 
   def isComplete(id: String): Boolean =
@@ -244,5 +255,29 @@ final class ChunkedAsyncSearcher(spark: SparkSession, resultsDir: String) {
 
   def shutdown(): Unit = synchronized {
     if (poolRef != null) { poolRef.shutdownNow(); () }
+  }
+}
+
+/** Crash-safe small-file persistence for the async-search metadata:
+  * write to a sibling temp file, then rename into place (ATOMIC_MOVE
+  * where the filesystem supports it). Readers either see the complete
+  * old content or the complete new content, never a truncated write —
+  * the same tmp-file+rename discipline the reference uses for its
+  * persisted async state (fracmanager/async_searcher.go).
+  */
+private[graft] object AsyncSearchFiles {
+  import java.nio.file.{Path, StandardCopyOption}
+
+  def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + ".tmp-" + java.lang.Long.toHexString(
+        Thread.currentThread().getId ^ System.nanoTime()))
+    Files.write(tmp, bytes)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }

@@ -622,7 +622,7 @@ final class GrpcSeqApi(
       val body = writeStartAsyncRequest(r)
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       bb.putLong(startedMs).put(body)
-      java.nio.file.Files.write(d.resolve(".meta"), bb.array())
+      graft.engine.AsyncSearchFiles.writeAtomic(d.resolve(".meta"), bb.array())
     } catch { case _: Throwable => () }
     val eng = engine
     // the proto has no chunk parameter — the server picks the chunk
