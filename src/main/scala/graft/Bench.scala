@@ -114,7 +114,15 @@ object Bench {
           col("props"))).as("value"))
         .localCheckpoint(true)
       Some(df)
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: Throwable =>
+        // visible absence: without this line the write scenario would
+        // silently drop out of the gate and a write-degraded box could
+        // stamp clean sanity on its read scenarios alone
+        System.err.println(
+          s"[bench] write probe input unavailable (${e.getClass.getSimpleName}: ${e.getMessage}) - gate runs READ-ONLY")
+        None
+    }
     val probeMapping = {
       import graft.model.IndexType
       graft.model.SeqMapping.of(
@@ -152,7 +160,16 @@ object Bench {
         (n, once(), once())
       }
       val write = probeLines.toSeq.map { l =>
-        def once(): Double = try writeProbeOnce(l) catch { case _: Throwable => -1.0 }
+        // fail CLOSED: a throwing probe (scratch full/read-only — the
+        // exact degraded-write condition this probe detects) must read
+        // as an automatic >3x outlier, not a negative ratio that drags
+        // the gate median DOWN and stamps the run clean
+        def once(): Double = try writeProbeOnce(l) catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] write probe FAILED (${e.getClass.getSimpleName}: ${e.getMessage}) - recording as dirty outlier")
+            Double.MaxValue
+        }
         ("write_probe_ingest", once(), once())
       }
       reads ++ write
@@ -173,9 +190,13 @@ object Bench {
       sanityRatio = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
       // clean = median within 1.5x AND at most one outlier scenario
       // beyond 3x (a half-poisoned measurement must not pass just
-      // because the median scenarios were compute-bound)
+      // because the median scenarios were compute-bound); a THROWING
+      // write probe (ratio ~Double.MaxValue/floor > 1e9) is always
+      // dirty — broken writes are the exact condition the probe exists
+      // to catch, so it cannot ride the one-outlier allowance
       clean = ratios.isEmpty ||
-        (sanityRatio <= 1.5 && ratios.count(_ > 3.0) <= 1)
+        (sanityRatio <= 1.5 && ratios.count(_ > 3.0) <= 1 &&
+          !ratios.exists(_ > 1e9))
       gateDone = clean || attempts >= maxAttempts
       if (!gateDone) {
         // progressive rest (60/120/180 s): the r9 throttle signature
@@ -322,6 +343,9 @@ object Bench {
       Thread.sleep(3000)
       val cold = run()
       val n0 = spark.read.parquet(s"${GraftTmp.dir}/graft_bench_ingest").count() // before cleanup
+      def treeBytes(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(treeBytes).sum else f.length()
+      val outBytes = treeBytes(new java.io.File(s"${GraftTmp.dir}/graft_bench_ingest"))
       cleanOutput()
       System.gc() // cold run's garbage shouldn't become warm-run pauses
       val warm1 = run()
@@ -330,8 +354,33 @@ object Bench {
       val warm = math.min(warm1, run())
       val n = n0
       base.unpersist()
+      // raw-device probe: 256 MiB sequential write + fsync to the SAME
+      // scratch the ingest targets, AFTER the timed runs (its dirty
+      // pages must not pollute them). The artifact then carries the
+      // box's demonstrated write ceiling next to the rate the engine
+      // achieved through it — a cold docs/s that moves with disk_mb_s
+      // across boxes is disk-bound, not engine-bound (the r10/r11
+      // finding: same code, 94k docs/s on default scratch vs 264k on
+      // /dev/shm). ingest_mb_s is the PARQUET OUTPUT rate; the path
+      // also writes a same-order shuffle behind it, so engine IO
+      // pressure is ~2x this figure.
+      val diskMbS = try {
+        val f = new java.io.File(s"${GraftTmp.dir}/graft_disk_probe.bin")
+        val buf = new Array[Byte](4 << 20)
+        new scala.util.Random(42).nextBytes(buf) // incompressible
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try { var i = 0; while (i < 64) { out.write(buf); i += 1 }; out.getFD.sync() }
+        finally out.close()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f.delete()
+        256.0 / sec
+      } catch { case _: Throwable => -1.0 }
+      val outMb = outBytes / 1048576.0
       s""","ingest":{"docs":$n,"sec":${f3(cold)},"docs_per_sec":${(n / cold).toLong}""" +
-        s""","warm_sec":${f3(warm)},"warm_docs_per_sec":${(n / warm).toLong}}"""
+        s""","warm_sec":${f3(warm)},"warm_docs_per_sec":${(n / warm).toLong}""" +
+        s""","out_mb":${f3(outMb)},"ingest_mb_s":${f3(outMb / cold)}""" +
+        s""","warm_mb_s":${f3(outMb / warm)},"disk_probe_mb_s":${f3(diskMbS)}}"""
     } catch { case _: Throwable => "" }
     // ---- serving-mode point-query latency --------------------------
     // The one BASELINE.md scenario the cold sweep loses (paging: a warm
@@ -566,7 +615,8 @@ object Bench {
     }.sorted
     val postRatio = if (postRatios.isEmpty) 0.0 else postRatios(postRatios.size / 2)
     val postClean = postRatios.isEmpty ||
-      (postRatio <= 1.5 && postRatios.count(_ > 3.0) <= 1)
+      (postRatio <= 1.5 && postRatios.count(_ > 3.0) <= 1 &&
+        !postRatios.exists(_ > 1e9)) // a throwing write probe is always dirty
     if (!postClean)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] EXIT sanity %.2fx floor - the sweep itself was polluted mid-run; rerun on a quieter box",

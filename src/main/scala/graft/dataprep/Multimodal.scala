@@ -42,9 +42,20 @@ object Multimodal {
     def sniff(bytes: Array[Byte]): String =
       if (bytes.length >= 8 &&
           java.util.Arrays.equals(bytes.slice(0, 8), Png.Signature)) "png"
-      else if (bytes.length >= 12 &&
+      // RIFF/WAVE needs more than the two tags: unlike PNG's \x89 (which
+      // cannot lead UTF-8 text), "RIFF....WAVE" is printable ASCII — a
+      // plain-text document could start with it and would then crash in
+      // Wav.decode. Require the canonical layout our codec (and every
+      // PCM encoder) emits: "fmt " as the first chunk at offset 12 AND
+      // the RIFF size field (LE uint32 at 4) matching the payload —
+      // a 4-byte binary length inside text is not plausible.
+      else if (bytes.length >= 16 &&
           new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(bytes, 8, 4, "US-ASCII") == "WAVE") "wav"
+          new String(bytes, 8, 4, "US-ASCII") == "WAVE" &&
+          new String(bytes, 12, 4, "US-ASCII") == "fmt " &&
+          ((bytes(4) & 0xFFL) | ((bytes(5) & 0xFFL) << 8) |
+            ((bytes(6) & 0xFFL) << 16) | ((bytes(7) & 0xFFL) << 24)) ==
+            bytes.length - 8L) "wav"
       else "other"
 
     /** Declared fallback for non-PNG/WAV payloads: deterministic

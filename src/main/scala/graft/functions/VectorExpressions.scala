@@ -698,7 +698,10 @@ final class DotMatrix(val rows: Array[Array[Double]]) extends Serializable
 object DotMatrix {
   /** Max over the matrix rows of the row·v dot product — per-element
     * accumulation order identical to [[DotProductExpr]], so results
-    * are bit-equal to a join + per-pair dot + MAX formulation. Empty
+    * are bit-equal to a join + per-pair dot + MAX formulation,
+    * INCLUDING the NaN case: Spark's `max` treats NaN as the greatest
+    * double, so any NaN dot product makes the whole max NaN here too
+    * (and the scan short-circuits — NaN is absorbing for max). Empty
     * matrix → -Infinity (callers guard). */
   def maxDot(v: org.apache.spark.sql.catalyst.util.ArrayData, m: DotMatrix): Double = {
     val n = v.numElements()
@@ -713,6 +716,7 @@ object DotMatrix {
       var s = 0.0
       var j = 0
       while (j < d) { s += x(j) * row(j); j += 1 }
+      if (java.lang.Double.isNaN(s)) return Double.NaN
       if (s > best) best = s
       r += 1
     }
