@@ -1,0 +1,188 @@
+"""Synthetic-replica demonstration of the clusters banding contract.
+
+The dp_dedup_clusters family's engine pairs come through the banded
+MinHash front end (128 hashes, 32 bands): a threshold-grazing pair
+(J just over 1/2) has a real per-pair miss probability
+((1-J^r)^b ~ 12.7% at J=0.5), and when such a missed pair is the ONLY
+bridge between two components, the engine's closure correctly keeps
+them separate while a brute-Jaccard oracle merges them. The r11 sf1
+sweep passed the closure rows only because base docs happened to
+bridge all 6 banding-missed pairs — replica luck, not contract.
+
+This script builds the adversarial corpus on purpose:
+
+    A ~ A2   (near-exact pair, shares bands)     -> cluster {A, A2}
+    B ~ B2   (near-exact pair, shares bands)     -> cluster {B, B2}
+    A ~ B    grazing: J >= 1/2 but ZERO shared bands
+    every other pair below threshold
+
+then runs the REAL engine (graft.Verify, subset dp_dedup_clusters)
+and the REAL replay (tools/bigsf_replays.py, which now applies the
+band contract to the closure family) and asserts:
+
+  1. the replay PASSES (engine == band-contract expectation), and
+  2. the brute (unfiltered) closure would have MERGED the clusters —
+     i.e. without the band contract the replay would be red.
+
+Usage:  python3 tools/band_bridge_demo.py [workdir]   (default /tmp/band_bridge)
+"""
+import json
+import os
+import random
+import subprocess
+import sys
+
+import duckdb
+import numpy as np
+
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/band_bridge"
+SF = f"{WORK}/sf"
+OUT = f"{WORK}/out"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+os.makedirs(SF, exist_ok=True)
+os.makedirs(OUT, exist_ok=True)
+
+# import bigsf_replays for its engine-arithmetic helpers (xxh64 /
+# splitmix64 / band fold — ONE implementation, never duplicated). Its
+# module top-level reads argv + OUT/oracle_sql.json; give it an empty
+# stub (Verify overwrites it with the real dump later).
+if not os.path.exists(f"{OUT}/oracle_sql.json"):
+    with open(f"{OUT}/oracle_sql.json", "w") as f:
+        f.write("{}")
+sys.argv = ["bigsf_replays.py", SF, OUT]
+sys.path.insert(0, os.path.join(REPO, "tools"))
+import bigsf_replays as bigsf  # noqa: E402
+
+VOCAB = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu one two three four five "
+         "six seven eight nine ten amber birch cedar dune ember").split()
+
+
+def shingles(text):
+    """Oracle-arithmetic shingle set for a plain space-separated lowercase
+    corpus: distinct adjacent-token bigram strings (the DSH_CTE reduces
+    to exactly this on such text; the end check below doesn't trust this
+    shortcut — Verify + the replay recompute everything themselves)."""
+    toks = text.split()
+    return set(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+
+
+def band_keys(texts):
+    sets = [(i, sorted(shingles(t))) for i, t in enumerate(texts)]
+    return bigsf.minhash_band_keys(sets, 128, 32)
+
+
+def mutate(rng, toks, n_swap):
+    out = list(toks)
+    for i in rng.sample(range(len(out)), n_swap):
+        out[i] = rng.choice(VOCAB)
+    return out
+
+
+def find_corpus():
+    """Search seeds until the 4-doc geometry holds. A 40-token doc has
+    ~39 bigrams; swapping s interior tokens kills up to 2s of them, so
+    s=6..8 lands J(A,B) just over the 1/2 threshold where the banding
+    miss probability (1-J^4)^32 is a few percent per pair — a few
+    hundred seeds find one."""
+    for seed in range(100_000):
+        rng = random.Random(seed)
+        a = [rng.choice(VOCAB) for _ in range(40)]
+        a2 = mutate(rng, a, 2)
+        b = mutate(rng, a, rng.choice((6, 7, 8)))
+        b2 = mutate(rng, b, 2)
+        texts = [" ".join(x) for x in (a, a2, b, b2)]
+        sh = [shingles(t) for t in texts]
+        # pair contract: the ONLY >=1/2 pairs are (0,1), (2,3), (0,2)
+        want = {(0, 1): True, (2, 3): True, (0, 2): True,
+                (0, 3): False, (1, 2): False, (1, 3): False}
+        if not all((3 * len(sh[i] & sh[j]) >= len(sh[i]) + len(sh[j])) == v
+                   for (i, j), v in want.items()):
+            continue
+        keys = band_keys(texts)
+        share = lambda i, j: bool((keys[i] == keys[j]).any())
+        # banding: near-exact pairs collide, the grazing bridge does NOT
+        if share(0, 1) and share(2, 3) and not share(0, 2):
+            return seed, texts
+    raise SystemExit("no corpus found in 100k seeds")
+
+
+def main():
+    seed, texts = find_corpus()
+    # filler docs: unrelated singletons (use a disjoint suffix vocab so
+    # they cannot graze anything)
+    filler = [" ".join(f"f{k}w{i}" for i in range(25)) for k in range(6)]
+    all_texts = texts + filler
+    print(f"[demo] corpus found at seed {seed}: "
+          f"J(0,2) grazes >=1/2 with zero shared bands")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    for i, t in enumerate(all_texts):
+        con.execute("INSERT INTO d VALUES (?, ?, 'en', 'src0', ?)",
+                    [i, t, len(t)])
+    con.execute(f"COPY d TO '{SF}/documents.parquet' (FORMAT PARQUET)")
+
+    print("[demo] running the engine: graft.Verify dp_dedup_clusters ...")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT} dp_dedup_clusters"],
+        cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-3000:])
+        raise SystemExit("Verify failed")
+
+    got = duckdb.sql(
+        f"SELECT doc_id, rep_id FROM read_parquet('{OUT}/dp_dedup_clusters/*.parquet')"
+        " ORDER BY doc_id").fetchall()
+    reps = dict(got)
+    print(f"[demo] engine clusters: {got}")
+    # the engine must SPLIT: {0,1} under rep 0, {2,3} under rep 2
+    assert reps[0] == 0 and reps[1] == 0, got
+    assert reps[2] == 2 and reps[3] == 2, got
+
+    # the brute closure would have merged all four through the grazing
+    # bridge — i.e. a brute-pair oracle is WRONG for this engine op
+    brute = duckdb.sql(f"""
+        WITH RECURSIVE t AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text),
+              '[^a-z0-9_*]+'), x -> x <> '') AS toks
+            FROM read_parquet('{SF}/documents.parquet')),
+        s AS (SELECT doc_id, list_distinct(list_filter(list_transform(
+              range(1, greatest(len(toks), 2)),
+              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]),
+              x -> x IS NOT NULL)) AS sh FROM t),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a, s b WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh)) * 3 >= len(a.sh) + len(b.sh)),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        reach(v, u) AS (SELECT doc_id, doc_id FROM s
+          UNION SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
+        SELECT v, min(u) FROM reach GROUP BY v ORDER BY v""").fetchall()
+    brute_reps = dict(brute)
+    assert brute_reps[2] == 0 and brute_reps[3] == 0, (
+        f"expected the brute closure to merge through the bridge: {brute}")
+    print("[demo] brute closure merges all four (reps: "
+          f"{ {k: brute_reps[k] for k in (0, 1, 2, 3)} }) -> an unfiltered "
+          "oracle would be RED here")
+
+    print("[demo] running the replay: bigsf_replays.py dp_dedup_clusters ...")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bigsf_replays.py"),
+         SF, OUT, "dp_dedup_clusters"],
+        capture_output=True, text=True,
+        env={**os.environ, "GRAFT_TMP": f"{WORK}/tmp"})
+    print(r.stdout.strip())
+    if r.returncode != 0 or "PASS dp_dedup_clusters" not in r.stdout:
+        print(r.stderr[-2000:])
+        raise SystemExit("replay did not pass")
+    assert "banding contract excludes 1 of" in r.stdout, (
+        "the replay should have excluded exactly the grazing bridge")
+    print("[demo] OK: engine == band-contract replay; "
+          "grazing bridge correctly excluded")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,12 +63,27 @@ FAMILY = {
     # gate outputs before any sf1 verdict is trusted)
     "dp_dedup_minhash_lsh": dict(mode="jaccard", src="s", t=(1, 2),
                                  numpy_pairs=True, band_contract=True),
-    "dp_dedup_clusters":    dict(mode="jaccard", src="s", t=(1, 2)),
-    "dp_dedup_soft":        dict(mode="jaccard", src="s", t=(1, 2)),
-    "dp_dedup_stats":       dict(mode="jaccard", src="s", t=(1, 2)),
-    "dp_split_leakage":     dict(mode="jaccard", src="s", t=(1, 2)),
+    # band_contract on the whole closure family: these rows' engine
+    # pairs all come through the SAME banded-LSH front end as
+    # dp_dedup_minhash_lsh (128 hashes, 32 bands), so their expected
+    # frames must be built from the banded pair set too. The r11 sf1
+    # sweep passed these rows on REPLICA LUCK: the 6 banding-missed
+    # grazing pairs happened to be bridged by base docs — a replica
+    # where such a pair is the ONLY bridge between two components
+    # would (correctly) cluster differently in the engine than in a
+    # brute-pair oracle. See tools/band_bridge_demo.py for the
+    # synthetic demonstration.
+    "dp_dedup_clusters":    dict(mode="jaccard", src="s", t=(1, 2),
+                                 band_contract=True),
+    "dp_dedup_soft":        dict(mode="jaccard", src="s", t=(1, 2),
+                                 band_contract=True),
+    "dp_dedup_stats":       dict(mode="jaccard", src="s", t=(1, 2),
+                                 band_contract=True),
+    "dp_split_leakage":     dict(mode="jaccard", src="s", t=(1, 2),
+                                 band_contract=True),
     "dp_dedup_incremental": dict(mode="jaccard", src="s", t=(1, 2),
-                                 aliases=("n", "o"), both_dirs=True),
+                                 aliases=("n", "o"), both_dirs=True,
+                                 band_contract=True),
     # numpy_pairs (no band contract — the engine op is the EXACT
     # length-blocked brute join): same DuckDB-stall workaround as
     # dp_dedup_minhash_lsh, same select shape
@@ -815,6 +830,20 @@ def run(name):
         got = con.execute(
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
         return strict_compare(name, got, exp)
+    if mode == "jaccard" and cfg.get("band_contract"):
+        # restrict the injected pair set to the documented banding
+        # contract (shares >= 1 engine-arithmetic band key) — the same
+        # predicate the dp_dedup_minhash_lsh replay applies, so the
+        # closure/split rows inherit the banded pair set their engine
+        # plans actually consume instead of the brute superset
+        keys = minhash_band_keys(sets, *cfg.get("band_layout", (128, 32)))
+        ia = np.searchsorted(ids, ca)
+        ib = np.searchsorted(ids, cb)
+        shares = (keys[ia] == keys[ib]).any(axis=1)
+        if int((~shares).sum()):
+            print(f"  [{name}] banding contract excludes "
+                  f"{int((~shares).sum())} of {len(ca)} true pairs", flush=True)
+        ca, cb = ca[shares], cb[shares]
     if cfg.get("both_dirs"):
         ca, cb = np.r_[ca, cb], np.r_[cb, ca]
     cand = pd.DataFrame({"id_a": ca, "id_b": cb})
