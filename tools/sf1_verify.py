@@ -23,7 +23,16 @@ families — gets the 10x replay):
 
 Usage:
   python3 tools/sf1_verify.py <sfDir> <outDir> [--skip-spark]
-      [--timeout=N] [--only=a,b,c]
+      [--timeout=N] [--only=a,b,c] [--artifact=PATH]
+
+One command from a fresh checkout:
+  python3 tools/sf1_verify.py /dev/shm/graft_sf1 /dev/shm/graft_verify_sf1
+builds the replica via make_big_sf.py when <sfDir> is missing, runs
+the full sweep, and (unless --only is given) writes the per-row
+verdict to CORRECTNESS_sf1.json in the working directory — the same
+shape as the driver's CORRECTNESS_r{N}.json, plus a "mode" field
+(duck | replay) and an _env stamp, so the 10x scale signal is as
+hard an artifact as the sf0.1 one.
 Exit 0 iff every row is PASS (duck or replay).
 """
 import json
@@ -36,11 +45,14 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_sf1"
 TIMEOUT = 180
 ONLY = set()
+ARTIFACT = None
 for a in sys.argv:
     if a.startswith("--timeout="):
         TIMEOUT = int(a[len("--timeout="):])
     if a.startswith("--only="):
         ONLY = set(a[len("--only="):].split(","))
+    if a.startswith("--artifact="):
+        ARTIFACT = a[len("--artifact="):]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 TOOLS = os.path.dirname(os.path.abspath(__file__))
 
@@ -138,6 +150,11 @@ def run_replay(name):
 
 
 if __name__ == "__main__":
+    if not os.path.exists(f"{SF}/documents.parquet"):
+        print(f"[sf1] replica missing at {SF} - building (make_big_sf.py 10)",
+              flush=True)
+        subprocess.run([sys.executable, f"{TOOLS}/make_big_sf.py", "10", SF],
+                       check=True)
     if "--skip-spark" not in sys.argv:
         arg3 = f" {','.join(sorted(ONLY))}" if ONLY else ""
         r = subprocess.run(
@@ -174,4 +191,29 @@ if __name__ == "__main__":
     bad = [k for k, (st, _) in results.items() if st.startswith("FAIL") or st == "TIMEOUT"]
     if bad:
         print("unresolved:", ", ".join(bad))
+    # artifact: driver-CORRECTNESS-shaped, one row per query, so the
+    # scale sweep leaves the same class of hard evidence as the sf0.1
+    # gate. Partial (--only) runs skip it unless --artifact is given —
+    # a committed artifact must always describe the FULL surface.
+    if ARTIFACT or not ONLY:
+        import time
+        art = {"_env": {
+            "sf_dir": SF, "out_dir": OUT, "timeout_s": TIMEOUT,
+            "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "only": sorted(ONLY) or None,
+            "tool": "tools/sf1_verify.py"}}
+        for k in sorted(results):
+            st, info = results[k]
+            art[k] = {
+                "pass": st in ("PASS", "PASS-replay"),
+                "mode": "replay" if st.endswith("-replay") or st == "TIMEOUT"
+                        else "duck",
+                "status": st,
+                "rows": info if st == "PASS" else None,
+                "err": None if st in ("PASS", "PASS-replay") else str(info)[:400],
+            }
+        path = ARTIFACT or "CORRECTNESS_sf1.json"
+        with open(path, "w") as f:
+            json.dump(art, f, indent=2)
+        print(f"[sf1] artifact written: {path}")
     sys.exit(1 if bad else 0)
