@@ -408,6 +408,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception] { Multimodal.Media.decode(corrupt) }
   }
 
+  test("Media sniffer: ASCII text wearing RIFF/WAVE tags stays 'other'") {
+    // unlike PNG's \x89, "RIFF....WAVE" is printable ASCII — a plain
+    // text document can start with it. The sniff must NOT route such
+    // text into the WAV decoder (which would throw on the garbage
+    // body): it additionally requires the canonical 'fmt ' chunk at
+    // offset 12 and a RIFF size field matching the payload.
+    val riffText = "RIFFxxxxWAVE this is a plain sentence about audio files"
+      .getBytes("US-ASCII")
+    assert(Multimodal.Media.sniff(riffText) == "other")
+    val n = riffText.length.toLong
+    assert(Multimodal.Media.decode(riffText) ==
+      (("other", n % 640 + 1, n * 7 % 480 + 1, 3L)))
+    // even with 'fmt ' spelled out in the text, the size field (ASCII
+    // "xxxx" = 2.0e9) cannot match the payload length
+    val riffFmtText = "RIFFxxxxWAVEfmt sounds like a wav but is prose"
+      .getBytes("US-ASCII")
+    assert(Multimodal.Media.sniff(riffFmtText) == "other")
+  }
+
   test("extractFeatures over a mixed corpus routes every row per its magic bytes") {
     val d = Seq((0L, "png row"), (1L, "wav row"), (2L, "text row"),
       (3L, "png again"), (4L, "wav again"), (5L, "more text"))

@@ -319,6 +319,38 @@ class EngineSpec extends SparkSpec {
     s2.shutdown(); s3.shutdown()
   }
 
+  test("chunked async: a corrupt .request dir is skipped, not a startup-killer") {
+    // a crash mid-write on a pre-atomic-rename release (or a disk
+    // fault) leaves a truncated .request; resume must log + skip that
+    // dir and still resume every healthy one — one corrupt dir used to
+    // throw MatchError out of the lazy searcher init and block server
+    // start entirely
+    val dir = java.nio.file.Files.createTempDirectory("resume_bad").toString
+    val chunkMs = 7L * 86400000
+    val s1 = new ChunkedAsyncSearcher(spark, dir)
+    s1.startAsync("healthy", eng, "event_type:error", T0, T31, chunkMs)
+    s1.shutdown()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/healthy/.complete"))
+    // corrupt sibling: truncated mid-write (no separators, no query)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/corrupt"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corrupt/.request"), "17040")
+    // and an empty one (zero-byte write)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/empty"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/empty/.request"), Array.empty[Byte])
+    val s2 = new ChunkedAsyncSearcher(spark, dir)
+    assert(s2.resumeIncomplete(eng) == Seq("healthy"))
+    val dl = System.currentTimeMillis() + 60000
+    while (!s2.isComplete("healthy") && System.currentTimeMillis() < dl)
+      Thread.sleep(100)
+    assert(s2.isComplete("healthy"))
+    s2.shutdown()
+  }
+
   test("async search: start, await, fetch, restart-survivability") {
     val dir = java.nio.file.Files.createTempDirectory("async").toString
     val mgr = new AsyncSearchManager(spark, dir)
