@@ -125,9 +125,10 @@ def main():
                     [i, t, len(t)])
     con.execute(f"COPY d TO '{SF}/documents.parquet' (FORMAT PARQUET)")
 
-    print("[demo] running the engine: graft.Verify dp_dedup_clusters ...")
+    rows = "dp_dedup_clusters,dp_dedup_stats,dp_dedup_soft"
+    print(f"[demo] running the engine: graft.Verify {rows} ...")
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT} dp_dedup_clusters"],
+        ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT} {rows}"],
         cwd=REPO, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-3000:])
@@ -168,20 +169,30 @@ def main():
           f"{ {k: brute_reps[k] for k in (0, 1, 2, 3)} }) -> an unfiltered "
           "oracle would be RED here")
 
-    print("[demo] running the replay: bigsf_replays.py dp_dedup_clusters ...")
+    # engine histogram must read two 2-clusters + six singletons —
+    # the brute histogram would read one 4-cluster + six singletons
+    hist = duckdb.sql(
+        f"SELECT cluster_size, n_clusters FROM "
+        f"read_parquet('{OUT}/dp_dedup_stats/*.parquet') ORDER BY 1").fetchall()
+    assert hist == [(1, 6), (2, 2)], hist
+
+    print("[demo] running the replays: bigsf_replays.py "
+          "clusters + stats + soft ...")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bigsf_replays.py"),
-         SF, OUT, "dp_dedup_clusters"],
+         SF, OUT, "dp_dedup_clusters", "dp_dedup_stats", "dp_dedup_soft"],
         capture_output=True, text=True,
         env={**os.environ, "GRAFT_TMP": f"{WORK}/tmp"})
     print(r.stdout.strip())
-    if r.returncode != 0 or "PASS dp_dedup_clusters" not in r.stdout:
+    if r.returncode != 0:
         print(r.stderr[-2000:])
         raise SystemExit("replay did not pass")
+    for row in ("dp_dedup_clusters", "dp_dedup_stats", "dp_dedup_soft"):
+        assert f"PASS {row}" in r.stdout, row
     assert "banding contract excludes 1 of" in r.stdout, (
         "the replay should have excluded exactly the grazing bridge")
-    print("[demo] OK: engine == band-contract replay; "
-          "grazing bridge correctly excluded")
+    print("[demo] OK: engine == band-contract replay on clusters, stats "
+          "and soft; grazing bridge correctly excluded")
 
 
 if __name__ == "__main__":

@@ -60,7 +60,6 @@ TOOLS = os.path.dirname(os.path.abspath(__file__))
 # (REHEARSAL_r09: dedup_stats brute is 1.25e11 pair predicates; the PQ
 # family's join fan-out is 60+ CPU-min; winnow's list-op CTE 80+ min)
 REPLAY = {
-    "dp_dedup_stats": [sys.executable, f"{TOOLS}/dedup_stats_replay.py", SF, OUT],
     "dp_ann_pq": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_pq"],
     "dp_ann_pq_rerank": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_pq_rerank"],
     "dp_ann_ivfpq": [sys.executable, f"{TOOLS}/pq_replay.py", SF, OUT, "dp_ann_ivfpq"],
@@ -76,8 +75,16 @@ REPLAY = {
 # SQL re-runs with the brute O(N^2) join rewritten through an exactly-
 # complete candidate table; validated PASS at sf0.01 against the
 # DuckDB-proven gate outputs before use at scale
+# dp_dedup_stats moved here from dedup_stats_replay.py (which
+# replays the BRUTE closure histogram via exact AllPairs): the banded
+# front end makes the brute histogram contract-wrong whenever banding
+# misses a bridge pair, so the histogram verifies through the same
+# band-contract pair injection as its closure siblings. The AllPairs
+# tool remains as an independent brute cross-check for replicas where
+# the band filter excludes nothing.
 for _n in ("dp_dedup_minhash_lsh dp_dedup_clusters dp_dedup_soft "
-           "dp_split_leakage dp_dedup_incremental dp_dedup_ngram dp_curate "
+           "dp_dedup_stats dp_split_leakage dp_dedup_incremental "
+           "dp_dedup_ngram dp_curate "
            "dp_dedup_containment dp_dedup_simhash dp_embed_neardup "
            "dp_dedup_semantic").split():
     REPLAY[_n] = [sys.executable, f"{TOOLS}/bigsf_replays.py", SF, OUT, _n]
