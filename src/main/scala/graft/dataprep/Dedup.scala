@@ -802,19 +802,29 @@ object Dedup {
     }
   }
 
-  /** All distinct character k-windows of a document, one row per
-    * (id, win). Documents shorter than k contribute nothing.
+  /** 16-byte Karp–Rabin fingerprint array of a text's k-windows —
+    * the shuffle key the whole window family exchanges instead of raw
+    * k-char substrings (see [[graft.functions.SubstringFp]] for the
+    * construction and the ≤1e-10-at-100TB collision contract).
+    */
+  private def windowFps(textCol: Column, k: Int, distinct: Boolean): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WindowFingerprintsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
+        k, distinct))
+
+  /** All distinct character k-window fingerprints of a document, one
+    * row per (id, win: binary(16)). Documents shorter than k
+    * contribute nothing.
     */
   private def charWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     // spread BEFORE the explode: a small-file corpus otherwise runs
-    // the O(text·k) window extraction in one task (no-op on inputs
+    // the O(text) fingerprint extraction in one task (no-op on inputs
     // that already have >= session-parallelism splits)
     spread(df).where(length(col(textCol)) >= k)
       .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col(textCol)) - (k - 1)),
-          i => col(textCol).substr(i, lit(k))))).as("win"))
+        explode(windowFps(col(textCol), k, distinct = true)).as("win"))
 
   /** The pair algebra shared by [[substringDupPairs]] and
     * [[substringDupPairsWinnowed]]: group windows, drop windows whose
@@ -863,8 +873,12 @@ object Dedup {
     * unlike [[containmentPairs]]'s candidate-only cap, a capped window
     * here is genuinely out of the relation.
     *
-    * Everything is plan-local: window extraction is a codegen'd
-    * transform/explode, no UDFs, no driver state.
+    * Everything is plan-local: window extraction is one codegen'd
+    * O(chars) rolling-fingerprint pass ([[graft.functions.SubstringFp]]
+    * — windows group on 16-byte keys, never materializing substrings),
+    * no UDFs, no driver state. "Sharing a window" is decided at
+    * 122-bit fingerprint certainty (collision < 1e-10 at 100 TB), the
+    * same class as [[exactGroups]]'s md5 keys.
     */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDf: Long = 0L): DataFrame = {
@@ -891,37 +905,29 @@ object Dedup {
     * gram twice in one window) resolve to the rightmost position in
     * both engines by construction.
     *
-    * Output: (id, win) rows over the selected windows only.
+    * Output: (id, win) rows over the selected windows only, where
+    * `win` is the selected gram's raw 16-byte md5 digest
+    * ([[graft.functions.WinnowedFp]] — one O(m) monotonic-deque pass
+    * instead of the O(m·w) declarative array algebra this method
+    * previously inlined; hex(digest) ↔ digest is a bijection, so the
+    * SQL oracle's hex-string formulation decides the identical
+    * relation). Distinct is by window VALUE, not position: a k-gram
+    * repeated inside one document can be selected at two positions
+    * (both local minima), and a duplicate (id, win) row would let the
+    * pair algebra emit a self-pair and double-count shared windows —
+    * caught by the 10× rehearsal's oracle diff.
     */
   def winnowedWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
-    val grams = transform(
-      sequence(lit(1), length(col(textCol)) - (k - 1)),
-      i => col(textCol).substr(i, lit(k)))
-    // Rightmost-min index inside hashes[p+1 .. p+w] (1-based): the
-    // first match in the reversed slice is the last match in the
-    // slice. O(n·w) array work per row, all codegen'd — spread first
-    // so the per-row work parallelizes on small-split inputs.
-    val hashes = transform(col("grams"), g => md5(g.cast("binary")))
+    // spread first so the per-row O(chars) kernel parallelizes on
+    // small-split inputs
     spread(df).where(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol), col(textCol), grams.as("grams"))
-      .select(col(idCol), col("grams"), hashes.as("hs"))
-      .select(col(idCol), col("grams"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("hs")) - w),
-          p => p + (lit(w) + lit(1) -
-            array_position(reverse(slice(col("hs"), p + lit(1), lit(w))),
-              array_min(slice(col("hs"), p + lit(1), lit(w)))))
-            .cast("int"))).as("sel"))
       .select(col(idCol),
-        // distinct on the WINDOW STRINGS, not just positions: a k-gram
-        // repeated inside one document can be selected at two
-        // positions (both local minima), and a duplicate (id, win) row
-        // would let the pair algebra emit a self-pair and double-count
-        // shared windows — caught by the 10× rehearsal's oracle diff
-        explode(array_distinct(transform(col("sel"), s => element_at(col("grams"), s))))
-          .as("win"))
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.WinnowedFingerprintsExpr(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+            k, w))).as("win"))
   }
 
   /** Persisted winnowed-fingerprint index for INCREMENTAL substring
@@ -1031,47 +1037,71 @@ object Dedup {
     * WINDOW over the window-content exchange — `min(id) OVER
     * (PARTITION BY win)` — chosen over `groupBy(win).agg(min(id))` +
     * join-back because Catalyst does not reuse the exchange across
-    * the agg and probe subtrees, so the window form runs the O(chars
-    * × k) positioned-window extraction ONCE instead of twice. The
-    * trade: no map-side partial aggregation — every occurrence of a
-    * duplicated window buffers in its key's partition, so a corpus-
-    * wide boilerplate window concentrates its occurrences (skew) where
-    * the groupBy form would reduce them to one row per map task at the
-    * cost of a second extraction pass + join shuffle. Three shuffles
-    * total: the win-keyed exchange, the per-doc regroup of covered
-    * starts, and the original frame's side of the rebuild join. The k×
-    * char inflation through the window shuffle is the irreducible cost
-    * of an exact global first-occurrence decision in a relational
-    * engine — a suffix array avoids it on one node but does not
-    * partition; winnowing cannot serve removal because unselected
-    * windows must still be excised. Interval merge + text rebuild are
-    * per-row HOF folds over the doc's own covered-start list
-    * (O(starts) with O(1) `element_at`), no second char-level shuffle.
+    * the agg and probe subtrees, the extraction runs twice — but it
+    * is now one O(chars) rolling-fingerprint pass, so re-running it
+    * costs less than what the groupBy form buys:
+    *
+    *   - map-side partial aggregation: a window's occurrences
+    *     collapse to one (win, min_id, count) row per map task before
+    *     the agg exchange — the window-function form ships and
+    *     BUFFERS every occurrence of a key in that key's single
+    *     partition, so one corpus-wide boilerplate window (a license
+    *     header at 10^9 occurrences) is an unsplittable straggler
+    *     there, while here AQE splits the skewed probe-join key;
+    *   - the `occ_n >= 2` pre-filter: windows seen once — the
+    *     overwhelming majority of a natural corpus — leave the plan
+    *     at the agg, so the min-owner side of the probe join carries
+    *     only genuinely duplicated windows (and Spark's runtime bloom
+    *     filter can push that selectivity into the probe scan).
+    *
+    * Shuffles: the own-side agg (map-combined), the occurrence side
+    * of the probe join, the per-doc regroup of covered starts, and
+    * the original frame's side of the rebuild join.
+    *
+    * The exchanges carry 16-byte Karp–Rabin fingerprints, not k-char
+    * substrings ([[graft.functions.SubstringFp]]): extraction is one
+    * O(chars) rolling pass with zero per-window string
+    * materialization, and shuffle volume is 16 bytes/occurrence
+    * instead of ~k. "Exact" therefore means exact up to a 122-bit
+    * fingerprint collision — probability < 1e-10 for a 100 TB corpus,
+    * adversarial inputs included (prime modulus; see the expression's
+    * contract note) — the same certainty class as the md5 keys
+    * [[exactGroups]] already stands on. A suffix array would avoid
+    * the exchange on one node but does not partition; winnowing
+    * cannot serve removal because unselected windows must still be
+    * excised. Interval merge + text rebuild are per-row HOF folds
+    * over the doc's own covered-start list (O(starts) with O(1)
+    * `element_at`), no second char-level shuffle.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    // min-owner as a window aggregate, NOT groupBy+join-back: the
-    // positioned-window extraction (the most expensive stage — O(chars
-    // × k) string materialization) then runs ONCE over one exchange
-    // on `win`, instead of twice with a second join shuffle (Catalyst
-    // does not reuse the exchange across the agg and probe subtrees)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
-    val covered = positionedWindows(df, idCol, textCol, k)
-      .withColumn("first_id", min(col(idCol)).over(w))
+    val occ = positionedWindows(df, idCol, textCol, k)
+    // min-owner via groupBy + join-back (see scaladoc: map-side
+    // combine + unique-window drop + AQE skew-split beat the single
+    // exchange of the window-function form now that extraction is
+    // O(chars)); occ_n counts occurrences, not docs — a window
+    // repeated only within its owner doc survives to the join but is
+    // dropped by first_id < id, which is cheaper than a distinct-doc
+    // count here
+    val own = occ.groupBy(col("win"))
+      .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("occ_n"))
+      .where(col("occ_n") >= 2)
+      .select(col("win"), col("first_id"))
+    val covered = occ.join(own, Seq("win"))
       .where(col("first_id") < col(idCol))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
     exciseCovered(df, idCol, textCol, k, covered)
   }
 
-  /** Every positioned window, one row per occurrence (1-based start). */
+  /** Every positioned window fingerprint, one row per occurrence
+    * (1-based code-point start, win: binary(16)).
+    */
   private def positionedWindows(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =
     spread(df).where(length(col(textCol)) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1)),
-        i => col(textCol).substr(i, lit(k)))))
+      .select(col(idCol), posexplode(windowFps(col(textCol), k, distinct = false)))
       .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("win"))
 
   /** Shared rebuild for the span-removal family: excise the merged
@@ -1137,10 +1167,15 @@ object Dedup {
     */
   def spanAttribution(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    // one extraction over one `win` exchange (see removeDuplicateSpans)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
-    positionedWindows(df, idCol, textCol, k)
-      .withColumn("owner_id", min(col(idCol)).over(w))
+    // same min-owner groupBy + join-back shape as removeDuplicateSpans
+    // (map-side combine, unique-window drop, AQE skew-split — see its
+    // scaladoc for the trade vs a window function)
+    val occ = positionedWindows(df, idCol, textCol, k)
+    val own = occ.groupBy(col("win"))
+      .agg(min(col(idCol)).as("owner_id"), count(lit(1)).as("occ_n"))
+      .where(col("occ_n") >= 2)
+      .select(col("win"), col("owner_id"))
+    occ.join(own, Seq("win"))
       .where(col("owner_id") < col(idCol))
       .groupBy(col(idCol), col("owner_id"))
       .agg(count(lit(1)).as("n_windows"),

@@ -668,6 +668,14 @@ final class GrpcSeqApi(
     // with_docs=false, while a bare status poll (withDocs=false, no
     // aggs — the completion-wait loop every client runs) stays a
     // marker check, not a pile of Spark jobs per poll.
+    // the memo generation is read BEFORE the partial frame is built:
+    // done-markers are append-only, so a chunk landing between the two
+    // listings makes the cached generation merely conservative (the
+    // next fetch recomputes) — the reverse order could cache an
+    // aggregation computed over N chunks under generation N+1 and
+    // serve it as final forever
+    val aggGen =
+      if (wantsAggs) asyncSearcher.completedChunks(r.searchId) else 0
     val partial =
       if (r.withDocs || wantsAggs) asyncSearcher.fetchPartial(r.searchId)
       else None
@@ -690,7 +698,7 @@ final class GrpcSeqApi(
       else partial match {
         case None => (Nil, None)
         case Some(df) =>
-          val gen = asyncSearcher.completedChunks(r.searchId)
+          val gen = aggGen
           val cached = asyncAggCache.get(r.searchId)
           if (cached != null && cached._1 == gen) (cached._2, cached._3)
           else {

@@ -196,7 +196,10 @@ object TestTables {
     * doc_id % 5 != 0, batch = the rest — same split as
     * [[documentsIncrementalDedup]]. */
   def documentsIncrementalSubstring(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"${graft.GraftTmp.dir}/graft_ssidx_${new java.io.File(sfDir).getName}_" +
+    // v2: the win column is the 16-byte winnowed digest (binary), no
+    // longer the substring — a stale unversioned index would silently
+    // join zero rows against a binary probe.
+    val path = s"${graft.GraftTmp.dir}/graft_ssidx_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/wins/_SUCCESS").exists())
@@ -228,7 +231,9 @@ object TestTables {
     // unversioned path could leave a pre-change index's files at the
     // allwins/ root next to a freshly written batch=base dir, which
     // spark.read then rejects as conflicting directory structures.
-    val path = s"${graft.GraftTmp.dir}/graft_rmidx_v2_${new java.io.File(sfDir).getName}_" +
+    // v3: the win column is a 16-byte fingerprint (binary), no longer
+    // the substring — a stale v2 index would fail the probe's schema.
+    val path = s"${graft.GraftTmp.dir}/graft_rmidx_v3_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/allwins/batch=base/_SUCCESS").exists())

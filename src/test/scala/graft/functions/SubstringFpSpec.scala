@@ -1,0 +1,198 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The rolling window-fingerprint kernel: hash arithmetic against a
+  * BigInt model, rolling-vs-direct agreement, window-equality
+  * faithfulness, code-point position semantics (incl. non-BMP), and
+  * plan-level parity of the fingerprint-keyed span-removal family
+  * with a substring-keyed reference implementation.
+  */
+class SubstringFpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = SubstringFp.P
+
+  private def fps(s: String, k: Int, distinct: Boolean = false): Seq[Array[Byte]] = {
+    val ad = SubstringFp.fingerprints(UTF8String.fromString(s), k, distinct)
+    (0 until ad.numElements()).map(ad.getBinary)
+  }
+
+  private def key(b: Array[Byte]): Seq[Byte] = b.toSeq
+
+  /** Direct (non-rolling) BigInt evaluation of both window hashes. */
+  private def direct(s: String, k: Int): Seq[Seq[Byte]] = {
+    val cps = s.codePoints().toArray
+    (0 to cps.length - k).map { i =>
+      def h(base: Long): Long =
+        cps.slice(i, i + k).foldLeft(BigInt(0)) { (acc, c) =>
+          (acc * base + (c + 1)) mod BigInt(P)
+        }.toLong
+      val b = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(b)
+      out.writeLong(h(SubstringFp.B1)); out.writeLong(h(SubstringFp.B2))
+      b.toByteArray.toSeq
+    }
+  }
+
+  test("mulmod matches BigInt over random 61-bit operands") {
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong().abs % P
+      val b = rnd.nextLong().abs % P
+      assert(SubstringFp.mulmod(a, b) ==
+        ((BigInt(a) * BigInt(b)) mod BigInt(P)).toLong)
+    }
+  }
+
+  test("rolling fingerprints equal the direct polynomial, random strings") {
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(120)
+      val s = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val k = 1 + rnd.nextInt(12)
+      assert(fps(s, k).map(key) == direct(s, k))
+    }
+  }
+
+  test("fingerprint equality is window equality on a small alphabet") {
+    // 2-char alphabet, every window of every string: equal windows ⟺
+    // equal fingerprints (no collisions, no missed repeats)
+    val rnd = new scala.util.Random(29)
+    val strs = (1 to 30).map(_ =>
+      (1 to 40).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    val k = 5
+    val byFp = scala.collection.mutable.Map[Seq[Byte], String]()
+    strs.foreach { s =>
+      fps(s, k).zipWithIndex.foreach { case (f, i) =>
+        val w = s.substring(i, i + k)
+        byFp.get(key(f)) match {
+          case Some(prev) => assert(prev == w, "collision")
+          case None       => byFp(key(f)) = w
+        }
+      }
+    }
+    // all 32 length-5 binary windows occur across 30×36 windows; the
+    // map must have exactly as many entries as distinct substrings
+    val distinctWins = strs.flatMap(s => s.sliding(k)).toSet
+    assert(byFp.size == distinctWins.size)
+  }
+
+  test("distinct=true emits each fingerprint once, same set") {
+    val s = "abcabcabcabc"
+    val all = fps(s, 3).map(key)
+    val d = fps(s, 3, distinct = true).map(key)
+    assert(d.toSet == all.toSet)
+    assert(d.size == d.toSet.size)
+    assert(all.size == s.length - 2)
+  }
+
+  test("positions are code points: non-BMP text windows align with substr") {
+    // U+1F600 is a surrogate pair in the JVM but ONE code point to
+    // Spark's length/substr — window i must hash code points i..i+k-1
+    val s = "ab😀cd😀ab😀cd"
+    val k = 3
+    val got = fps(s, k).map(key)
+    val cps = s.codePoints().toArray
+    assert(got.size == cps.length - k + 1)
+    // repeated code-point windows repeat: windows starting at code
+    // points 0 and 6 are both ['a','b',U+1F600]
+    assert(got(0) == got(6))
+    // and adjacent windows differ
+    assert(got(0) != got(1))
+  }
+
+  test("short text and k-length text edge cases") {
+    assert(fps("abc", 4).isEmpty)
+    assert(fps("", 1).isEmpty)
+    assert(fps("abcd", 4).size == 1)
+    assert(fps("abcd", 4).map(key) == direct("abcd", 4))
+  }
+
+  /** Substring-keyed reference of removeDuplicateSpans — the exact
+    * plan the operator shipped before fingerprints (transform/substr
+    * extraction, string win keys). Parity here proves the key swap
+    * changed no semantics.
+    */
+  private def removalReference(df: DataFrame, k: Int): DataFrame = {
+    val positioned = df.where(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => col("text").substr(i, lit(k)))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("win"))
+    val w = Window.partitionBy(col("win"))
+    val covered = positioned
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .where(col("first_id") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("start"))).as("starts"))
+    covered
+  }
+
+  test("span removal parity: fingerprint keys reproduce substring keys") {
+    // seeded corpus with planted cross-doc spans, within-doc repeats,
+    // and non-ASCII text
+    val rnd = new scala.util.Random(42)
+    val span1 = "le vif renard brun saute par-dessus le chien paresseux é"
+    val span2 = "пример общего длинного дублированного фрагмента текста"
+    def filler(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val docs = Seq(
+      (1L, s"${filler(30)} $span1 ${filler(20)}"),
+      (2L, s"${filler(25)} $span1 ${filler(15)} $span2"),
+      (3L, s"$span2 ${filler(40)}"),
+      (4L, s"${filler(10)} $span1 $span1 ${filler(5)}"), // within-doc repeat
+      (5L, filler(60)),
+      (6L, "short")
+    ).toDF("doc_id", "text")
+    val k = 24
+    val got = graft.dataprep.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", k)
+      .select("doc_id", "n_chars", "n_removed", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // rebuild expected clean_text from the reference covered-starts
+    val cov = removalReference(docs, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val exp = docs.collect().map { r =>
+      val id = r.getLong(0); val t = r.getString(1)
+      val starts = cov.getOrElse(id, Seq.empty)
+      val removed = Array.fill(t.length)(false)
+      starts.foreach(s0 => (s0 - 1 until math.min(t.length, s0 - 1 + k))
+        .foreach(removed(_) = true))
+      val clean = t.zipWithIndex.filterNot { case (_, i) => removed(i) }
+        .map(_._1).mkString
+      (id, t.length.toLong, (t.length - clean.length).toLong, clean)
+    }.sortBy(_._1).toSeq
+    assert(got.toSeq == exp)
+    // the corpus genuinely exercises removal
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("substring pair parity: fingerprint pairs match substring pairs") {
+    val rnd = new scala.util.Random(99)
+    def filler(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    val shared = "zzzz shared window content block zzzz"
+    val docs = (1L to 12L).map { i =>
+      val body = filler(50)
+      (i, if (i % 3 == 0) s"$body $shared" else body)
+    }.toDF("doc_id", "text")
+    val k = 24
+    val got = graft.dataprep.Dedup
+      .substringDupPairs(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute reference on substring sets
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      n = ta.sliding(k).toSet.intersect(tb.sliding(k).toSet).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
+}
