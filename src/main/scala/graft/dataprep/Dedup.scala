@@ -1076,19 +1076,21 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val occ = positionedWindows(df, idCol, textCol, k)
     // min-owner via groupBy + join-back (see scaladoc: map-side
     // combine + unique-window drop + AQE skew-split beat the single
     // exchange of the window-function form now that extraction is
-    // O(chars)); occ_n counts occurrences, not docs — a window
-    // repeated only within its owner doc survives to the join but is
-    // dropped by first_id < id, which is cheaper than a distinct-doc
-    // count here
-    val own = occ.groupBy(col("win"))
-      .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("occ_n"))
-      .where(col("occ_n") >= 2)
+    // O(chars)). The agg side runs over DOC-DISTINCT windows
+    // (charWindows dedupes in-pass inside the extraction kernel), so
+    // n_docs counts documents — and coverage requires first_id < id,
+    // i.e. at least two distinct docs, so n_docs >= 2 is exact, not
+    // just a heuristic pre-filter.
+    val own = charWindows(df, idCol, textCol, k)
+      .groupBy(col("win"))
+      .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
       .select(col("win"), col("first_id"))
-    val covered = occ.join(own, Seq("win"))
+    val covered = positionedWindows(df, idCol, textCol, k)
+      .join(own, Seq("win"))
       .where(col("first_id") < col(idCol))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
@@ -1168,14 +1170,16 @@ object Dedup {
   def spanAttribution(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     // same min-owner groupBy + join-back shape as removeDuplicateSpans
-    // (map-side combine, unique-window drop, AQE skew-split — see its
-    // scaladoc for the trade vs a window function)
-    val occ = positionedWindows(df, idCol, textCol, k)
-    val own = occ.groupBy(col("win"))
-      .agg(min(col(idCol)).as("owner_id"), count(lit(1)).as("occ_n"))
-      .where(col("occ_n") >= 2)
+    // (map-side combine over doc-distinct windows, n_docs >= 2 drop,
+    // AQE skew-split — see its scaladoc for the trade vs a window
+    // function); n_windows counts OCCURRENCES, so the probe side stays
+    // positioned
+    val own = charWindows(df, idCol, textCol, k)
+      .groupBy(col("win"))
+      .agg(min(col(idCol)).as("owner_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
       .select(col("win"), col("owner_id"))
-    occ.join(own, Seq("win"))
+    positionedWindows(df, idCol, textCol, k).join(own, Seq("win"))
       .where(col("owner_id") < col(idCol))
       .groupBy(col(idCol), col("owner_id"))
       .agg(count(lit(1)).as("n_windows"),
