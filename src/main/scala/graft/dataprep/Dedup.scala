@@ -1172,19 +1172,32 @@ object Dedup {
     // same min-owner groupBy + join-back shape as removeDuplicateSpans
     // (map-side combine over doc-distinct windows, n_docs >= 2 drop,
     // AQE skew-split — see its scaladoc for the trade vs a window
-    // function); n_windows counts OCCURRENCES, so the probe side stays
-    // positioned
+    // function). n_windows counts OCCURRENCES, but the probe side does
+    // NOT ship them: the per-(doc, window) collapse to (n_occ,
+    // min_start, max_start) happens inside the extraction kernel
+    // ([[graft.functions.WindowStats]]), in the map task that produced
+    // the text — the exchange carries one fixed-width row per DISTINCT
+    // (doc, window) and the final agg re-aggregates the pre-folded
+    // stats (sum/min/max compose exactly).
+    val occ = spread(df).where(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.WindowStatsExpr(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+            k))).as("s"))
+      .select(col(idCol), col("s.win").as("win"), col("s.n_occ").as("n_occ"),
+        col("s.min_start").as("min_start"), col("s.max_start").as("max_start"))
     val own = charWindows(df, idCol, textCol, k)
       .groupBy(col("win"))
       .agg(min(col(idCol)).as("owner_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
       .select(col("win"), col("owner_id"))
-    positionedWindows(df, idCol, textCol, k).join(own, Seq("win"))
+    occ.join(own, Seq("win"))
       .where(col("owner_id") < col(idCol))
       .groupBy(col(idCol), col("owner_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        min(col("start")).cast("long").as("first_start"),
-        max(col("start")).cast("long").as("last_start"))
+      .agg(sum(col("n_occ")).as("n_windows"),
+        min(col("min_start")).cast("long").as("first_start"),
+        max(col("max_start")).cast("long").as("last_start"))
       .orderBy(col(idCol), col("owner_id"))
   }
 

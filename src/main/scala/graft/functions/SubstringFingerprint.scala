@@ -287,6 +287,83 @@ object WinnowedFp {
   }
 }
 
+/** Per-doc window OCCURRENCE STATS, grouped by window value inside
+  * the extraction pass: one struct per DISTINCT window of the text —
+  * (win: the 16-byte Karp–Rabin fingerprint, n_occ, min_start,
+  * max_start), starts 1-based in code points. This is the probe-side
+  * frame for aggregated per-(doc, window) consumers (span
+  * attribution): the intra-doc collapse happens here, in the map
+  * task that produced the text, so the downstream exchange carries
+  * one fixed-width row per distinct (doc, window) instead of one per
+  * occurrence — and no posexplode runs at all.
+  */
+object WindowStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def stats(text: UTF8String, k: Int): ArrayData = {
+    val all = SubstringFp.fingerprints(text, k, distinct = false)
+    val m = all.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    // sort occurrence indices by digest; scan runs for n/min/max
+    val idx = new Array[Integer](m)
+    var i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      java.util.Arrays.compare(
+        all.getBinary(a.intValue()), all.getBinary(b.intValue())))
+    val out = new java.util.ArrayList[Any](m)
+    var runStart = 0
+    i = 1
+    while (i <= m) {
+      if (i == m || !java.util.Arrays.equals(
+          all.getBinary(idx(i).intValue()),
+          all.getBinary(idx(runStart).intValue()))) {
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var j = runStart
+        while (j < i) {
+          val p = idx(j).intValue() + 1 // 1-based start
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          j += 1
+        }
+        out.add(new GenericInternalRow(Array[Any](
+          all.getBinary(idx(runStart).intValue()), i - runStart, mn, mx)))
+        runStart = i
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `array<struct<win:binary, n_occ:int, min_start:int, max_start:int>>`
+  * — see [[WindowStats]].
+  */
+case class WindowStatsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "window length k must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("win", BinaryType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_occ", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_start", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("max_start", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WindowStats.stats(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.WindowStats.stats($x, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `array<binary>` of the distinct selected-window md5 digests of a
   * string under (k, w) winnowing — see [[WinnowedFp]] for the
   * selection contract and why emitting the digest (not the substring)

@@ -70,6 +70,28 @@ class WinnowedFpSpec extends SparkSpec {
     assert(kernel("", 2, 2) == Set.empty)
   }
 
+  test("WindowStats: per-distinct-window occurrence stats match a brute reference") {
+    val rnd = new scala.util.Random(99)
+    for (round <- 1 to 40) {
+      val n = 1 + rnd.nextInt(80)
+      val s = Seq.fill(n)("abc".charAt(rnd.nextInt(3))).mkString
+      val k = 1 + rnd.nextInt(4)
+      // brute reference over code-point windows
+      val cps = s.codePoints().toArray
+      val ref = (0 to cps.length - k).map(i => (new String(cps, i, k), i + 1))
+        .groupBy(_._1).map { case (g, occ) =>
+          val fps = SubstringFp.fingerprints(UTF8String.fromString(g), k, false)
+          (fps.getBinary(0).toSeq, (occ.size, occ.map(_._2).min, occ.map(_._2).max))
+        }
+      val ad = WindowStats.stats(UTF8String.fromString(s), k)
+      val got = (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 4)
+        (r.getBinary(0).toSeq, (r.getInt(1), r.getInt(2), r.getInt(3)))
+      }.toMap
+      assert(got == ref, s"round $round k=$k s=$s")
+    }
+  }
+
   test("emitted digest IS md5 of the gram's UTF-8 bytes") {
     val s = "xyzxyzxyz"
     val md = java.security.MessageDigest.getInstance("MD5")
