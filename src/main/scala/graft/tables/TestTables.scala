@@ -199,7 +199,9 @@ object TestTables {
     // v2: the win column is the 16-byte winnowed digest (binary), no
     // longer the substring — a stale unversioned index would silently
     // join zero rows against a binary probe.
-    val path = s"${graft.GraftTmp.dir}/graft_ssidx_v2_${new java.io.File(sfDir).getName}_" +
+    // v3: indexes now carry a _graft_index_format.json marker the
+    // probe validates; a cached marker-less v2 tree would fail fast.
+    val path = s"${graft.GraftTmp.dir}/graft_ssidx_v3_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/wins/_SUCCESS").exists())
@@ -233,7 +235,9 @@ object TestTables {
     // spark.read then rejects as conflicting directory structures.
     // v3: the win column is a 16-byte fingerprint (binary), no longer
     // the substring — a stale v2 index would fail the probe's schema.
-    val path = s"${graft.GraftTmp.dir}/graft_rmidx_v3_${new java.io.File(sfDir).getName}_" +
+    // v4: indexes now carry a _graft_index_format.json marker the
+    // probe validates; a cached marker-less v3 tree would fail fast.
+    val path = s"${graft.GraftTmp.dir}/graft_rmidx_v4_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/allwins/batch=base/_SUCCESS").exists())

@@ -135,10 +135,15 @@ class SubstringFpSpec extends SparkSpec {
 
   test("span removal parity: fingerprint keys reproduce substring keys") {
     // seeded corpus with planted cross-doc spans, within-doc repeats,
-    // and non-ASCII text
+    // non-ASCII BMP text, AND astral (non-BMP) text — the one input
+    // class where JVM char offsets diverge from Spark's code-point
+    // substr/length, so the expected rebuild below must index by
+    // CODE POINT, mirroring the dedicated non-BMP kernel test at the
+    // end-to-end level
     val rnd = new scala.util.Random(42)
     val span1 = "le vif renard brun saute par-dessus le chien paresseux é"
     val span2 = "пример общего длинного дублированного фрагмента текста"
+    val span3 = "🦊 astral span body 🎯 shared across two documents 🦊"
     def filler(n: Int) =
       (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
     val docs = Seq(
@@ -147,7 +152,9 @@ class SubstringFpSpec extends SparkSpec {
       (3L, s"$span2 ${filler(40)}"),
       (4L, s"${filler(10)} $span1 $span1 ${filler(5)}"), // within-doc repeat
       (5L, filler(60)),
-      (6L, "short")
+      (6L, "short"),
+      (7L, s"${filler(12)} $span3 ${filler(9)} 😀"),
+      (8L, s"😀${filler(7)} $span3 ${filler(18)}")
     ).toDF("doc_id", "text")
     val k = 24
     val got = graft.dataprep.Dedup
@@ -155,22 +162,111 @@ class SubstringFpSpec extends SparkSpec {
       .select("doc_id", "n_chars", "n_removed", "clean_text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._1)
-    // rebuild expected clean_text from the reference covered-starts
+    // rebuild expected clean_text from the reference covered-starts,
+    // positioned in CODE POINTS (Spark's substr/length unit) — char
+    // indexing would misplace every start after a surrogate pair
     val cov = removalReference(docs, k).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val exp = docs.collect().map { r =>
       val id = r.getLong(0); val t = r.getString(1)
+      val cps = t.codePoints().toArray
       val starts = cov.getOrElse(id, Seq.empty)
-      val removed = Array.fill(t.length)(false)
-      starts.foreach(s0 => (s0 - 1 until math.min(t.length, s0 - 1 + k))
+      val removed = Array.fill(cps.length)(false)
+      starts.foreach(s0 => (s0 - 1 until math.min(cps.length, s0 - 1 + k))
         .foreach(removed(_) = true))
-      val clean = t.zipWithIndex.filterNot { case (_, i) => removed(i) }
-        .map(_._1).mkString
-      (id, t.length.toLong, (t.length - clean.length).toLong, clean)
+      val sb = new java.lang.StringBuilder
+      cps.indices.filterNot(removed).foreach(i => sb.appendCodePoint(cps(i)))
+      val clean = sb.toString
+      (id, cps.length.toLong, (cps.length - clean.codePoints().count()).toLong, clean)
     }.sortBy(_._1).toSeq
     assert(got.toSeq == exp)
-    // the corpus genuinely exercises removal
+    // the corpus genuinely exercises removal, including on the astral
+    // docs (7 keeps its text, 8 loses the shared astral span)
     assert(got.exists(_._3 > 0))
+    assert(got.find(_._1 == 8L).exists(_._3 > 0))
+  }
+
+  test("seeded bases: distinct from defaults, relation-invariant") {
+    // seed = 0 is the historical constants; any other seed derives
+    // two distinct in-range bases, different fingerprints — but the
+    // same dedup RELATION (equal windows still collide, unequal ones
+    // still don't at test scale)
+    assert(SubstringFp.bases(0L) == (SubstringFp.B1, SubstringFp.B2))
+    val (a1, a2) = SubstringFp.bases(12345L)
+    val (b1, b2) = SubstringFp.bases(67890L)
+    Seq(a1, a2, b1, b2).foreach { b =>
+      assert(b > (1L << 20) && b < P)
+    }
+    assert(a1 != a2 && b1 != b2 && (a1, a2) != (b1, b2))
+    def seededFps(s: String, k: Int, seed: Long): Seq[Seq[Byte]] = {
+      val ad = SubstringFp.fingerprints(UTF8String.fromString(s), k, false, seed)
+      (0 until ad.numElements()).map(ad.getBinary(_).toSeq)
+    }
+    val s = "abcabcabcxyzabc"
+    val f0 = seededFps(s, 3, 0L)
+    val f7 = seededFps(s, 3, 7L)
+    assert(f0 != f7) // different bases, different values
+    // but the equality structure (which window pairs match) is identical
+    def eqPairs(f: Seq[Seq[Byte]]) =
+      (for { i <- f.indices; j <- f.indices if i < j && f(i) == f(j) }
+        yield (i, j)).toSet
+    assert(eqPairs(f0) == eqPairs(f7))
+    // end-to-end: removeDuplicateSpans under a non-zero seed equals
+    // the seed-0 result (same relation, different shuffle keys)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "prefix text the quick brown fox jumps over the lazy dog tail"),
+      (3L, "unrelated content entirely different from the others here")
+    ).toDF("doc_id", "text")
+    val r0 = graft.dataprep.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 24)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val r7 = graft.dataprep.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 24, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(r0 == r7)
+  }
+
+  test("index format marker: stamped on build, validated on probe") {
+    val base = s"${graft.GraftTmp.dir}/graft_test_idxmarker_${System.nanoTime()}"
+    val hist = Seq((1L, "the indexed historical span that repeats verbatim later on"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "prefix the indexed historical span that repeats verbatim later on"))
+      .toDF("doc_id", "text")
+    graft.dataprep.Dedup.buildRemovalIndex(hist, "doc_id", "text", 24,
+      indexPath = base, seed = 99L)
+    // probe reads the seed from the marker — removal happens even
+    // though the caller never states the seed
+    val out = graft.dataprep.Dedup
+      .removeSpansAgainstIndex(batch, "doc_id", "text", 24, base)
+      .collect()
+    assert(out.head.getAs[Long]("n_removed") > 0)
+    // k drift fails fast instead of matching zero windows
+    val eK = intercept[IllegalArgumentException] {
+      graft.dataprep.Dedup.removeSpansAgainstIndex(batch, "doc_id", "text", 25, base)
+    }
+    assert(eK.getMessage.contains("drift"))
+    // append under different parameters fails fast
+    val eB = intercept[IllegalArgumentException] {
+      graft.dataprep.Dedup.buildRemovalIndex(hist, "doc_id", "text", 24,
+        indexPath = base, mode = "overwrite",
+        partition = Some("batch=1"), seed = 100L)
+    }
+    assert(eB.getMessage.contains("may not mix"))
+    // a v1 index (data, no marker) is rejected on probe AND on append
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_graft_index_format.json"), false)
+    val eV1p = intercept[IllegalArgumentException] {
+      graft.dataprep.Dedup.removeSpansAgainstIndex(batch, "doc_id", "text", 24, base)
+    }
+    assert(eV1p.getMessage.contains("format marker"))
+    val eV1b = intercept[IllegalArgumentException] {
+      graft.dataprep.Dedup.buildRemovalIndex(hist, "doc_id", "text", 24,
+        indexPath = base, partition = Some("batch=2"), seed = 99L)
+    }
+    assert(eV1b.getMessage.contains("predates"))
+    fs.delete(new org.apache.hadoop.fs.Path(base), true): Unit
   }
 
   test("substring pair parity: fingerprint pairs match substring pairs") {
