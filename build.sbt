@@ -75,4 +75,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // same box). Commit is virtual (no AlwaysPreTouch): RSS still grows
   // only with live data, so small boxes are unaffected.
   s"-Xms$forkedHeapGb",
-)
+) ++
+  // ad-hoc forked-JVM flags for experiments (GC selection, GC logs)
+  // without editing the build: SPARK_GRAFT_JVM_OPTS="-XX:+UseZGC ..."
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

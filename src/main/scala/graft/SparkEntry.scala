@@ -510,6 +510,29 @@ object SparkEntry {
     "dp_dedup_incremental" -> ((s, dir) =>
       TestTables.documentsIncrementalDedup(s, dir)),
 
+    // ==== streaming operators driven through the REAL Structured
+    //      Streaming path (file-source micro-batches over the static
+    //      corpus, foreachBatch parquet sinks — StreamingGate) so the
+    //      streaming family answers to the same DuckDB oracle as the
+    //      batch operators (reference: proxy/bulk/ingestor.go — the
+    //      ingest path is seq-db's most-used surface) ====
+
+    // ---- exact first-wins streaming dedup, 3 id-ordered batches ----
+    "dp_stream_dedup" -> ((s, dir) =>
+      graft.tables.StreamingGate.documentsStreamDedup(s, dir)),
+
+    // ---- streaming near-dedup vs the persisted MinHash index ----
+    "dp_stream_neardedup" -> ((s, dir) =>
+      graft.tables.StreamingGate.documentsStreamNearDedup(s, dir)),
+
+    // ---- flatMapGroupsWithState sessionization, sentinel-flushed ----
+    "dp_stream_sessionize" -> ((s, dir) =>
+      graft.tables.StreamingGate.eventsStreamSessionize(s, dir)),
+
+    // ---- watermarked live per-type daily counts (A1/H1 as a stream) ----
+    "seq_stream_livecount" -> ((s, dir) =>
+      graft.tables.StreamingGate.eventsStreamLiveCounts(s, dir)),
+
     // ---- ANN: hybrid filtered search (metadata pre-filter + top-k) ----
     "dp_ann_filtered" -> ((s, dir) =>
       dataprep.Similarity.filteredTopK(TestTables.embeddings(s, dir),
@@ -2067,6 +2090,71 @@ object SparkEntry {
             AND least(len(n.sh), len(o.sh)) * 2 >= greatest(len(n.sh), len(o.sh))
             AND len(list_intersect(n.sh, o.sh)) * 2 >= len(list_distinct(list_concat(n.sh, o.sh)))
           ORDER BY new_id, old_id""",
+
+    // Streaming exact dedup with id-ordered arrival: first-wins =
+    // min-id per content group.
+    "dp_stream_dedup" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+
+    // Streaming near-dedup survivors: the batch (doc_id % 5 = 0) minus
+    // the larger side of every in-batch near-dup pair, minus docs
+    // near-dup to any indexed (% 5 <> 0) doc — both relations the
+    // exact-verified Jaccard >= 1/2 with the length block, identical
+    // to dp_dedup_minhash_lsh / dp_dedup_incremental's oracles.
+    // (uncorrelated drop-set CTEs: DuckDB 1.0 cannot bind a correlated
+    // outer reference to a LIST column inside NOT EXISTS)
+    "dp_stream_neardedup" ->
+      s"""$DSH_CTE,
+          drop_self AS (
+            SELECT DISTINCT n.doc_id FROM s n JOIN s m
+              ON m.doc_id % 5 = 0 AND m.doc_id < n.doc_id
+                AND least(len(m.sh), len(n.sh)) * 2 >= greatest(len(m.sh), len(n.sh))
+                AND len(list_intersect(m.sh, n.sh)) * 2 >= len(list_distinct(list_concat(m.sh, n.sh)))
+            WHERE n.doc_id % 5 = 0
+          ),
+          drop_idx AS (
+            SELECT DISTINCT n.doc_id FROM s n JOIN s o
+              ON o.doc_id % 5 <> 0
+                AND least(len(o.sh), len(n.sh)) * 2 >= greatest(len(o.sh), len(n.sh))
+                AND len(list_intersect(o.sh, n.sh)) * 2 >= len(list_distinct(list_concat(o.sh, n.sh)))
+            WHERE n.doc_id % 5 = 0
+          )
+          SELECT n.doc_id, n.n_chars FROM s n
+          WHERE n.doc_id % 5 = 0
+            AND n.doc_id NOT IN (SELECT doc_id FROM drop_self)
+            AND n.doc_id NOT IN (SELECT doc_id FROM drop_idx)
+          ORDER BY doc_id""",
+
+    // Streaming sessionize, sentinel-flushed = the batch inactivity-gap
+    // rollup (events_sessionize minus the session_no ordinal).
+    "dp_stream_sessionize" ->
+      s"""WITH g AS (
+            SELECT user_id, $M AS mid, event_id AS rid,
+                   lag($M) OVER (PARTITION BY user_id ORDER BY $M ASC, event_id ASC) AS prev
+            FROM events WHERE user_id IS NOT NULL
+          ), b AS (
+            SELECT user_id, mid, rid,
+                   CASE WHEN prev IS NULL OR mid - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+            FROM g
+          ), s AS (
+            SELECT user_id, mid,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY mid ASC, rid ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM b
+          )
+          SELECT user_id, min(mid) AS start_ms, max(mid) AS end_ms,
+                 count(*) AS n_events
+          FROM s GROUP BY user_id, session_no
+          ORDER BY user_id ASC, start_ms ASC""",
+
+    // Watermark-finalized live counts = the batch daily GROUP BY.
+    "seq_stream_livecount" ->
+      s"""SELECT $M - $M % 86400000 AS bucket_ms,
+                 coalesce(event_type, '_not_exists') AS name,
+                 count(*) AS value
+          FROM events GROUP BY 1, 2 ORDER BY bucket_ms, name""",
 
     "dp_embed_neardup" ->
       s"""${nearDupPairJoinSql(""",

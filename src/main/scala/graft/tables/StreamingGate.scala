@@ -1,0 +1,211 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate adapters that drive the STATIC test corpus through the real
+  * Structured Streaming operators in micro-batch and hand the sink
+  * back as a batch DataFrame, so the streaming family answers to the
+  * same DuckDB oracle as everything else. The reference's ingest path
+  * is its most-used surface (seq-db `proxy/bulk/ingestor.go:1-323` —
+  * every log line traverses it); these rows make the streaming
+  * composition's correctness driver-hard instead of ScalaTest-only.
+  *
+  * Determinism: the corpus is written as single-file parquet slices
+  * in key order with strictly increasing, FIXED modification times,
+  * and the file source replays them oldest-first one file per
+  * trigger, so batch boundaries and arrival order are reproducible
+  * run-to-run. The ntile slicing is gate plumbing over a bounded
+  * corpus, not a scale operator — at 100 TB the stream IS the arrival
+  * order and no slicing exists.
+  *
+  * Stateful output in Append mode only emits on PROOF of closure, so
+  * each adapter flushes state the way a production stream would see
+  * it: sessionize appends a per-user sentinel event one gap past the
+  * corpus (closing every real session), the watermarked counts append
+  * two far-future sentinel batches (the first advances the watermark
+  * past every real window, the second triggers their emission);
+  * sentinel rows are filtered from the returned frame and never
+  * reach the oracle comparison.
+  */
+object StreamingGate {
+
+  private def freshDir(spark: SparkSession, tag: String, sfDir: String): String = {
+    val d = s"${graft.GraftTmp.dir}/graft_sgate_${tag}_${new java.io.File(sfDir).getName}"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  /** `df` as a file-source stream of `nSlices` single-file batches in
+    * `orderCol` order, followed by `extraSlices` (same schema) — one
+    * micro-batch per file under `maxFilesPerTrigger = 1`, replayed
+    * oldest-mtime-first.
+    */
+  private def orderedFileStream(df: DataFrame, orderCol: String,
+      nSlices: Int, dir: String,
+      extraSlices: Seq[DataFrame] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val inPath = new org.apache.hadoop.fs.Path(s"$dir/in")
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(inPath): Unit
+    val slices: Seq[DataFrame] =
+      if (nSlices <= 1) Seq(df)
+      else {
+        // deliberate bounded global window over the gate corpus; the
+        // constant partition key keeps it explicit (see the
+        // EliminateWindowPartitions note in Bench/Verify builders)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col(orderCol))
+        val b = df.withColumn("__b", ntile(nSlices).over(w))
+        (1 to nSlices).map(i => b.where(col("__b") === i).drop("__b"))
+      }
+    (slices ++ extraSlices).zipWithIndex.foreach { case (s, i) =>
+      val stage = s"$dir/stage_$i"
+      s.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dst = new org.apache.hadoop.fs.Path(inPath, f"slice-$i%03d.parquet")
+      fs.rename(part, dst): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      // strictly increasing FIXED mtimes pin replay order (the file
+      // source orders by modification time) and keep reruns identical
+      fs.setTimes(dst, 1700000000000L + i * 10000L, -1L)
+    }
+    spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+  }
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+
+  /** Sink a streamed frame to per-batch parquet partitions (the same
+    * replay-idempotent layout the streaming operators themselves use)
+    * and run the query to completion.
+    */
+  private def sinkToParquet(streamed: DataFrame, out: String,
+      ckpt: String): Unit = {
+    val q = streamed.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch=$id")
+        ()
+      }
+      .start()
+    runToCompletion(q)
+  }
+
+  /** Exact first-wins streaming dedup over the documents corpus in
+    * three id-ordered micro-batches: with arrival in id order,
+    * first-wins equals min-id-per-content-group, so the survivors are
+    * exactly the batch [[graft.dataprep.Dedup.exactGroups]] keepers —
+    * the relation the oracle states directly in SQL.
+    */
+  def documentsStreamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    TestTables.synchronized {
+      val all = TestTables.documents(spark, sfDir)
+      val dir = freshDir(spark, "dedup", sfDir)
+      val stream = orderedFileStream(
+        all.select(col("doc_id"), col("text")), "doc_id", 3, dir)
+      sinkToParquet(
+        graft.streaming.StreamingDedup.fromDocs(stream, "doc_id", "text").toDF(),
+        s"$dir/out", s"$dir/ckpt")
+      val survivors = spark.read.parquet(s"$dir/out")
+        .where(col("is_first")).select(col("id").as("doc_id"))
+      all.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }
+
+  /** Streaming near-dedup of the incremental batch (doc_id % 5 == 0)
+    * against a MinHash band index of the rest of the corpus — the
+    * same split [[TestTables.documentsIncrementalDedup]] stands on,
+    * pushed through the real writeStream/foreachBatch/index path.
+    * Survivors = batch docs that are neither the larger side of an
+    * in-batch near-dup pair nor near-dups of any indexed doc; both
+    * relations are exact-verified Jaccard >= 1/2 with the length
+    * block, which the oracle replays literally.
+    */
+  def documentsStreamNearDedup(spark: SparkSession, sfDir: String): DataFrame =
+    TestTables.synchronized {
+      val all = TestTables.documents(spark, sfDir)
+      val dir = freshDir(spark, "neardedup", sfDir)
+      graft.dataprep.Dedup.buildMinhashIndex(
+        all.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numHashes = 128, bands = 32, indexPath = s"$dir/idx")
+      val stream = orderedFileStream(
+        all.where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+        "doc_id", 1, dir)
+      val q = graft.streaming.StreamingNearDedup.start(
+        stream, "doc_id", "text",
+        indexPath = s"$dir/idx", outPath = s"$dir/out",
+        checkpointPath = s"$dir/ckpt", triggerMs = 50)
+      runToCompletion(q)
+      val survivors = spark.read.parquet(s"$dir/out").select(col("doc_id"))
+      all.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }
+
+  /** Streaming sessionization of the events table in three
+    * time-ordered micro-batches, state flushed by one per-user
+    * sentinel event a full gap past the corpus: every real session
+    * closes and emits, so the output equals the batch
+    * [[graft.dataprep.Sessionize.sessions]] rollup (minus the
+    * sentinel sessions, which start after the corpus max and are
+    * filtered).
+    */
+  def eventsStreamSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    TestTables.synchronized {
+      val gapMs = 1800000L
+      val base = TestTables.eventsDocs(spark, sfDir).df
+        .where(col("user_id").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("mid").cast("long").as("mid"))
+      val mx = base.agg(max(col("mid")).as("__mx"))
+      val sentinel = base.select(col("user_id")).distinct()
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("__mx") + gapMs + 1000L).as("mid"))
+      val dir = freshDir(spark, "sessionize", sfDir)
+      val stream = orderedFileStream(base, "mid", 3, dir,
+        extraSlices = Seq(sentinel))
+      sinkToParquet(
+        graft.streaming.StreamingSessionize.fromDocs(stream, "user_id", gapMs).toDF(),
+        s"$dir/out", s"$dir/ckpt")
+      spark.read.parquet(s"$dir/out")
+        .crossJoin(broadcast(mx))
+        .where(col("start_ms") <= col("__mx"))
+        .select(col("user").as("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+
+  /** Watermarked live per-type daily counts over the events stream in
+    * three time-ordered micro-batches plus two far-future sentinel
+    * batches (watermark advance, then emission) — the streaming twin
+    * of the A1/H1 count aggregation, equal to the batch GROUP BY over
+    * the same rows once every real window has finalized.
+    */
+  def eventsStreamLiveCounts(spark: SparkSession, sfDir: String): DataFrame =
+    TestTables.synchronized {
+      val dayMs = 86400000L
+      val base = TestTables.eventsDocs(spark, sfDir).df
+        .select(col("mid").cast("long").as("mid"),
+          col("event_type").cast("string").as("event_type"))
+      val mx = base.agg(max(col("mid")).as("__mx"))
+      def sentinel(offset: Long) = mx.select(
+        (col("__mx") + offset).as("mid"),
+        lit("__sentinel").as("event_type"))
+      val dir = freshDir(spark, "livecount", sfDir)
+      val stream = orderedFileStream(base, "mid", 3, dir,
+        extraSlices = Seq(sentinel(10 * dayMs), sentinel(20 * dayMs)))
+      sinkToParquet(
+        graft.streaming.LiveAggregates.liveCountByField(
+          stream, "event_type", dayMs, lateness = "1 second"),
+        s"$dir/out", s"$dir/ckpt")
+      spark.read.parquet(s"$dir/out")
+        .where(col("name") =!= "__sentinel")
+        .select(col("bucket_ms"), col("name"), col("value"))
+        .orderBy(col("bucket_ms"), col("name"))
+    }
+}
