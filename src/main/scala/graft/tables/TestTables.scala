@@ -96,7 +96,7 @@ object TestTables {
     * the source parquet, so a regenerated (or same-named but
     * different) dataset never reuses a stale copy.
     */
-  private def sourceFingerprint(sfDir: String, table: String): String = {
+  private[tables] def sourceFingerprint(sfDir: String, table: String): String = {
     val src = new java.io.File(s"$sfDir/$table.parquet")
     java.lang.Long.toHexString(
       src.getAbsolutePath.hashCode.toLong * 1000003L + src.length() * 31L + src.lastModified())

@@ -33,8 +33,10 @@ class GatePlanShapeSpec extends SparkSpec {
     "dp_mmr",             // greedy re-rank over a TakeOrdered pool
     "dp_hybrid_rrf",      // RRF fusion of two <= poolK rank lists
     "dp_decontaminate_embed", // bench-centroid (k rows) probe vs corpus
-    "dp_temperature_mix"  // the 1-row global-min frame crossed into the
+    "dp_temperature_mix", // the 1-row global-min frame crossed into the
                           // #groups-sized counts frame (never the corpus)
+    "dp_stream_sessionize" // the 1-row max(mid) frame crossed into the
+                           // session sink to drop sentinel-flush rows
   )
 
   test("no dp_* gate query plans a cartesian product or an unbounded nested loop at scale settings") {
