@@ -627,22 +627,25 @@ object Bench {
         "[bench] EXIT sanity %.2fx floor - the sweep itself was polluted mid-run; re-measuring suspect rows individually",
         Double.box(postRatio)))
     val envPost = s""","env_post":{"degraded":${!postClean},"sanity_ratio":${f3(postRatio)}}"""
-    // ---- per-row recovery on a tripped exit gate ---------------------
-    // A dirty EXIT stamp means the sweep's middle may have been
-    // polluted by host noise; the ROWS themselves are usually fine
-    // (r12: the driver sweep recorded dp_curate2 at 11.2 s where the
-    // calm capability is 3.8 s). Instead of letting sweep weather
-    // decide the official number, re-measure each suspect row
-    // individually — sandwiched between health stamps (one pinned
-    // read scenario + the write probe vs their floors) — and keep the
-    // stamped-clean value. Suspect = kept sample >3x its committed
-    // reference (BENCH_FULL.json's queries map), or the row's own two
-    // samples disagreeing >3x with no reference to compare against.
+    // ---- per-row recovery of suspect rows ----------------------------
+    // Host noise can pollute a sweep's MIDDLE while both end stamps
+    // read clean (r13: dp_curate 23.1 s in a clean-stamped sweep vs
+    // 3.4 s isolated minutes later — a mid-sweep write-credit drain
+    // the read-heavy sanity medians never see; r12: the driver sweep
+    // recorded dp_curate2 at 11.2 s where the calm capability is
+    // 3.8 s). So recovery does not wait for a tripped exit gate:
+    // after EVERY full sweep, each row whose kept sample exceeds 3x
+    // its pinned capability reference (BENCH_REF.json — the min
+    // clean-stamped time ever demonstrated per row) is re-measured
+    // individually, sandwiched between health stamps (one pinned read
+    // scenario + the write probe vs their floors), and the minimum
+    // stamped-clean value is kept. Rows without a reference fall back
+    // to the own-samples-disagree >3x rule.
     val recovered = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Int)]()
-    if (!postClean && only.isEmpty && floors.nonEmpty) {
+    if (only.isEmpty && floors.nonEmpty) {
       val refTimes: Map[String, Double] = try {
         val src = scala.io.Source.fromFile(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_FULL.json"))(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))(
           scala.io.Codec.UTF8)
         val txt = try src.mkString finally src.close()
         val body = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)

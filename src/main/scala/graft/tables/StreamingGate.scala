@@ -77,7 +77,15 @@ object StreamingGate {
   }
 
   private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    try q.processAllAvailable()
+    finally {
+      q.stop(); q.awaitTermination()
+      // unload the stopped query's state-store providers NOW instead
+      // of waiting for the maintenance interval — a gate query must
+      // not leave executor-memory state behind for the next timed row
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+    }
 
   /** Sink a streamed frame to per-batch parquet partitions (the same
     * replay-idempotent layout the streaming operators themselves use)
