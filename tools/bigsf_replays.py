@@ -84,6 +84,14 @@ FAMILY = {
     "dp_dedup_incremental": dict(mode="jaccard", src="s", t=(1, 2),
                                  aliases=("n", "o"), both_dirs=True,
                                  band_contract=True),
+    # streaming near-dedup survivors: batch (% 5 = 0) minus the larger
+    # side of every in-batch contract pair minus docs paired with any
+    # indexed doc — derived in NumPy from the SAME band-contract
+    # true-pair set the closure family verifies against (both engine
+    # relations ride the 128/32 banded front end)
+    "dp_stream_neardedup": dict(mode="jaccard", src="s", t=(1, 2),
+                                band_contract=True,
+                                stream_survivors=True),
     # numpy_pairs (no band contract — the engine op is the EXACT
     # length-blocked brute join): same DuckDB-stall workaround as
     # dp_dedup_minhash_lsh, same select shape
@@ -118,7 +126,7 @@ def sets_prefix(sql, src, a, b):
     """The oracle's WITH chain up to (excluding) the pair join, so the
     per-doc sets come from the oracle's own expressions."""
     import re
-    m = re.search(r",\s*pairs AS", sql)
+    m = re.search(r",\s*(pairs|drop_self) AS", sql)
     if m:
         return sql[:m.start()].rstrip()
     j = sql.find(f"FROM {src} {a}, {src} {b}")
@@ -725,6 +733,40 @@ def run(name):
                   f"candidates", flush=True)
             np.savez_compressed(tpath + ".tmp.npz", ca=ca, cb=cb)
             os.replace(tpath + ".tmp.npz", tpath)
+        if cfg.get("stream_survivors"):
+            # drop-set derivation over the band-contract pair set; the
+            # expected survivor frame then re-reads doc_id/n_chars from
+            # the documents table itself (the columns the gate emits)
+            keys = minhash_band_keys(sets, *cfg.get("band_layout", (128, 32)))
+            ia = np.searchsorted(ids, ca)
+            ib = np.searchsorted(ids, cb)
+            shares = (keys[ia] == keys[ib]).any(axis=1)
+            if int((~shares).sum()):
+                print(f"  [{name}] banding contract excludes "
+                      f"{int((~shares).sum())} of {len(ca)} true pairs",
+                      flush=True)
+            sa, sb = ca[shares], cb[shares]
+            batch = set(int(i) for i in ids[ids % 5 == 0])
+            dropped = set()
+            for x, y in zip(sa.tolist(), sb.tolist()):
+                bx, by = x in batch, y in batch
+                if bx and by:
+                    dropped.add(max(x, y))  # in-batch: larger id drops
+                elif bx:
+                    dropped.add(x)          # cross pair: batch doc drops
+                elif by:
+                    dropped.add(y)
+            surv = sorted(i for i in batch if i not in dropped)
+            print(f"  [{name}] {len(surv)} survivors of {len(batch)} "
+                  f"batch docs", flush=True)
+            sdf = pd.DataFrame({"doc_id": np.array(surv, np.int64)})
+            con.register("surv", sdf)
+            exp = con.execute(
+                "SELECT d.doc_id, d.n_chars FROM documents d "
+                "JOIN surv USING (doc_id) ORDER BY d.doc_id").fetchdf()
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchdf()
+            return strict_compare(name, got, exp)
         if name == "dp_dedup_minhash_lsh":
             def floor_fn(got, ids=ids, sets=sets, ca=ca, cb=cb):
                 return recall_floor_minhash(name, ids, sets, ca, cb, got)

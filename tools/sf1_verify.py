@@ -84,7 +84,7 @@ REPLAY = {
 # the band filter excludes nothing.
 for _n in ("dp_dedup_minhash_lsh dp_dedup_clusters dp_dedup_soft "
            "dp_dedup_stats dp_split_leakage dp_dedup_incremental "
-           "dp_dedup_ngram dp_curate "
+           "dp_dedup_ngram dp_curate dp_stream_neardedup "
            "dp_dedup_containment dp_dedup_simhash dp_embed_neardup "
            "dp_dedup_semantic").split():
     REPLAY[_n] = [sys.executable, f"{TOOLS}/bigsf_replays.py", SF, OUT, _n]
