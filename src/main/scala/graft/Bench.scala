@@ -648,18 +648,23 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))(
           scala.io.Codec.UTF8)
         val txt = try src.mkString finally src.close()
-        val body = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+        // whitespace-tolerant: BENCH_REF.json is pretty-printed
+        val body = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("")
-        "\"([a-z0-9_]+)\":([0-9][0-9.]*)".r.findAllMatchIn(body)
+        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+      if (refTimes.isEmpty)
+        System.err.println("[bench] no capability reference - recovery limited to the sample-disagree rule")
       val suspects = sampled.toSeq.filter { case (k, (a, b)) =>
         val kept = math.min(a, b)
         refTimes.get(k) match {
-          case Some(r) => kept > 3.0 * r && kept - r > 0.5
+          case Some(r) => kept > 2.5 * r && kept - r > 0.4
           case None    => math.max(a, b) > 3.0 * kept && kept > 0.2
         }
-      }.sortBy { case (_, (a, b)) => -math.min(a, b) }.take(20)
+      }.sortBy { case (_, (a, b)) => -math.min(a, b) }
+        .take(sys.env.get("SPARK_GRAFT_BENCH_RECOVER_ROWS")
+          .flatMap(_.toIntOption).getOrElse(20))
       if (suspects.nonEmpty)
         System.err.println(s"[bench] re-measuring ${suspects.size} suspect row(s): " +
           suspects.map(_._1).mkString(", "))
