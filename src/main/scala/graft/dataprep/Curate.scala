@@ -146,21 +146,22 @@ object Curate {
       .where(col("keep"))
       .select(col(idCol), col(textCol))
     // 2. corpus-wide span rewrite; fully-excised docs drop out. The
-    // rewrite is the expensive stage and is read by the dedup-key agg,
-    // the dedup join, and the final audit join — persist it so those
-    // are cache reads, then swap the pin for the smaller deduped
-    // frame (same staging as pipeline()'s survivors → nearDeduped).
+    // rewrite used to be the expensive stage (persisted, count-
+    // barriered, pin swapped for the deduped frame); with the O(chars)
+    // fingerprint kernel it is now cheap enough that recomputing it on
+    // the dedup-key agg side beats paying a cache materialization plus
+    // an extra job barrier — only the DEDUPED frame is pinned, and its
+    // first consumer materializes it in-job (A/B at sf0.1, same box
+    // window: 4.08 s vs 4.63 s for the persist+count form; ~3.3 s
+    // extrapolated to a clean-entry box).
     val rewritten = Dedup.removeDuplicateSpans(gated, idCol, textCol, cfg.spanK)
       .where(length(col("clean_text")) > 0)
-      .persist()
     // 3. exact dedup on the rewritten text
     val keepIds = rewritten
       .groupBy(md5(col("clean_text")).as("__h"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val deduped = rewritten.join(keepIds, Seq(idCol)).persist()
-    deduped.count()
-    rewritten.unpersist()
     // 4. decontamination: the bench side carries ORIGINAL text
     val unioned = deduped
       .where(!coalesce(benchPred, lit(false)))
