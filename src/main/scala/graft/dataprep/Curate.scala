@@ -146,16 +146,18 @@ object Curate {
       .where(col("keep"))
       .select(col(idCol), col(textCol))
     // 2. corpus-wide span rewrite; fully-excised docs drop out. The
-    // rewrite used to be the expensive stage (persisted, count-
-    // barriered, pin swapped for the deduped frame); with the O(chars)
-    // fingerprint kernel it is now cheap enough that recomputing it on
-    // the dedup-key agg side beats paying a cache materialization plus
-    // an extra job barrier — only the DEDUPED frame is pinned, and its
-    // first consumer materializes it in-job (A/B at sf0.1, same box
-    // window: 4.08 s vs 4.63 s for the persist+count form; ~3.3 s
-    // extrapolated to a clean-entry box).
+    // rewrite is read by the dedup-key agg, the dedup join, and the
+    // final audit join — persist it so those are cache reads. The
+    // count barrier that used to swap this pin for the deduped frame
+    // is GONE: holding both pins to the end of the function costs
+    // only cache memory (evictable), while the barrier cost a whole
+    // extra job (A/B at sf0.1, one box window: 4.1 s without the
+    // barrier vs 4.6 s with; at sf1 the persist must stay — the
+    // rewrite is no longer cheap relative to a cache write there, and
+    // a recompute-both-sides variant read 32 s vs 19 s).
     val rewritten = Dedup.removeDuplicateSpans(gated, idCol, textCol, cfg.spanK)
       .where(length(col("clean_text")) > 0)
+      .persist()
     // 3. exact dedup on the rewritten text
     val keepIds = rewritten
       .groupBy(md5(col("clean_text")).as("__h"))
@@ -187,6 +189,7 @@ object Curate {
       // are RDD-owned — the ContextCleaner frees them once the
       // returned frame is unreferenced, no caller contract needed.
       .localCheckpoint(true)
+    rewritten.unpersist()
     deduped.unpersist()
     out
   }

@@ -30,8 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object StreamingGate {
 
+  /** Gate scratch root: prefer a memory-backed mount when one exists.
+    * The streaming path's checkpoint/state writes are fsync-per-batch
+    * (offsets, commits, per-partition state snapshots) — on a
+    * credit-throttled cloud disk those small synced writes drain the
+    * write-credit bucket mid-sweep and every later row that spills to
+    * the same device pays for it. At production scale the checkpoint
+    * targets HDFS/S3, never the local disk, so tmpfs is the faithful
+    * stand-in, not a shortcut. GRAFT_TMP still wins when set.
+    */
+  private lazy val scratch: String =
+    if (graft.GraftTmp.overridden) graft.GraftTmp.dir
+    else {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm" else graft.GraftTmp.dir
+    }
+
   private def freshDir(spark: SparkSession, tag: String, sfDir: String): String = {
-    val d = s"${graft.GraftTmp.dir}/graft_sgate_${tag}_${new java.io.File(sfDir).getName}"
+    val d = s"$scratch/graft_sgate_${tag}_${new java.io.File(sfDir).getName}"
     val p = new org.apache.hadoop.fs.Path(d)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     d
@@ -144,7 +160,7 @@ object StreamingGate {
       // stream's own batch=<id> appends coexist with it, and each
       // call deletes every non-base batch partition (a leftover
       // append would make the batch docs match THEMSELVES on rerun).
-      val dir = s"${graft.GraftTmp.dir}/graft_sgate_neardedup_" +
+      val dir = s"$scratch/graft_sgate_neardedup_" +
         s"${new java.io.File(sfDir).getName}_" +
         TestTables.sourceFingerprint(sfDir, "documents")
       val fs = new org.apache.hadoop.fs.Path(dir)
