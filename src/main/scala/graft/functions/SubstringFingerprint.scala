@@ -354,36 +354,54 @@ object WindowStats {
     val all = SubstringFp.fingerprints(text, k, distinct = false, seed)
     val m = all.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
-    // sort occurrence indices by digest; scan runs for n/min/max
-    val idx = new Array[Integer](m)
+    // single pass over occurrences through a primitive open-addressing
+    // table keyed by the fingerprint's two 61-bit halves — replaces a
+    // boxed-Integer merge sort with byte-array comparators that
+    // dominated the extraction at 10x scale (sf1 span attribution:
+    // ~15 s sorted vs ~O(m) hashed). Output order is unspecified by
+    // contract (every consumer explodes and re-aggregates).
+    val cap = Integer.highestOneBit(math.max(4, 2 * m - 1)) << 1
+    val mask = cap - 1
+    val kh1 = new Array[Long](cap)
+    val kh2 = new Array[Long](cap)
+    val slotKey = new Array[Array[Byte]](cap) // first-seen 16-byte key
+    val slotOcc = new Array[Int](cap) // 0 = empty (occurrences are >= 1)
+    val slotMin = new Array[Int](cap)
+    val slotMax = new Array[Int](cap)
+    val order = new Array[Int](m) // first-seen slot order for emission
+    var nd = 0
     var i = 0
-    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
-    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
-      java.util.Arrays.compare(
-        all.getBinary(a.intValue()), all.getBinary(b.intValue())))
-    val out = new java.util.ArrayList[Any](m)
-    var runStart = 0
-    i = 1
-    while (i <= m) {
-      if (i == m || !java.util.Arrays.equals(
-          all.getBinary(idx(i).intValue()),
-          all.getBinary(idx(runStart).intValue()))) {
-        var mn = Int.MaxValue
-        var mx = Int.MinValue
-        var j = runStart
-        while (j < i) {
-          val p = idx(j).intValue() + 1 // 1-based start
-          if (p < mn) mn = p
-          if (p > mx) mx = p
-          j += 1
-        }
-        out.add(new GenericInternalRow(Array[Any](
-          all.getBinary(idx(runStart).intValue()), i - runStart, mn, mx)))
-        runStart = i
+    while (i < m) {
+      val b = all.getBinary(i)
+      var v1 = 0L; var v2 = 0L
+      var j = 0
+      while (j < 8) { v1 = (v1 << 8) | (b(j) & 0xFFL); j += 1 }
+      while (j < 16) { v2 = (v2 << 8) | (b(j) & 0xFFL); j += 1 }
+      // mix the two halves for the probe start; equality is on both
+      var s = (java.lang.Long.hashCode(v1 * 0x9E3779B97F4A7C15L + v2)) & mask
+      while (slotOcc(s) != 0 && (kh1(s) != v1 || kh2(s) != v2))
+        s = (s + 1) & mask
+      val p = i + 1 // 1-based code-point start
+      if (slotOcc(s) == 0) {
+        kh1(s) = v1; kh2(s) = v2; slotKey(s) = b
+        slotOcc(s) = 1; slotMin(s) = p; slotMax(s) = p
+        order(nd) = s; nd += 1
+      } else {
+        slotOcc(s) += 1
+        if (p < slotMin(s)) slotMin(s) = p
+        if (p > slotMax(s)) slotMax(s) = p
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val out = new Array[Any](nd)
+    i = 0
+    while (i < nd) {
+      val s = order(i)
+      out(i) = new GenericInternalRow(Array[Any](
+        slotKey(s), slotOcc(s), slotMin(s), slotMax(s)))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
