@@ -77,6 +77,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms$forkedHeapGb",
 ) ++
   // ad-hoc forked-JVM flags for experiments (GC selection, GC logs)
-  // without editing the build: SPARK_GRAFT_JVM_OPTS="-XX:+UseZGC ..."
+  // without editing the build: SPARK_GRAFT_JVM_OPTS="-XX:+UseZGC ...".
+  // KNOWN LIMITATION: split on whitespace — a single flag whose VALUE
+  // contains spaces (e.g. -Xlog:gc*:file=a path/with space) breaks
+  // apart silently; quote-aware splitting is deliberately not
+  // implemented for an ad-hoc knob, use space-free paths.
   sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim).filter(_.nonEmpty)
     .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -102,9 +102,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json"))(
         scala.io.Codec.UTF8)
       val txt = try src.mkString finally src.close()
-      "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => baselineQs.contains(k) }.toMap
+      // The floors are pinned at one scale factor (recorded as "sf" in
+      // the file). Against any OTHER sfDir every ratio is scale, not
+      // weather: the sanity gate would rest-retry forever and per-row
+      // recovery would burn its full budget recovering nothing (every
+      // sf1 row reads >2.5x its sf0.1 reference by data volume alone).
+      // So a mismatched sf runs floor-less unless explicitly forced.
+      val pinnedSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val curSf = new java.io.File(sfDir).getName
+      if (pinnedSf.exists(_ != curSf) &&
+          !sys.env.get("SPARK_GRAFT_BENCH_FORCE_FLOORS").contains("1")) {
+        System.err.println(s"[bench] pinned floor is for ${pinnedSf.get}, this sweep is $curSf - " +
+          "sanity gate + per-row recovery disabled (SPARK_GRAFT_BENCH_FORCE_FLOORS=1 to override)")
+        Map.empty
+      } else
+        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => baselineQs.contains(k) }.toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] no pinned floor (${e.getClass.getSimpleName}: ${e.getMessage}) - sanity gate disabled")
@@ -642,29 +656,45 @@ object Bench {
     // stamped-clean value is kept. Rows without a reference fall back
     // to the own-samples-disagree >3x rule.
     val recovered = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Int)]()
+    var suspectNames: Seq[String] = Nil
     if (only.isEmpty && floors.nonEmpty) {
       val refTimes: Map[String, Double] = try {
         val src = scala.io.Source.fromFile(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))(
           scala.io.Codec.UTF8)
         val txt = try src.mkString finally src.close()
-        // whitespace-tolerant: BENCH_REF.json is pretty-printed
-        val body = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // same pinned-sf guard as the floors: a reference pinned at
+        // another scale factor is not a capability statement here
+        val pinnedSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (pinnedSf.exists(_ != new java.io.File(sfDir).getName) &&
+            !sys.env.get("SPARK_GRAFT_BENCH_FORCE_FLOORS").contains("1")) Map.empty
+        else {
+          // whitespace-tolerant: BENCH_REF.json is pretty-printed
+          val body = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+          "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
       if (refTimes.isEmpty)
         System.err.println("[bench] no capability reference - recovery limited to the sample-disagree rule")
-      val suspects = sampled.toSeq.filter { case (k, (a, b)) =>
+      // A tripped EXIT gate means the sweep's middle was definitely
+      // polluted — widen the net (1.5x REF instead of 2.5x) so rows
+      // inflated 1.5-2.4x by the same drain don't publish unflagged
+      // (r13: dp_stream_neardedup kept 8.6 s vs 4.4 s pinned, 1.95x,
+      // just under the calm-sweep trigger).
+      val refTrig = if (postClean) 2.5 else 1.5
+      val allSuspects = sampled.toSeq.filter { case (k, (a, b)) =>
         val kept = math.min(a, b)
         refTimes.get(k) match {
-          case Some(r) => kept > 2.5 * r && kept - r > 0.4
+          case Some(r) => kept > refTrig * r && kept - r > 0.4
           case None    => math.max(a, b) > 3.0 * kept && kept > 0.2
         }
       }.sortBy { case (_, (a, b)) => -math.min(a, b) }
+      val suspects = allSuspects
         .take(sys.env.get("SPARK_GRAFT_BENCH_RECOVER_ROWS")
           .flatMap(_.toIntOption).getOrElse(20))
+      suspectNames = allSuspects.map(_._1)
       if (suspects.nonEmpty)
         System.err.println(s"[bench] re-measuring ${suspects.size} suspect row(s): " +
           suspects.map(_._1).mkString(", "))
@@ -731,12 +761,23 @@ object Bench {
     val finalResults = results ++ recovered.map { case (k, (a, b, _, _)) =>
       k -> math.min(results.getOrElse(k, Double.MaxValue), math.min(a, b))
     }
-    val remeasurePart =
-      if (recovered.isEmpty) ""
-      else recovered.map { case (k, (a, b, stamp, n)) =>
-        "\"" + k + "\":{\"samples\":[" + f3(a) + "," + f3(b) +
-          "],\"stamp_ratio\":" + f3(stamp) + ",\"attempts\":" + n + "}"
-      }.mkString(""","remeasured":{""", ",", "}")
+    val remeasurePart = {
+      val re =
+        if (recovered.isEmpty) ""
+        else recovered.map { case (k, (a, b, stamp, n)) =>
+          "\"" + k + "\":{\"samples\":[" + f3(a) + "," + f3(b) +
+            "],\"stamp_ratio\":" + f3(stamp) + ",\"attempts\":" + n + "}"
+        }.mkString(""","remeasured":{""", ",", "}")
+      // rows that tripped the suspect trigger but never got a
+      // clean-stamped re-measure (cap, deadline, or a box that stayed
+      // dirty) — declared so a polluted sweep can't publish them as
+      // capability by omission
+      val unrec = suspectNames.filterNot(recovered.contains)
+      val un =
+        if (unrec.isEmpty) ""
+        else unrec.map("\"" + _ + "\"").mkString(""","unrecovered":[""", ",", "]")
+      re + un
+    }
     // final stamp AFTER recovery: consumers trust a row when either
     // the exit gate was clean or its re-measure stamp was
     val envFinal =

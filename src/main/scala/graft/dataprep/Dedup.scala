@@ -1061,7 +1061,16 @@ object Dedup {
   def substringDedupAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, indexPath: String,
       maxDf: Long = 0L): DataFrame = {
-    validateIndexMarker(newDf, indexPath, "winnow", k, w): Unit
+    // the winnowing kernel is md5-gram based and NOT seed-aware (only
+    // the Karp-Rabin removal family takes a seed), so a winnow index
+    // is probeable only under seed 0 — a seeded marker would mean the
+    // probe silently hashes under different bases and matches zero
+    // windows, exactly the drift the marker exists to catch
+    val winnowSeed = validateIndexMarker(newDf, indexPath, "winnow", k, w)
+    require(winnowSeed == 0L,
+      s"winnow index at $indexPath records seed $winnowSeed, but winnowed " +
+        "fingerprints are not seed-parameterized; only seed-0 winnow " +
+        "indexes can be probed — rebuild the index.")
     val spark = newDf.sparkSession
     val probe = winnowedWindows(newDf, idCol, textCol, k, w)
       .select(col(idCol).as("new_id"), col("win"))

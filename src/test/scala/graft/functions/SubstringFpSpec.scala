@@ -227,6 +227,58 @@ class SubstringFpSpec extends SparkSpec {
     assert(r0 == r7)
   }
 
+  test("adversarial collision: public seed-0 bases merge a crafted pair, any secret seed separates") {
+    // The contract note (SubstringFp scaladoc) states that an
+    // adversary who knows the PUBLIC seed-0 bases can construct two
+    // DIFFERENT k-windows with equal 16-byte fingerprints. This is
+    // that attack, executed: the difference vector below was found by
+    // LLL over the rank-24 lattice { d : d(B1) ≡ d(B2) ≡ 0 (mod P) }
+    // (two congruence columns scaled by 2^80, Minkowski bound ≈ 2^5.1
+    // for det = P², so coefficients this small MUST exist) — max
+    // |d_i| = 19, well inside printable ASCII around 'a'.
+    val d = Array(-14, -12, -1, 15, 8, 11, 2, -11, 19, 14, -1, -5, -1,
+      15, -12, 8, -5, -14, -6, 5, -18, -5, -3, -7)
+    assert(d.length == 24)
+    val w1 = "a" * 24
+    val w2 = d.map(di => ('a' + di).toChar).mkString
+    assert(w1 != w2)
+    // sanity: the pair satisfies both congruences (BigInt model)
+    Seq(SubstringFp.B1, SubstringFp.B2).foreach { base =>
+      val diff = d.indices.foldLeft(BigInt(0)) { (acc, i) =>
+        (acc * base + BigInt(d(i)) + BigInt(P)) mod BigInt(P)
+      }
+      assert(diff == 0, s"difference polynomial not ≡ 0 at base $base")
+    }
+    def fpsAt(s: String, seed: Long): Seq[Seq[Byte]] = {
+      val ad = SubstringFp.fingerprints(UTF8String.fromString(s), 24, false, seed)
+      (0 until ad.numElements()).map(ad.getBinary(_).toSeq)
+    }
+    // (a) seed 0: the two DISTINCT windows carry ONE fingerprint —
+    //     the kernel itself is fooled...
+    assert(fpsAt(w1, 0L) == fpsAt(w2, 0L))
+    // ...and span removal WRONGLY excises the victim's text: doc 2's
+    // only window "matches" doc 1's, so its entire (non-duplicate)
+    // content is removed — the attack's end-to-end effect.
+    val docs = Seq((1L, w1), (2L, w2)).toDF("doc_id", "text")
+    val merged = graft.dataprep.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 24)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(merged(1L) == (0L, w1)) // owner untouched
+    assert(merged(2L) == (24L, "")) // victim wrongly emptied
+    // (b) any nonzero secret seed redraws the bases; the crafted pair
+    //     no longer collides and the victim document survives intact,
+    //     restoring the stated (k−1)/P per-hash bound.
+    Seq(1L, 42L, 0xDEADBEEFL, 7777777L).foreach { seed =>
+      assert(fpsAt(w1, seed) != fpsAt(w2, seed),
+        s"crafted pair still collides under seed $seed")
+      val kept = graft.dataprep.Dedup
+        .removeDuplicateSpans(docs, "doc_id", "text", 24, seed = seed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(kept(1L) == (0L, w1))
+      assert(kept(2L) == (0L, w2), s"victim text excised under secret seed $seed")
+    }
+  }
+
   test("index format marker: stamped on build, validated on probe") {
     val base = s"${graft.GraftTmp.dir}/graft_test_idxmarker_${System.nanoTime()}"
     val hist = Seq((1L, "the indexed historical span that repeats verbatim later on"))
