@@ -533,6 +533,16 @@ object SparkEntry {
     "seq_stream_livecount" -> ((s, dir) =>
       graft.tables.StreamingGate.eventsStreamLiveCounts(s, dir)),
 
+    // ---- streaming span removal: batch rewritten vs the removal
+    //      index, then self-rewritten, through the real pipeline ----
+    "dp_stream_spanremove" -> ((s, dir) =>
+      graft.tables.StreamingGate.documentsStreamSpanRemoval(s, dir)),
+
+    // ---- live follow-search: seq-ql filter over a raw JSON line
+    //      stream (drift re-stamp included), batch top-k over the sink ----
+    "seq_stream_follow" -> ((s, dir) =>
+      graft.tables.StreamingGate.eventsStreamFollow(s, dir)),
+
     // ---- ANN: hybrid filtered search (metadata pre-filter + top-k) ----
     "dp_ann_filtered" -> ((s, dir) =>
       dataprep.Similarity.filteredTopK(TestTables.embeddings(s, dir),
@@ -2148,6 +2158,70 @@ object SparkEntry {
                  count(*) AS n_events
           FROM s GROUP BY user_id, session_no
           ORDER BY user_id ASC, start_ms ASC""",
+
+    // Streaming span removal replayed stage-by-stage, position-by-
+    // position: stage 1 (history precedence) excises batch chars
+    // covered by any rest-corpus (doc_id % 5 <> 0) window — exactly
+    // dp_dedup_substring_remove_incr's relation; stage 2 (batch-
+    // internal first occurrence) re-runs the dp_dedup_substring_remove
+    // formulation over the STAGE-1 TEXT: a char is excised iff covered
+    // by a 24-window of the stage-1 text whose min owner within the
+    // batch is an earlier doc. Counts report against the ORIGINAL text.
+    "dp_stream_spanremove" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         ip AS (SELECT text, unnest(generate_series(1, length(text) - 23)) AS start
+                FROM documents WHERE doc_id % 5 <> 0 AND length(text) >= 24),
+         iw AS (SELECT DISTINCT substring(text, start, 24) AS win FROM ip),
+         bp AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS start
+                FROM b WHERE length(text) >= 24),
+         bw AS (SELECT doc_id, start, substring(text, start, 24) AS win FROM bp),
+         cov1 AS (SELECT bw.doc_id, bw.start FROM bw JOIN iw USING (win)),
+         covpos1 AS (SELECT DISTINCT doc_id, start + unnest(generate_series(0, 23)) AS p
+                     FROM cov1),
+         ch1 AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text FROM b),
+         ch1c AS (SELECT doc_id, p, substring(text, p, 1) AS c FROM ch1),
+         kept1 AS (SELECT ch1c.doc_id, ch1c.p, ch1c.c FROM ch1c
+                   LEFT JOIN covpos1 v ON v.doc_id = ch1c.doc_id AND v.p = ch1c.p
+                   WHERE v.p IS NULL),
+         t1 AS (SELECT b.doc_id, coalesce(a.t, '') AS t1
+                FROM b LEFT JOIN (SELECT doc_id, string_agg(c, '' ORDER BY p) AS t
+                                  FROM kept1 GROUP BY doc_id) a USING (doc_id)),
+         p2 AS (SELECT doc_id, t1, unnest(generate_series(1, length(t1) - 23)) AS start
+                FROM t1 WHERE length(t1) >= 24),
+         pw2 AS (SELECT doc_id, start, substring(t1, start, 24) AS win FROM p2),
+         own2 AS (SELECT win, min(doc_id) AS first_id FROM pw2 GROUP BY win),
+         cov2 AS (SELECT pw2.doc_id, pw2.start FROM pw2 JOIN own2 USING (win)
+                  WHERE own2.first_id < pw2.doc_id),
+         covpos2 AS (SELECT DISTINCT doc_id, start + unnest(generate_series(0, 23)) AS p
+                     FROM cov2),
+         ch2 AS (SELECT doc_id, unnest(generate_series(1, length(t1))) AS p, t1 FROM t1),
+         ch2c AS (SELECT doc_id, p, substring(t1, p, 1) AS c FROM ch2),
+         kept2 AS (SELECT ch2c.doc_id, ch2c.p, ch2c.c FROM ch2c
+                   LEFT JOIN covpos2 v ON v.doc_id = ch2c.doc_id AND v.p = ch2c.p
+                   WHERE v.p IS NULL),
+         agg2 AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean_text
+                  FROM kept2 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(length(d.text) AS BIGINT) AS n_chars,
+                CAST(length(d.text) - length(coalesce(a.clean_text, '')) AS BIGINT) AS n_removed,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg2 a USING (doc_id)
+         WHERE d.doc_id % 5 = 0
+         ORDER BY d.doc_id""",
+
+    // Follow-search replayed: the stream's drift re-stamp (T2,
+    // request time 2024-01-15T00:00:00Z, 24 h past / 5 min future
+    // allowance) as a CASE, then the same filter + ORDER BY/LIMIT the
+    // batch search rows answer to.
+    "seq_stream_follow" ->
+      s"""WITH m AS (
+            SELECT CASE WHEN $M < ${T15 - 86400000L} OR $M > ${T15 + 300000L}
+                        THEN $T15 ELSE $M END AS mid,
+                   event_id, event_type, value
+            FROM events)
+          SELECT mid, event_id, event_type, value FROM m
+          WHERE event_type = 'error' AND value >= 10
+          ORDER BY mid DESC, event_id DESC LIMIT 500""",
 
     // Watermark-finalized live counts = the batch daily GROUP BY.
     "seq_stream_livecount" ->
