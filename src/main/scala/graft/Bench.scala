@@ -265,10 +265,19 @@ object Bench {
       // sweep and evict/spill under later queries — clear between
       // queries (outside the timed window) so each line measures the
       // query, not its predecessors' leftovers
+      // consume the row's FULL plan, not count(): count() lets the
+      // optimizer prune every computed column and even eliminate the
+      // final left join against a unique aggregate, so rewrite- and
+      // projection-shaped rows (span removal, fingerprint, lang-id,
+      // BPE encode, as-of, ...) were benched as a parquet row count —
+      // measured r14 at sf0.01: dp_dedup_substring_remove 0.21 s
+      // counted vs 0.99 s executed, dp_fingerprint 12x, dp_bpe_encode
+      // 10x. toRdd executes the physical plan with all output columns
+      // (no external Row conversion), so the number is the operator's.
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // best of two: single samples swing up to 12× with the page-cache
@@ -735,10 +744,11 @@ object Bench {
           attempt += 1
           val (preR, preOk) = healthStamp()
           if (preOk) {
+            // same full-plan consumer as the sweep (see above)
             def once(): Double = {
               spark.catalog.clearCache()
               val t0 = System.nanoTime()
-              try SparkEntry.queries(name)(spark, sfDir).count()
+              try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
               catch { case _: Throwable => () }
               (System.nanoTime() - t0) / 1e9
             }

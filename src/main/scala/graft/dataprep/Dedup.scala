@@ -276,14 +276,35 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     // Shingle hashes are needed twice (banding, exact verification) —
     // persist the compact per-doc form once.
-    val withSh = spread(df.select(col(idCol), col(textCol)))
+    val withSh = shingleHashes(df, idCol, textCol).persist()
+    minhashLshPairsFromShingles(withSh, numHashes, bands,
+      thresholdNum, thresholdDen)
+  }
+
+  /** The MinHash family's shared front end: the (id, sh) shingle-hash
+    * frame for `df`, spread to the session's shuffle parallelism.
+    * Tokenize + shingle is the family's per-document O(chars) cost —
+    * a caller that runs SEVERAL stages over one batch (the streaming
+    * path self-dedups, index-probes and index-appends the same rows)
+    * should compute this once, persist it, and feed the
+    * `...FromShingles` variants instead of paying the pass per stage.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("id"),
         graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
-      .persist()
+
+  /** [[minhashLshPairs]] over a precomputed [[shingleHashes]] frame
+    * (persist it — both the banding and the verification join consume
+    * it).
+    */
+  def minhashLshPairsFromShingles(withSh: DataFrame,
+      numHashes: Int, bands: Int,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     // The band self-join stays NARROW: (id, band key) only, 16 bytes a
     // row. Carrying the shingle arrays through this join would move
     // kilobytes per candidate through the shuffle; instead candidate
@@ -333,11 +354,21 @@ object Dedup {
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, indexPath: String,
       mode: String = "overwrite", partition: Option[String] = None): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sub = partition.map("/" + _).getOrElse("")
     val withSh = df.select(col(idCol).as("id"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
       .persist()
+    try buildMinhashIndexFromShingles(withSh, numHashes, bands, indexPath,
+      mode, partition)
+    finally { withSh.unpersist(); () }
+  }
+
+  /** [[buildMinhashIndex]] over a precomputed [[shingleHashes]] frame
+    * (the caller owns its persistence — two writes consume it). */
+  def buildMinhashIndexFromShingles(withSh: DataFrame,
+      numHashes: Int, bands: Int, indexPath: String,
+      mode: String = "overwrite", partition: Option[String] = None): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sub = partition.map("/" + _).getOrElse("")
     // shingles BEFORE bands: a crash between the two writes then leaves
     // docs without band keys (merely unfindable — same as never
     // indexed), never band keys without shingles (whose verification
@@ -352,8 +383,7 @@ object Dedup {
       .repartitionByRange(col("bk"))
       .sortWithinPartitions(col("bk"))
       .write.mode(mode).parquet(s"$indexPath/bands$sub")
-    withSh.unpersist()
-    writeFamilyMarker(df.sparkSession, indexPath)
+    writeFamilyMarker(withSh.sparkSession, indexPath)
   }
 
   private def familyMarker(indexPath: String) =
@@ -447,12 +477,22 @@ object Dedup {
   def dedupAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, thresholdNum: Int, thresholdDen: Int,
       indexPath: String): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = newDf.sparkSession
-    requireFamilyMarker(spark, indexPath)
     val newSh = newDf.select(col(idCol).as("new_id"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh_new"))
       .persist()
+    dedupAgainstIndexFromShingles(newSh, numHashes, bands,
+      thresholdNum, thresholdDen, indexPath)
+  }
+
+  /** [[dedupAgainstIndex]] over a precomputed (new_id, sh_new)
+    * shingle-hash frame (persist it — banding and verification both
+    * consume it). */
+  def dedupAgainstIndexFromShingles(newSh: DataFrame,
+      numHashes: Int, bands: Int, thresholdNum: Int, thresholdDen: Int,
+      indexPath: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = newSh.sparkSession
+    requireFamilyMarker(spark, indexPath)
     val newBands = newSh.select(col("new_id"),
       explode(graft.functions.VectorExpressions.minhashBandKeys(
         col("sh_new"), numHashes, bands)).as("bk"))

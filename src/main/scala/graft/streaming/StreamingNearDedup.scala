@@ -62,14 +62,19 @@ object StreamingNearDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
+        // tokenize + shingle the batch ONCE: self-dedup, index probe
+        // and index append all run over this persisted compact form —
+        // the per-document O(chars) front end used to run three times
+        // per micro-batch, which at 100 TB is two wasted corpus passes
+        val sh = Dedup.shingleHashes(b, idCol, textCol).persist()
         try {
           // 1. self-dedup within the batch: keep the smallest id of
           //    each near-dup pair (transitively, min of the pair graph
           //    is enough at batch sizes; exact clusters would also work)
-          val selfPairs = Dedup.minhashLshPairs(b, idCol, textCol,
+          val selfPairs = Dedup.minhashLshPairsFromShingles(sh,
             numHashes, bands, thresholdNum, thresholdDen)
-            .select(col("id_b").as(idCol)).distinct()
-          val selfKept = b.join(selfPairs, Seq(idCol), "left_anti")
+            .select(col("id_b").as("id")).distinct()
+          val selfKeptSh = sh.join(selfPairs, Seq("id"), "left_anti")
           // 2. probe the corpus index. Existence goes through the
           //    Hadoop FileSystem API — java.io.File only sees the local
           //    FS, silently disabling suppression on HDFS/S3 paths —
@@ -80,19 +85,23 @@ object StreamingNearDedup {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(bandsDir)
           val vs = if (hasIndex)
-            Dedup.dedupAgainstIndex(selfKept, idCol, textCol,
+            Dedup.dedupAgainstIndexFromShingles(
+              selfKeptSh.select(col("id").as("new_id"), col("sh").as("sh_new")),
               numHashes, bands, thresholdNum, thresholdDen, indexPath)
               .select(col("new_id").as(idCol), col("old_id")).persist()
           else spark.emptyDataFrame
             .withColumn(idCol, lit(0L)).withColumn("old_id", lit(0L)).limit(0)
-          val dupIds = vs.select(col(idCol)).distinct()
-          val kept = selfKept.join(dupIds, Seq(idCol), "left_anti").persist()
+          val dupIds = vs.select(col(idCol).as("id")).distinct()
+          val keptSh = selfKeptSh.join(dupIds, Seq("id"), "left_anti").persist()
+          val kept = b.join(keptSh.select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
           // 3. survivors → sink + index append, each under its own
           //    batch partition (replay-idempotent, see scaladoc);
           //    advisory index failures must not fail the epoch once
-          //    the sink write landed
+          //    the sink write landed. The append reuses the batch's
+          //    shingles — no retokenization of the survivor text.
           kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          try Dedup.buildMinhashIndex(kept, idCol, textCol,
+          try Dedup.buildMinhashIndexFromShingles(keptSh,
             numHashes, bands, indexPath,
             mode = "overwrite", partition = Some(s"batch=$batchId"))
           catch { case e: Exception =>
@@ -101,10 +110,10 @@ object StreamingNearDedup {
           auditPath.foreach { p =>
             if (hasIndex) vs.write.mode("overwrite").parquet(s"$p/batch=$batchId")
           }
-          kept.unpersist()
+          keptSh.unpersist()
           if (hasIndex) vs.unpersist()
           ()
-        } finally b.unpersist()
+        } finally { b.unpersist(); sh.unpersist(); () }
       }
       .start()
   }
