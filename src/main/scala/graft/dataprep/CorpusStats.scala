@@ -434,19 +434,33 @@ object CorpusStats {
       .select(col(idCol), posexplode(col("__toks")))
       .withColumnRenamed("pos", "wpos")
       .withColumnRenamed("col", "__w")
-    val wordUnits = occ.select(col("__w")).distinct()
-      .withColumn("__units", foldAllMerges(col("__w"), merges))
-    val flat = occ.join(wordUnits, Seq("__w"))
-      .select(col(idCol), col("wpos"), posexplode(col("__units")))
+    // unit → id is ALSO resolved per distinct word: exploding units at
+    // occurrence scale and joining the vocabulary there put the join +
+    // per-unit collect on the corpus's unit count (r14 honest measure:
+    // 19 s at sf0.1 once the bench consumer stopped column-pruning the
+    // fold away). The vocabulary-bounded form pre-renders each word's
+    // id sequence as a "i1,i2,..." string; the per-doc hash then
+    // concatenates word-level strings in word order — bit-identical to
+    // the per-unit formulation (the oracle replays the same bytes).
+    val wordIds = occ.select(col("__w")).distinct()
+      .select(col("__w"), posexplode(foldAllMerges(col("__w"), merges)))
       .withColumnRenamed("pos", "upos")
       .withColumnRenamed("col", "unit")
-    val encoded = flat.join(vocab, Seq("unit"))
+      .join(vocab, Seq("unit"))
+      .groupBy(col("__w"))
+      .agg(
+        count(lit(1)).as("__nu"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("upos"), col("id")))),
+            s => s.getField("id").cast("string")),
+          ",").as("__idstr"))
+    val encoded = occ.join(wordIds, Seq("__w"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_units"),
+      .agg(sum(col("__nu")).as("n_units"),
         md5(array_join(
           transform(
-            array_sort(collect_list(struct(col("wpos"), col("upos"), col("id")))),
-            s => s.getField("id").cast("string")),
+            array_sort(collect_list(struct(col("wpos"), col("__idstr")))),
+            s => s.getField("__idstr")),
           ",")).as("ids_md5"))
     df.select(col(idCol)).join(encoded, Seq(idCol), "left")
       .select(col(idCol),
