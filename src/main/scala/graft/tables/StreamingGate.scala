@@ -112,6 +112,13 @@ object StreamingGate {
       .parquet(s"$dir/in")
   }
 
+  // Measured r14: running the gate queries at shuffle.partitions=8
+  // instead of the session's 32 (fewer state-store instances and
+  // per-batch fsyncs) does NOT reduce wall time — the per-batch cost
+  // is job-DAG latency (offset/commit log round-trips, job scheduling
+  // per micro-batch), not per-partition state overhead. Reverted;
+  // plumbing_floors_s in BENCH_REF.json remains the honest
+  // decomposition of machinery vs operator.
   private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable()
     finally {
