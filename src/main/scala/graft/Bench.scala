@@ -72,6 +72,9 @@ object Bench {
     catch { case _: Throwable => () }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // failed rows are carried as NaN internally; JSON gets null (a bare
+    // NaN would make the whole line unparseable)
+    def jnum(v: Double): String = if (v.isNaN) "null" else f3(v)
     // ---- sanity gate: is this box clean enough to measure? -----------
     // The committed bench number has been environment-polluted two
     // rounds running (r8: undersized forked heap; r9: exhausted disk
@@ -256,6 +259,12 @@ object Bench {
     }
     // local iteration: time only the `only` subset (parsed above; the
     // driver never sets this — it always sweeps the full map)
+    // a row whose plan THROWS must not publish its (near-instant)
+    // exception path as a benchmark time — record the failure as NaN
+    // plus an "errors" entry, and keep it out of the total (the r14
+    // consumer change showed how silently a masked failure could ride:
+    // count() pruned columns whose evaluation would have failed)
+    val rowErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val sampled = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -277,8 +286,14 @@ object Bench {
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          rowErrors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage))
+            .replaceAll("[\"\\\\\\x00-\\x1f]", " ").take(160)
+          false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
       // best of two: single samples swing up to 12× with the page-cache
       // state the previous process left behind (scan-bound queries pay
@@ -630,7 +645,7 @@ object Bench {
     // (|a-b| ratio) instead of trusting the min — VERDICT r6 asked for
     // noise to be bounded by construction
     val qSamples = sampled.map { case (k, (a, b)) =>
-      s"\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
+      s"\"" + k + "\":[" + jnum(a) + "," + jnum(b) + "]"
     }.mkString("{", ",", "}")
     // the entry gate defends the sweep's START; a mid-sweep CPU-steal
     // or credit-drain window can still pollute the middle (observed:
@@ -802,10 +817,17 @@ object Bench {
       }
     // ms precision keeps the whole JSON line under ~1.8 KB so it fits
     // intact in the driver's bounded stdout-tail capture
-    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = if (finalResults.nonEmpty) finalResults.values.sum else 0.0
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal,"queries":$qs,"query_samples":$qSamples$remeasurePart$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${finalResults.size},"total_sec":${f3(total)}}"""
+    // failed rows (null in "queries") are excluded from the total and
+    // declared under "errors" — a consumer must never read a sweep
+    // whose rows threw as a faster sweep
+    val total = finalResults.values.filterNot(_.isNaN).sum
+    val errorsPart =
+      if (rowErrors.isEmpty) ""
+      else rowErrors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal$errorsPart,"queries":$qs,"query_samples":$qSamples$remeasurePart$baseline$baselineSamples$ingest$serving,"sf":"$sfDir","n_queries":${finalResults.size},"total_sec":${f3(total)}}"""
     // full-precision record: working directory (sbt forks in the repo
     // root), overridable via env — no baked-in absolute paths. The
     // DEFAULT is the gitignored BENCH_LAST.json so driver sweeps and
@@ -825,12 +847,12 @@ object Bench {
     // first, then per-query entries SLOWEST-first while they fit (the
     // expensive queries are the informative ones; the complete map is
     // in BENCH_FULL.json), with the omitted count declared.
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal,"sf":"$sfDir","n_queries":${finalResults.size}$baseline$ingest$serving,"queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":2,"stat":"min"$envPart$envPost$envFinal$errorsPart,"sf":"$sfDir","n_queries":${finalResults.size}$baseline$ingest$serving,"queries":{"""
     def trailer(omitted: Int) =
       s"""},"queries_omitted":$omitted,"full":"$outPath","total_sec":${f3(total)}}"""
     val budget = 1700
     val entries = finalResults.toSeq.sortBy(-_._2).map { case (k, v) =>
-      s"\"" + k + "\":" + f3(v)
+      s"\"" + k + "\":" + jnum(v)
     }
     val taken = new scala.collection.mutable.ArrayBuffer[String]
     var len = head.length + trailer(finalResults.size).length

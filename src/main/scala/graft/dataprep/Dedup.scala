@@ -277,10 +277,16 @@ object Dedup {
       numHashes: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     // Shingle hashes are needed twice (banding, exact verification) —
-    // persist the compact per-doc form once.
+    // persist the compact per-doc form once. The pairs result is tiny
+    // next to the corpus, so it is materialized eagerly
+    // (localCheckpoint: blocks are reference-tracked and GC-reclaimed)
+    // and the corpus-sized shingle cache released HERE — returning a
+    // lazy frame would leak that cache for the session, since no
+    // caller can know when the last consumption happened.
     val withSh = shingleHashes(df, idCol, textCol).persist()
-    minhashLshPairsFromShingles(withSh, numHashes, bands,
-      thresholdNum, thresholdDen)
+    try minhashLshPairsFromShingles(withSh, numHashes, bands,
+      thresholdNum, thresholdDen).localCheckpoint(true)
+    finally { withSh.unpersist(); () }
   }
 
   /** The MinHash family's shared front end: the (id, sh) shingle-hash
@@ -480,8 +486,11 @@ object Dedup {
     val newSh = newDf.select(col(idCol).as("new_id"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh_new"))
       .persist()
-    dedupAgainstIndexFromShingles(newSh, numHashes, bands,
-      thresholdNum, thresholdDen, indexPath)
+    // eager + unpersist, same rationale as [[minhashLshPairs]]: the
+    // cross-pairs result is batch-sized, the shingle cache is not
+    try dedupAgainstIndexFromShingles(newSh, numHashes, bands,
+      thresholdNum, thresholdDen, indexPath).localCheckpoint(true)
+    finally { newSh.unpersist(); () }
   }
 
   /** [[dedupAgainstIndex]] over a precomputed (new_id, sh_new)

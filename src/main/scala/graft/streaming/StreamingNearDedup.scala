@@ -67,14 +67,20 @@ object StreamingNearDedup {
         // the per-document O(chars) front end used to run three times
         // per micro-batch, which at 100 TB is two wasted corpus passes
         val sh = Dedup.shingleHashes(b, idCol, textCol).persist()
+        // 1. self-dedup within the batch: keep the smallest id of
+        //    each near-dup pair (transitively, min of the pair graph
+        //    is enough at batch sizes; exact clusters would also work).
+        // selfKeptSh is persisted: dedupAgainstIndexFromShingles
+        // consumes it for BOTH banding and verification (its documented
+        // contract) and the keptSh join reads it a third time —
+        // unpersisted, each consumption would re-run the full LSH band
+        // self-join plus exact-Jaccard verification behind selfPairs,
+        // per micro-batch
+        val selfPairs = Dedup.minhashLshPairsFromShingles(sh,
+          numHashes, bands, thresholdNum, thresholdDen)
+          .select(col("id_b").as("id")).distinct()
+        val selfKeptSh = sh.join(selfPairs, Seq("id"), "left_anti").persist()
         try {
-          // 1. self-dedup within the batch: keep the smallest id of
-          //    each near-dup pair (transitively, min of the pair graph
-          //    is enough at batch sizes; exact clusters would also work)
-          val selfPairs = Dedup.minhashLshPairsFromShingles(sh,
-            numHashes, bands, thresholdNum, thresholdDen)
-            .select(col("id_b").as("id")).distinct()
-          val selfKeptSh = sh.join(selfPairs, Seq("id"), "left_anti")
           // 2. probe the corpus index. Existence goes through the
           //    Hadoop FileSystem API — java.io.File only sees the local
           //    FS, silently disabling suppression on HDFS/S3 paths —
@@ -113,7 +119,7 @@ object StreamingNearDedup {
           keptSh.unpersist()
           if (hasIndex) vs.unpersist()
           ()
-        } finally { b.unpersist(); sh.unpersist(); () }
+        } finally { b.unpersist(); sh.unpersist(); selfKeptSh.unpersist(); () }
       }
       .start()
   }

@@ -54,22 +54,47 @@ object StreamingGate {
   }
 
   /** Persistent per-(sf, source fingerprint) fixture dir for gate rows
-    * that amortize an index build across calls. Stale SIBLINGS — same
-    * tag and sf, older source fingerprint — are deleted on the way in:
-    * the scratch root is usually RAM-backed (/dev/shm), and without
-    * cleanup every testdata regeneration would leak a full index into
-    * tmpfs until reboot, competing with the JVM heap.
+    * that amortize an index build across calls. Stale entries are
+    * deleted on the way in: the scratch root is usually RAM-backed
+    * (/dev/shm), and without cleanup every testdata regeneration would
+    * leak a full index into tmpfs until reboot, competing with the JVM
+    * heap. The sweep covers the whole TAG, not just same-sf siblings:
+    * an entry is stale when (a) it shares this sf with an older source
+    * fingerprint, or (b) the source dir it was built from no longer
+    * exists (recorded in an `_SFDIR` sidecar at build time — a torn-
+    * down sf5/sf10 replica would otherwise strand its fixture in tmpfs
+    * until reboot). Fixtures of OTHER sfs whose source is still on
+    * disk are kept — alternating sf0.01 verify / sf0.1 bench runs must
+    * not thrash each other's indexes.
     */
   private def persistentDir(spark: SparkSession, tag: String, sfDir: String,
       table: String): String = {
-    val prefix = s"graft_sgate_${tag}_${new java.io.File(sfDir).getName}_"
-    val want = prefix + TestTables.sourceFingerprint(sfDir, table)
+    val tagPrefix = s"graft_sgate_${tag}_"
+    val sfPrefix = tagPrefix + new java.io.File(sfDir).getName + "_"
+    val want = sfPrefix + TestTables.sourceFingerprint(sfDir, table)
     Option(new java.io.File(scratch).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != want)
+      .filter(f => f.isDirectory && f.getName.startsWith(tagPrefix) && f.getName != want)
       .foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        val sourceAlive = !f.getName.startsWith(sfPrefix) && {
+          val sidecar = new java.io.File(f, "_SFDIR")
+          sidecar.isFile && {
+            val src = scala.io.Source.fromFile(sidecar)(scala.io.Codec.UTF8)
+            val rec = try src.mkString.trim finally src.close()
+            rec.nonEmpty && new java.io.File(rec).isDirectory
+          }
+        }
+        if (!sourceAlive) {
+          val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
       }
+    val d = new java.io.File(scratch, want)
+    d.mkdirs(): Unit
+    val sidecar = new java.io.File(d, "_SFDIR")
+    if (!sidecar.isFile) {
+      val w = new java.io.PrintWriter(sidecar, "UTF-8")
+      try w.print(new java.io.File(sfDir).getAbsolutePath) finally w.close()
+    }
     s"$scratch/$want"
   }
 
