@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Job-level decomposition of the dp_stream_neardedup gate row: prints
+  * every Spark job's wall time and description for two consecutive
+  * runs (first warms the JVM/fixture, second is the measure), so the
+  * "job-DAG latency" finding from the r14 floor analysis can be
+  * attributed to SPECIFIC jobs (probe plan, index-append sampling
+  * passes, sink write, final consume) instead of guessed at.
+  */
+object ProfileStreamNearDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    @volatile var collect = false
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        val stage = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
+        starts.put(j.jobId, (System.nanoTime(), s"$stage | $desc".take(120)))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(e.jobId)).foreach { case (t0, d) =>
+          if (collect) lines.add(
+            f"[job ${e.jobId}%4d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $d")
+        }
+      }
+    })
+    try spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count()
+    catch { case _: Throwable => () }
+    def run(label: String, doCollect: Boolean): Unit = {
+      collect = doCollect
+      lines.clear()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.tables.StreamingGate.documentsStreamNearDedup(spark, sfDir)
+        .queryExecution.toRdd.count(): Unit
+      val tot = (System.nanoTime() - t0) / 1e9
+      // drain listener events before printing (the bus is async)
+      Thread.sleep(500)
+      if (doCollect) {
+        lines.forEach(l => println(l))
+        val sumMs = lines.toArray(Array.empty[String])
+          .map(_.split("\\]")(1).trim.split(" ")(0).toDouble).sum
+        println(f"  jobs total ${sumMs / 1000}%.3f s (gaps = ${tot - sumMs / 1000}%.3f s driver/machinery)")
+      }
+      println(f"$label TOTAL $tot%.3f s")
+    }
+    run("warm", doCollect = false)
+    run("measure", doCollect = true)
+    spark.stop()
+    sys.exit(0)
+  }
+}
