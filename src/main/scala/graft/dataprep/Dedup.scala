@@ -91,6 +91,9 @@ object Dedup {
       bucket.as("bkt"),
       graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
       .persist()
+    // eager result + release, same contract as [[minhashLshPairs]]:
+    // the pair list is tiny next to the corpus-sized shingle cache
+    try {
     val probes = spread(s)
       .withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
@@ -115,6 +118,8 @@ object Dedup {
       .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    } finally { s.unpersist(); () }
   }
 
   /** Containment near-dup pairs: ordered (id_a, id_b) where at least
@@ -161,14 +166,31 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       thresholdNum: Int, thresholdDen: Int,
       maxDfFrac: Double = 1.0, maxDfAbs: Long = 0L): DataFrame = {
+    val s = containmentHashes(df, idCol, textCol).persist()
+    // eager result + release, same contract as [[minhashLshPairs]]
+    try containmentPairsFromHashes(s, thresholdNum, thresholdDen,
+      maxDfFrac, maxDfAbs).localCheckpoint(true)
+    finally { s.unpersist(); () }
+  }
+
+  /** The (id, hs) sorted-distinct shingle-hash frame
+    * [[containmentPairsFromHashes]] consumes. */
+  private[dataprep] def containmentHashes(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+        graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("hs"))
+      .where(size(col("hs")) > 0)
+
+  /** [[containmentPairs]] over a precomputed, persisted (id, hs)
+    * shingle-hash frame — the LAZY inner plan (plan-shape tests
+    * inspect it; the public wrapper owns persistence + checkpoint). */
+  private[dataprep] def containmentPairsFromHashes(s: DataFrame,
+      thresholdNum: Int, thresholdDen: Int,
+      maxDfFrac: Double, maxDfAbs: Long): DataFrame = {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen,
       "threshold must be a fraction in (0, 1]")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
     require(maxDfAbs >= 0L, "maxDfAbs must be >= 0 (0 disables)")
-    val s = spread(df).select(col(idCol).as("id"),
-        graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("hs"))
-      .where(size(col("hs")) > 0)
-      .persist()
     val n = size(col("hs"))
     val need = ((n * thresholdNum + lit(thresholdDen - 1)) / thresholdDen).cast("int")
     val probes0 = s.select(col("id").as("id_a"),
@@ -548,6 +570,8 @@ object Dedup {
       .withColumn("key", shiftleft(col("band").cast("long"), 16).bitwiseOR(
         call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL))))
       .persist() // simhash64 is a 64-counter pass — don't compute it twice
+    // eager result + release, same contract as [[minhashLshPairs]]
+    try {
     val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
     val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
     // A pair sharing k bands appears under k keys. Rather than a
@@ -569,6 +593,8 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    } finally { banded.unpersist(); () }
   }
 
   /** Near-duplicate CLUSTERS from a pair list: connected components by
@@ -823,6 +849,8 @@ object Dedup {
       val s = spread(pts)
         .withColumn("sig", Similarity.lshBuckets(col("v"), sigBits))
         .persist() // signature is a 32-projection pass — compute once
+      // eager result + release, same contract as [[minhashLshPairs]]
+      try {
       def slice(sig: Column, b: Column): Column =
         call_function("shiftright", sig, b * Dedup.LshBandBits).bitwiseAND(lit(bandMask))
       val banded = s.withColumn("band", explode(sequence(lit(0), lit(Dedup.LshBands - 1))))
@@ -848,6 +876,8 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
         .orderBy("id_a", "id_b")
+        .localCheckpoint(true)
+      } finally { s.unpersist(); () }
     }
   }
 

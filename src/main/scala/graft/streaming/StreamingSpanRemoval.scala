@@ -45,17 +45,26 @@ object StreamingSpanRemoval {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
+        // frames persisted mid-batch, released in the finally so a
+        // throwing epoch can't strand cache blocks for the session
+        var pinned: List[DataFrame] = Nil
         try {
           val winsDir = new org.apache.hadoop.fs.Path(s"$indexPath/allwins")
           val hasIndex = winsDir
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(winsDir)
-          // 1. history precedence: excise spans already published
+          // 1. history precedence: excise spans already published.
+          //    Persisted: removeDuplicateSpans consumes its input
+          //    THREE times (owner agg, positioned windows, excise
+          //    join-back), and each unpersisted consumption would
+          //    re-run the whole index probe + rewrite per micro-batch
           val vsIndex =
-            if (hasIndex)
+            (if (hasIndex)
               Dedup.removeSpansAgainstIndex(b, idCol, textCol, k, indexPath)
                 .select(col(idCol), col("clean_text"))
-            else b.select(col(idCol), col(textCol).as("clean_text"))
+            else b.select(col(idCol), col(textCol).as("clean_text")))
+            .persist()
+          pinned ::= vsIndex
           // 2. batch-internal first-occurrence rewrite on the survivor text
           val selfClean = Dedup
             .removeDuplicateSpans(vsIndex, idCol, "clean_text", k)
@@ -68,6 +77,7 @@ object StreamingSpanRemoval {
               (col("n_chars") - length(col("clean_text"))).cast("long"))
             .select(col(idCol), col("n_chars"), col("n_removed"), col("clean_text"))
             .persist()
+          pinned ::= out
           // 3. published text → sink + index append, each
           //    replay-idempotent under its batch partition; advisory
           //    index failures must not fail the epoch once the sink
@@ -78,9 +88,8 @@ object StreamingSpanRemoval {
           catch { case e: Exception =>
             System.err.println(s"[StreamingSpanRemoval] index append skipped: $e")
           }
-          out.unpersist()
           ()
-        } finally b.unpersist()
+        } finally { b.unpersist(); pinned.foreach(_.unpersist()); () }
       }
       .start()
   }

@@ -52,12 +52,16 @@ object StreamingSubstringDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
+        // 1. self-dedup within the batch: drop the larger id of each
+        //    duplicate-substring pair. selfKept is persisted: the index
+        //    probe and the kept materialization both consume it, and
+        //    each unpersisted consumption would re-run the full
+        //    winnowed window extraction + pair join behind selfPairs
+        //    (the same shape fixed in StreamingNearDedup)
+        val selfPairs = Dedup.substringDupPairsWinnowed(b, idCol, textCol, k, w, maxDf)
+          .select(col("id_b").as(idCol)).distinct()
+        val selfKept = b.join(selfPairs, Seq(idCol), "left_anti").persist()
         try {
-          // 1. self-dedup within the batch: drop the larger id of each
-          //    duplicate-substring pair
-          val selfPairs = Dedup.substringDupPairsWinnowed(b, idCol, textCol, k, w, maxDf)
-            .select(col("id_b").as(idCol)).distinct()
-          val selfKept = b.join(selfPairs, Seq(idCol), "left_anti")
           // 2. probe the corpus index (Hadoop FS existence test — see
           //    StreamingNearDedup for why not java.io.File / _SUCCESS)
           val winsDir = new org.apache.hadoop.fs.Path(s"$indexPath/wins")
@@ -89,7 +93,7 @@ object StreamingSubstringDedup {
           kept.unpersist()
           if (hasIndex) vs.unpersist()
           ()
-        } finally b.unpersist()
+        } finally { b.unpersist(); selfKept.unpersist(); () }
       }
       .start()
   }

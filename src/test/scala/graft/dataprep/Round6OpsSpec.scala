@@ -66,9 +66,14 @@ class Round6OpsSpec extends SparkSpec {
 
   test("containmentPairs DF cap: hot filtering stays in-kernel, no extra join shapes") {
     val df = stopHeavy(40)
-    val out = Dedup.containmentPairs(df, "doc_id", "text", 8, 10, maxDfFrac = 0.2)
+    // the public wrapper checkpoints its result (its plan is a block
+    // scan); the join-shape contract lives on the lazy inner plan
+    val s = Dedup.containmentHashes(df, "doc_id", "text").persist()
+    val out = Dedup.containmentPairsFromHashes(s, 8, 10,
+      maxDfFrac = 0.2, maxDfAbs = 0L)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
+    s.unpersist()
     // the hot set rides inside the codegen'd sorted-diff kernel: no
     // anti-join stages, and certainly no cartesian/nested-loop shapes
     assert("(?i)sorteddiff".r.findFirstIn(plan).isDefined, plan.take(2000))
