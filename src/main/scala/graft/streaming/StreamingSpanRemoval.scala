@@ -54,17 +54,18 @@ object StreamingSpanRemoval {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(winsDir)
           // 1. history precedence: excise spans already published.
-          //    Persisted: removeDuplicateSpans consumes its input
-          //    THREE times (owner agg, positioned windows, excise
-          //    join-back), and each unpersisted consumption would
-          //    re-run the whole index probe + rewrite per micro-batch
+          //    Deliberately NOT persisted although removeDuplicateSpans
+          //    consumes it three times (owner agg, positioned windows,
+          //    excise join-back): all three consumptions live in ONE
+          //    physical plan, where the probe join's identical shuffle
+          //    subtrees are deduplicated by exchange reuse — measured
+          //    at sf0.1, a persist here is a pure materialization
+          //    barrier on rewritten text and costs ~15% wall time
           val vsIndex =
-            (if (hasIndex)
+            if (hasIndex)
               Dedup.removeSpansAgainstIndex(b, idCol, textCol, k, indexPath)
                 .select(col(idCol), col("clean_text"))
-            else b.select(col(idCol), col(textCol).as("clean_text")))
-            .persist()
-          pinned ::= vsIndex
+            else b.select(col(idCol), col(textCol).as("clean_text"))
           // 2. batch-internal first-occurrence rewrite on the survivor text
           val selfClean = Dedup
             .removeDuplicateSpans(vsIndex, idCol, "clean_text", k)
