@@ -288,9 +288,16 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
+          // record the ROOT cause too: a task failure's outer message
+          // is a stage/TID preamble whose truncation hides the actual
+          // error (a disk-full at the 100x probe read as "Lost task")
+          var root = e
+          while (root.getCause != null && root.getCause != root) root = root.getCause
+          val rootPart = if (root eq e) "" else
+            " <- " + root.getClass.getSimpleName + ": " + String.valueOf(root.getMessage)
           rowErrors(name) = (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage))
-            .replaceAll("[\"\\\\\\x00-\\x1f]", " ").take(160)
+            String.valueOf(e.getMessage).take(120) + rootPart)
+            .replaceAll("[\"\\\\\\x00-\\x1f]", " ").take(300)
           false
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN

@@ -24,6 +24,10 @@ object Dedup {
   val BruteForceMaxDefault = 10000L
   val LshBands = 4
   val LshBandBits = 8
+  /** Vector-attach joins switch from broadcast-hash to shuffle above
+    * this corpus size (2M × ~1 KB vectors ≈ 2 GB, well under Spark's
+    * 8 GB broadcast hard cap). */
+  val AttachBroadcastMaxDefault = 2000000L
 
   /** Exact duplicates by content hash. Output: one row per distinct
     * content, with the representative (min id) and the group size.
@@ -834,7 +838,8 @@ object Dedup {
     val cut = df.sparkSession.conf.getOption("spark.graft.dedup.bruteForceMax")
       .map(_.toLong).getOrElse(bruteForceMax)
     val pts = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (knownCount.getOrElse(pts.count()) <= cut) {
+    val n = knownCount.getOrElse(pts.count())
+    if (n <= cut) {
       val a = pts.select(col("id").as("id_a"), col("v").as("v_a"))
       val b = pts.select(col("id").as("id_b"), col("v").as("v_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -867,10 +872,26 @@ object Dedup {
       val firstShared = (0 until Dedup.LshBands).foldRight(lit(-1): Column) { (b, acc) =>
         when(slice(col("sig_a"), lit(b)) === slice(col("sig_b"), lit(b)), lit(b)).otherwise(acc)
       }
+      // Vector attach: when the vector table fits a broadcast, hash-
+      // join it so the WIDE candidate stream (two vectors per pair)
+      // stays pipelined through codegen. Saturated buckets — a corpus
+      // whose duplicate groups are large — make the candidate count
+      // quadratic in group size (that quadratic is the REQUIRED
+      // output: every such pair is a true near-dup), and a sort-merge
+      // attach would sort hundreds of GB of (pair × vectors) rows:
+      // measured at the 100x probe replica, 600k vectors x ~100-copy
+      // groups spilled past a 74 GB disk and KILLED the job, where the
+      // broadcast attach streams it. Above the broadcast cap the
+      // shuffle attach is the only general plan (a 1e9-vector corpus
+      // cannot broadcast); tune with spark.graft.dedup.attachBroadcastMax.
+      val attachMax = df.sparkSession.conf
+        .getOption("spark.graft.dedup.attachBroadcastMax")
+        .map(_.toLong).getOrElse(Dedup.AttachBroadcastMaxDefault)
+      val attach = if (n <= attachMax) broadcast(s) else s
       left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
         .where(call_function("shiftright", col("key"), lit(sigBits)) === firstShared)
-        .join(s.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-        .join(s.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .join(attach.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(attach.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
         .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
         .where(col("dot") >= threshold)
         .select(col("id_a"), col("id_b"),
