@@ -718,7 +718,14 @@ object Bench {
       val allSuspects = sampled.toSeq.filter { case (k, (a, b)) =>
         val kept = math.min(a, b)
         refTimes.get(k) match {
-          case Some(r) => kept > refTrig * r && kept - r > 0.4
+          // ratio trigger OR absolute trigger: expensive rows inflated
+          // just under the ratio keep slipping through (r13:
+          // dp_stream_neardedup 1.95x; r15: seq_stream_livecount 2.14x
+          // = +6.9 s on a clean-stamped sweep) — 2x on a 6 s row is
+          // real seconds, so >3 s over reference is suspect regardless
+          // of ratio
+          case Some(r) => (kept > refTrig * r && kept - r > 0.4) ||
+            kept - r > 3.0
           case None    => math.max(a, b) > 3.0 * kept && kept > 0.2
         }
       }.sortBy { case (_, (a, b)) => -math.min(a, b) }
