@@ -28,6 +28,11 @@ object Dedup {
     * this corpus size (2M × ~1 KB vectors ≈ 2 GB, well under Spark's
     * 8 GB broadcast hard cap). */
   val AttachBroadcastMaxDefault = 2000000L
+  /** [[simhashPairs]] switches from the 4×16-bit band scheme to the
+    * 20-table block-triple scheme above this corpus size: at 2M docs
+    * a 16-bit key space already holds ~30 docs per bucket (~10^8
+    * same-bucket pairs corpus-wide), and saturation grows with n². */
+  val SimhashWideMinDefault = 2000000L
 
   /** Exact duplicates by content hash. Output: one row per distinct
     * content, with the representative (min id) and the group size.
@@ -88,16 +93,29 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, lenCol: String,
       maxLenDiff: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val bucket = (col(lenCol) / maxLenDiff).cast("long")
-    val s = df.select(
-      col(idCol).as("id"),
-      col(lenCol).as("len"),
-      bucket.as("bkt"),
-      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
-      .persist()
+    val s = ngramShingles(df, idCol, textCol, lenCol, maxLenDiff).persist()
     // eager result + release, same contract as [[minhashLshPairs]]:
     // the pair list is tiny next to the corpus-sized shingle cache
-    try {
+    try ngramJaccardPairsFromShingles(s, maxLenDiff,
+      thresholdNum, thresholdDen).localCheckpoint(true)
+    finally { s.unpersist(); () }
+  }
+
+  /** The (id, len, bkt, sh) frame [[ngramJaccardPairsFromShingles]]
+    * consumes. */
+  private[dataprep] def ngramShingles(df: DataFrame, idCol: String,
+      textCol: String, lenCol: String, maxLenDiff: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      col(lenCol).as("len"),
+      (col(lenCol) / maxLenDiff).cast("long").as("bkt"),
+      graft.functions.TokenizeExpr.bigramHashes(TextPrep.tokens(col(textCol))).as("sh"))
+
+  /** [[ngramJaccardPairs]] over a precomputed, persisted
+    * (id, len, bkt, sh) frame — the LAZY inner plan (plan-shape tests
+    * inspect it; the public wrapper owns persistence + checkpoint). */
+  private[dataprep] def ngramJaccardPairsFromShingles(s: DataFrame,
+      maxLenDiff: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val probes = spread(s)
       .withColumn("probe", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"), col("probe"))
@@ -122,8 +140,6 @@ object Dedup {
       .where(col("inter_cnt") * thresholdDen >= lit(thresholdNum) * col("union_cnt"))
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
       .orderBy("id_a", "id_b")
-      .localCheckpoint(true)
-    } finally { s.unpersist(); () }
   }
 
   /** Containment near-dup pairs: ordered (id_a, id_b) where at least
@@ -564,41 +580,103 @@ object Dedup {
     * (pigeonhole), so candidates = pairs sharing a band, then exact
     * hamming via bit_count(xor). Output: id_a < id_b, hamming.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val s = spread(df.select(col(idCol), col(textCol)))
+  /** Candidate tables for [[simhashPairs]]. A table is a set of bit
+    * blocks of the 64-bit hash; a pair is a candidate when ALL blocks
+    * of some table match. Pigeonhole soundness: with `blocks` total
+    * blocks and tables = every `blocks − maxHamming`-subset... is the
+    * GENERAL construction (Manku/Jain/Sarma's block-permutation
+    * scheme, the published web-dedup design); the two instances used
+    * here are
+    *  - narrow: 4 × 16-bit blocks, tables = single blocks. ≤3 flipped
+    *    bits dirty ≤3 blocks → some block is clean. Key space 2^16
+    *    per table: at n docs every bucket holds ~n/65536 rows, so
+    *    candidates grow as n²/65536 — fine to a few million docs,
+    *    catastrophic at 10^9 (measured: the sf10 probe's time is
+    *    output-bound only because the corpus is still small).
+    *  - wide: 6 blocks (11,11,11,11,10,10 bits), tables = the
+    *    C(6,3) = 20 block triples, keys 32–33 bits. ≤3 flipped bits
+    *    dirty ≤3 blocks → ≥3 clean blocks → the triple made of 3
+    *    clean blocks matches. Bucket load drops to ~n/2^32: no
+    *    saturation until tens of billions of docs, for 5× the banded
+    *    row count — the right trade ABOVE [[SimhashWideMinDefault]].
+    * Both are EXACT for maxHamming ≤ 3 (recall 1, and precision is
+    * exact everywhere because candidates are verified with the full
+    * 64-bit hamming), so the schemes are output-identical and the
+    * cutover is purely a physical-plan decision.
+    */
+  private def simhashTables(wide: Boolean): Seq[Seq[(Int, Int)]] =
+    if (!wide) (0 until 4).map(b => Seq((b * 16, 16)))
+    else {
+      val widths = Seq(11, 11, 11, 11, 10, 10)
+      val offsets = widths.scanLeft(0)(_ + _).init
+      val blocks = offsets.zip(widths)
+      blocks.indices.combinations(3).map(_.map(blocks)).toSeq
+    }
+
+  /** The (id, sim) signature frame [[simhashPairsFromSigs]] consumes. */
+  private[dataprep] def simhashSigs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         simhash64(TextPrep.tokens(col(textCol))).as("sim"))
-    val banded = s.withColumn("band", explode(sequence(lit(0), lit(3))))
-      // numeric band key (band, 16 sim bits) — avoids per-row string
-      // building/hashing in the join
-      .withColumn("key", shiftleft(col("band").cast("long"), 16).bitwiseOR(
-        call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL))))
-      .persist() // simhash64 is a 64-counter pass — don't compute it twice
-    // eager result + release, same contract as [[minhashLshPairs]]
-    try {
+
+  /** [[simhashPairs]] over a precomputed, persisted (id, sim) frame —
+    * the LAZY inner plan (plan-shape tests inspect it; the public
+    * wrapper owns persistence, scheme selection and checkpoint). */
+  private[dataprep] def simhashPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int, wide: Boolean): DataFrame = {
+    require(maxHamming <= 3,
+      "both candidate schemes are sound only for maxHamming <= 3")
+    val tables = simhashTables(wide)
+    def tableKey(sim: Column, t: Seq[(Int, Int)]): Column =
+      t.foldLeft(lit(0L)) { case (acc, (off, w)) =>
+        shiftleft(acc, w).bitwiseOR(
+          call_function("shiftright", sim, lit(off)).bitwiseAND(lit((1L << w) - 1)))
+      }
+    // numeric (table, key) — avoids per-row string building/hashing
+    val banded = sigs.select(col("id"), col("sim"),
+      explode(array(tables.zipWithIndex.map { case (t, i) =>
+        shiftleft(lit(i.toLong), 40).bitwiseOR(tableKey(col("sim"), t))
+      }: _*)).as("key"))
     val left = banded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("key"))
     val right = banded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("key"))
-    // A pair sharing k bands appears under k keys. Rather than a
+    // A pair sharing k tables appears under k keys. Rather than a
     // dropDuplicates shuffle over every matching candidate, keep the
-    // pair only under its FIRST shared band — computable map-side from
-    // the two hashes already on the row, so dedup costs zero data
-    // movement at any scale.
-    def bandSlice(sim: Column, b: Int): Column =
-      call_function("shiftright", sim, lit(b * 16)).bitwiseAND(lit(0xFFFFL))
-    val firstShared = (0 until 4).foldRight(lit(-1): Column) { (b, acc) =>
-      when(bandSlice(col("sim_a"), b) === bandSlice(col("sim_b"), b), lit(b)).otherwise(acc)
+    // pair only under its FIRST shared table — computable map-side
+    // from the two hashes already on the row, so dedup costs zero
+    // data movement at any scale.
+    val firstShared = tables.zipWithIndex.foldRight(lit(-1L): Column) {
+      case ((t, i), acc) =>
+        when(tableKey(col("sim_a"), t) === tableKey(col("sim_b"), t), lit(i.toLong))
+          .otherwise(acc)
     }
-    // equi-join on the numeric band key — shuffles on key at corpus
-    // scale (the banded side is 4 rows/doc; forcing a broadcast dies at
-    // 10^9 docs); AQE broadcasts at runtime when it is actually small
+    // equi-join on the numeric key — shuffles on key at corpus scale
+    // (forcing a broadcast of the banded side dies at 10^9 docs); AQE
+    // broadcasts at runtime when it is actually small
     left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
-      .where(call_function("shiftright", col("key"), lit(16)) === firstShared)
+      .where(call_function("shiftright", col("key"), lit(40)) === firstShared)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, knownCount: Option[Long] = None): DataFrame = {
+    // scheme cutover (see [[simhashTables]]): narrow 4×16 bands until
+    // the 2^16 key space starts to saturate, the 20-table wide scheme
+    // beyond. conf-overridable so tests force either plan and a
+    // deployment can tune without threading a parameter.
+    val wideMin = df.sparkSession.conf
+      .getOption("spark.graft.dedup.simhashWideMin")
+      .map(_.toLong).getOrElse(Dedup.SimhashWideMinDefault)
+    val n = knownCount.getOrElse(df.count())
+    val sigs = simhashSigs(df, idCol, textCol)
+      .persist() // simhash64 is a 64-counter pass — don't compute it twice
+    // eager result + release, same contract as [[minhashLshPairs]]
+    try simhashPairsFromSigs(sigs, maxHamming, wide = n > wideMin)
       .localCheckpoint(true)
-    } finally { banded.unpersist(); () }
+    finally { sigs.unpersist(); () }
   }
 
   /** Near-duplicate CLUSTERS from a pair list: connected components by
@@ -849,29 +927,8 @@ object Dedup {
           expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
         .orderBy("id_a", "id_b")
     } else {
-      val sigBits = Dedup.LshBands * Dedup.LshBandBits
-      val bandMask = (1L << Dedup.LshBandBits) - 1
-      val s = spread(pts)
-        .withColumn("sig", Similarity.lshBuckets(col("v"), sigBits))
+      val s = embeddingLshSigs(pts)
         .persist() // signature is a 32-projection pass — compute once
-      // eager result + release, same contract as [[minhashLshPairs]]
-      try {
-      def slice(sig: Column, b: Column): Column =
-        call_function("shiftright", sig, b * Dedup.LshBandBits).bitwiseAND(lit(bandMask))
-      val banded = s.withColumn("band", explode(sequence(lit(0), lit(Dedup.LshBands - 1))))
-        .withColumn("key", shiftleft(col("band").cast("long"), sigBits)
-          .bitwiseOR(slice(col("sig"), col("band"))))
-      // narrow band join: (id, sig, key) only — vectors attach after
-      // the candidate pairs are deduped, one array copy per pair
-      val left = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("key"))
-      val right = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("key"))
-      // a pair sharing k bands appears under k keys — keep it only
-      // under its FIRST shared band, computable map-side from the two
-      // signatures already on the row (zero-shuffle dedup, as in
-      // [[simhashPairs]])
-      val firstShared = (0 until Dedup.LshBands).foldRight(lit(-1): Column) { (b, acc) =>
-        when(slice(col("sig_a"), lit(b)) === slice(col("sig_b"), lit(b)), lit(b)).otherwise(acc)
-      }
       // Vector attach: when the vector table fits a broadcast, hash-
       // join it so the WIDE candidate stream (two vectors per pair)
       // stays pipelined through codegen. Saturated buckets — a corpus
@@ -887,19 +944,53 @@ object Dedup {
       val attachMax = df.sparkSession.conf
         .getOption("spark.graft.dedup.attachBroadcastMax")
         .map(_.toLong).getOrElse(Dedup.AttachBroadcastMaxDefault)
-      val attach = if (n <= attachMax) broadcast(s) else s
-      left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
-        .where(call_function("shiftright", col("key"), lit(sigBits)) === firstShared)
-        .join(attach.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-        .join(attach.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-        .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
-        .where(col("dot") >= threshold)
-        .select(col("id_a"), col("id_b"),
-          expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
-        .orderBy("id_a", "id_b")
-        .localCheckpoint(true)
-      } finally { s.unpersist(); () }
+      // eager result + release, same contract as [[minhashLshPairs]]
+      try embeddingLshPairsFromSigs(s, threshold,
+        broadcastAttach = n <= attachMax).localCheckpoint(true)
+      finally { s.unpersist(); () }
     }
+  }
+
+  /** The (id, v, sig) frame [[embeddingLshPairsFromSigs]] consumes,
+    * from an (id, v) point frame. */
+  private[dataprep] def embeddingLshSigs(pts: DataFrame): DataFrame =
+    spread(pts).withColumn("sig",
+      Similarity.lshBuckets(col("v"), Dedup.LshBands * Dedup.LshBandBits))
+
+  /** The LSH branch of [[embeddingNearDupPairs]] over a precomputed,
+    * persisted (id, v, sig) frame — the LAZY inner plan (plan-shape
+    * tests inspect it; the public wrapper owns persistence, the
+    * attach-broadcast decision and checkpoint). */
+  private[dataprep] def embeddingLshPairsFromSigs(s: DataFrame,
+      threshold: Double, broadcastAttach: Boolean): DataFrame = {
+    val sigBits = Dedup.LshBands * Dedup.LshBandBits
+    val bandMask = (1L << Dedup.LshBandBits) - 1
+    def slice(sig: Column, b: Column): Column =
+      call_function("shiftright", sig, b * Dedup.LshBandBits).bitwiseAND(lit(bandMask))
+    val banded = s.withColumn("band", explode(sequence(lit(0), lit(Dedup.LshBands - 1))))
+      .withColumn("key", shiftleft(col("band").cast("long"), sigBits)
+        .bitwiseOR(slice(col("sig"), col("band"))))
+    // narrow band join: (id, sig, key) only — vectors attach after
+    // the candidate pairs are deduped, one array copy per pair
+    val left = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("key"))
+    val right = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("key"))
+    // a pair sharing k bands appears under k keys — keep it only
+    // under its FIRST shared band, computable map-side from the two
+    // signatures already on the row (zero-shuffle dedup, as in
+    // [[simhashPairs]])
+    val firstShared = (0 until Dedup.LshBands).foldRight(lit(-1): Column) { (b, acc) =>
+      when(slice(col("sig_a"), lit(b)) === slice(col("sig_b"), lit(b)), lit(b)).otherwise(acc)
+    }
+    val attach = if (broadcastAttach) broadcast(s) else s
+    left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
+      .where(call_function("shiftright", col("key"), lit(sigBits)) === firstShared)
+      .join(attach.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(attach.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))
+      .where(col("dot") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(floor(dot * 1000000 + 0.5) AS BIGINT)").as("dot_e6"))
+      .orderBy("id_a", "id_b")
   }
 
   /** 16-byte Karp–Rabin fingerprint array of a text's k-windows —

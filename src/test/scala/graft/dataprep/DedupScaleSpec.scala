@@ -39,22 +39,45 @@ class DedupScaleSpec extends SparkSpec {
     }.toDF("doc_id", "text").withColumn("len", length(col("text")))
   }
 
+  // The public pair wrappers checkpoint their results (their plans
+  // are block scans), so the scale-shape contracts are asserted on
+  // the LAZY inner plans the wrappers delegate to.
+
   test("ngramJaccardPairs plan has no broadcast when the corpus cannot broadcast") {
     noBroadcast {
-      val out = Dedup.ngramJaccardPairs(docs(60), "doc_id", "text", "len", 8, 1, 2)
-      val plan = finalPlan(out)
-      assert(!plan.contains("BroadcastExchange"), plan)
-      assert(!plan.contains("BroadcastNestedLoop"), plan)
+      val s = Dedup.ngramShingles(docs(60), "doc_id", "text", "len", 8).persist()
+      try {
+        val plan = finalPlan(Dedup.ngramJaccardPairsFromShingles(s, 8, 1, 2))
+        assert(!plan.contains("BroadcastExchange"), plan)
+        assert(!plan.contains("BroadcastNestedLoop"), plan)
+      } finally { s.unpersist(); () }
     }
   }
 
   test("simhashPairs plan has no broadcast when the corpus cannot broadcast") {
     noBroadcast {
-      val out = Dedup.simhashPairs(docs(60), "doc_id", "text", maxHamming = 3)
-      val plan = finalPlan(out)
-      assert(!plan.contains("BroadcastExchange"), plan)
-      assert(!plan.contains("BroadcastNestedLoop"), plan)
+      val s = Dedup.simhashSigs(docs(60), "doc_id", "text").persist()
+      try {
+        for (wide <- Seq(false, true)) {
+          val plan = finalPlan(Dedup.simhashPairsFromSigs(s, 3, wide))
+          assert(!plan.contains("BroadcastExchange"), plan)
+          assert(!plan.contains("BroadcastNestedLoop"), plan)
+        }
+      } finally { s.unpersist(); () }
     }
+  }
+
+  test("simhashPairs wide (20-table block-triple) scheme is output-identical to the banded scheme") {
+    val df = docs(60)
+    val narrow = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // force the wide scheme through the public cutover conf
+    spark.conf.set("spark.graft.dedup.simhashWideMin", "0")
+    val wide = try Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    finally spark.conf.unset("spark.graft.dedup.simhashWideMin")
+    assert(narrow.nonEmpty && wide == narrow,
+      s"wide=${wide.size} narrow=${narrow.size}")
   }
 
   /** Deterministic unit-ish vectors: pairs (2k, 2k+1) are identical →
@@ -72,14 +95,27 @@ class DedupScaleSpec extends SparkSpec {
 
   test("embeddingNearDupPairs LSH path: no broadcast nested loop, exact dups found") {
     val df = vecs(80, 16)
-    // bruteForceMax=0 forces the banded-LSH plan regardless of size
-    val lsh = noBroadcast {
-      val out = Dedup.embeddingNearDupPairs(df, "id", "embedding", 0.9, bruteForceMax = 0L)
-      val plan = finalPlan(out)
-      assert(!plan.contains("BroadcastNestedLoop"), plan)
-      assert(!plan.contains("BroadcastExchange"), plan)
-      out.collect()
+    // above the attach cap (broadcastAttach=false) NOTHING broadcasts:
+    // the general 1e9-vector plan is shuffled equi-joins end to end
+    noBroadcast {
+      val s = Dedup.embeddingLshSigs(
+        df.select(col("id"), col("embedding").cast("array<double>").as("v"))).persist()
+      try {
+        val plan = finalPlan(Dedup.embeddingLshPairsFromSigs(s, 0.9,
+          broadcastAttach = false))
+        assert(!plan.contains("BroadcastNestedLoop"), plan)
+        assert(!plan.contains("BroadcastExchange"), plan)
+        // below the cap the vector attach IS a deliberate broadcast
+        // hash join (the sf10 disk-kill fix) — never a nested loop
+        val bplan = finalPlan(Dedup.embeddingLshPairsFromSigs(s, 0.9,
+          broadcastAttach = true))
+        assert(bplan.contains("BroadcastHashJoin"), bplan)
+        assert(!bplan.contains("BroadcastNestedLoop"), bplan)
+      } finally { s.unpersist(); () }
     }
+    // bruteForceMax=0 forces the banded-LSH plan regardless of size
+    val lsh = Dedup.embeddingNearDupPairs(df, "id", "embedding", 0.9,
+      bruteForceMax = 0L).collect()
     // identical-vector pairs share every band → recall 1 on them; the
     // brute path (the oracle-checked shape) is the reference
     val brute = Dedup.embeddingNearDupPairs(df, "id", "embedding", 0.9).collect()
