@@ -29,9 +29,15 @@ object Dedup {
     * 8 GB broadcast hard cap). */
   val AttachBroadcastMaxDefault = 2000000L
   /** [[simhashPairs]] switches from the 4×16-bit band scheme to the
-    * 20-table block-triple scheme above this corpus size: at 2M docs
-    * a 16-bit key space already holds ~30 docs per bucket (~10^8
-    * same-bucket pairs corpus-wide), and saturation grows with n². */
+    * 10-table block-pair scheme above this corpus size. Measured
+    * (SimhashCliffProbe, 32-core local, uniform corpora with linear
+    * true-pair mass): wide wins at 1M (4.3 s vs 7.1) and 4M (8.2 vs
+    * 12.2), is within noise at 16M (41.8 vs 35.1 — container-FS
+    * shuffle IO prices wide's 2.5× banded rows; a cluster's shuffle
+    * tier prices the narrow scheme's n²/2^16 candidate mass instead),
+    * and on the 6M-doc sf10 replica halves the end-to-end row
+    * (215 s → 113 s, bit-identical 103.5M pairs). Saturation grows
+    * with n², so above this size wide is the only viable plan. */
   val SimhashWideMinDefault = 2000000L
 
   /** Exact duplicates by content hash. Output: one row per distinct
@@ -593,12 +599,15 @@ object Dedup {
     *    candidates grow as n²/65536 — fine to a few million docs,
     *    catastrophic at 10^9 (measured: the sf10 probe's time is
     *    output-bound only because the corpus is still small).
-    *  - wide: 6 blocks (11,11,11,11,10,10 bits), tables = the
-    *    C(6,3) = 20 block triples, keys 32–33 bits. ≤3 flipped bits
-    *    dirty ≤3 blocks → ≥3 clean blocks → the triple made of 3
-    *    clean blocks matches. Bucket load drops to ~n/2^32: no
-    *    saturation until tens of billions of docs, for 5× the banded
+    *  - wide: 5 blocks (13,13,13,13,12 bits), tables = the
+    *    C(5,2) = 10 block pairs, keys 25–26 bits. ≤3 flipped bits
+    *    dirty ≤3 blocks → ≥2 clean blocks → the pair made of 2 clean
+    *    blocks matches. Bucket load drops to ~n/2^25: ~30 docs per
+    *    bucket at 10^9 docs (vs ~15k narrow), for 2.5× the banded
     *    row count — the right trade ABOVE [[SimhashWideMinDefault]].
+    *    (A 6-block/triple variant with 33-bit keys was measured too:
+    *    saturation headroom nobody needs below 10^10 docs, at double
+    *    this scheme's constant.)
     * Both are EXACT for maxHamming ≤ 3 (recall 1, and precision is
     * exact everywhere because candidates are verified with the full
     * 64-bit hamming), so the schemes are output-identical and the
@@ -607,10 +616,10 @@ object Dedup {
   private def simhashTables(wide: Boolean): Seq[Seq[(Int, Int)]] =
     if (!wide) (0 until 4).map(b => Seq((b * 16, 16)))
     else {
-      val widths = Seq(11, 11, 11, 11, 10, 10)
+      val widths = Seq(13, 13, 13, 13, 12)
       val offsets = widths.scanLeft(0)(_ + _).init
       val blocks = offsets.zip(widths)
-      blocks.indices.combinations(3).map(_.map(blocks)).toSeq
+      blocks.indices.combinations(2).map(_.map(blocks)).toSeq
     }
 
   /** The (id, sim) signature frame [[simhashPairsFromSigs]] consumes. */
