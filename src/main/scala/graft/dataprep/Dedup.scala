@@ -22,12 +22,29 @@ object Dedup {
     * `spark.graft.dedup.bruteForceMax` overrides the cutover at run
     * time; the oracles assume it is UNSET during verification. */
   val BruteForceMaxDefault = 10000L
+  /** Random-hyperplane LSH layout for [[embeddingNearDupPairs]]:
+    * 4 bands × 16 sign bits (64 projections). 16-bit bands give
+    * 65536 buckets per band — the 8-bit original saturated at ~10^5
+    * vectors (256 buckets → every bucket holds n/256 vectors and the
+    * candidate join degenerates toward all-pairs; the sf10 probe
+    * burned ~3e9 false candidates through it). Near-identical dups
+    * (the function's recall contract) agree on all 64 bits, so
+    * widening costs them nothing; borderline-similarity recall drops,
+    * which the plan-aware oracle encodes rather than papers over. */
   val LshBands = 4
-  val LshBandBits = 8
+  val LshBandBits = 16
   /** Vector-attach joins switch from broadcast-hash to shuffle above
     * this corpus size (2M × ~1 KB vectors ≈ 2 GB, well under Spark's
     * 8 GB broadcast hard cap). */
   val AttachBroadcastMaxDefault = 2000000L
+  /** ...and below THIS size the hint is skipped entirely: a small
+    * corpus's candidate stream sorts in memory for free, while the
+    * driver-side broadcast build is a fixed ~0.5 s — measured at the
+    * 60k-vector bench row, the unconditional hint doubled the query.
+    * Between the two bounds the broadcast is worth ~20% even after
+    * the 16-bit band widening removed the catastrophic case (sf10:
+    * crash → 20.4 s shuffled → 16.0 s broadcast). */
+  val AttachBroadcastMinDefault = 200000L
   /** [[simhashPairs]] switches from the 4×16-bit band scheme to the
     * 10-table block-pair scheme above this corpus size. Measured
     * (SimhashCliffProbe, 32-core local, uniform corpora with linear
@@ -953,9 +970,12 @@ object Dedup {
       val attachMax = df.sparkSession.conf
         .getOption("spark.graft.dedup.attachBroadcastMax")
         .map(_.toLong).getOrElse(Dedup.AttachBroadcastMaxDefault)
+      val attachMin = df.sparkSession.conf
+        .getOption("spark.graft.dedup.attachBroadcastMin")
+        .map(_.toLong).getOrElse(Dedup.AttachBroadcastMinDefault)
       // eager result + release, same contract as [[minhashLshPairs]]
       try embeddingLshPairsFromSigs(s, threshold,
-        broadcastAttach = n <= attachMax).localCheckpoint(true)
+        broadcastAttach = n > attachMin && n <= attachMax).localCheckpoint(true)
       finally { s.unpersist(); () }
     }
   }
@@ -976,8 +996,11 @@ object Dedup {
     val bandMask = (1L << Dedup.LshBandBits) - 1
     def slice(sig: Column, b: Column): Column =
       call_function("shiftright", sig, b * Dedup.LshBandBits).bitwiseAND(lit(bandMask))
+    // band tag shifted past the SLICE width, not the signature width:
+    // a 64-bit signature would make shiftleft(_, 64) a Java no-op and
+    // collide every band's keyspace
     val banded = s.withColumn("band", explode(sequence(lit(0), lit(Dedup.LshBands - 1))))
-      .withColumn("key", shiftleft(col("band").cast("long"), sigBits)
+      .withColumn("key", shiftleft(col("band").cast("long"), Dedup.LshBandBits)
         .bitwiseOR(slice(col("sig"), col("band"))))
     // narrow band join: (id, sig, key) only — vectors attach after
     // the candidate pairs are deduped, one array copy per pair
@@ -992,7 +1015,7 @@ object Dedup {
     }
     val attach = if (broadcastAttach) broadcast(s) else s
     left.join(right, Seq("key")).where(col("id_a") < col("id_b"))
-      .where(call_function("shiftright", col("key"), lit(sigBits)) === firstShared)
+      .where(call_function("shiftright", col("key"), lit(Dedup.LshBandBits)) === firstShared)
       .join(attach.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(attach.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("dot", Similarity.dot(col("v_a"), col("v_b")))

@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunOne <queryName> <sfDir>")
+    require(args.length >= 2, "usage: RunOne <queryName> <sfDir> [k=v ...]")
     val (name, sfDir) = (args(0), args(1))
+    val confs = args.drop(2).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +27,7 @@ object RunOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.toRdd.count()
