@@ -75,14 +75,18 @@ object StreamingGate {
     Option(new java.io.File(scratch).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(tagPrefix) && f.getName != want)
       .foreach { f =>
-        val sourceAlive = !f.getName.startsWith(sfPrefix) && {
-          val sidecar = new java.io.File(f, "_SFDIR")
-          sidecar.isFile && {
-            val src = scala.io.Source.fromFile(sidecar)(scala.io.Codec.UTF8)
-            val rec = try src.mkString.trim finally src.close()
-            rec.nonEmpty && new java.io.File(rec).isDirectory
-          }
-        }
+        // a corrupt/unreadable sidecar means the fixture's provenance
+        // is unknowable — treat it as stale (delete + rebuild) rather
+        // than letting the exception escape and fail the gate row
+        val sourceAlive = !f.getName.startsWith(sfPrefix) &&
+          scala.util.Try {
+            val sidecar = new java.io.File(f, "_SFDIR")
+            sidecar.isFile && {
+              val src = scala.io.Source.fromFile(sidecar)(scala.io.Codec.UTF8)
+              val rec = try src.mkString.trim finally src.close()
+              rec.nonEmpty && new java.io.File(rec).isDirectory
+            }
+          }.getOrElse(false)
         if (!sourceAlive) {
           val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * while the 64-bit signatures spread uniformly. Then the false-
   * candidate mass is pure scheme: the 4×16-bit banding's buckets hold
   * ~n/2^16 docs each (sum C(load,2) false candidates, quadratic in
-  * n), the 20-table block-triple scheme's ~n/2^32 (none until tens of
-  * billions). Both schemes are run through the PUBLIC simhashPairs
+  * n), the 10-table block-pair scheme's ~n/2^25 (128× more headroom
+  * before saturation). Both schemes are run through the PUBLIC simhashPairs
   * (forced via spark.graft.dedup.simhashWideMin), so the numbers are
   * the shipping plans. Prints one JSON line per (n, scheme).
   */

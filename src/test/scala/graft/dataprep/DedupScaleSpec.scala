@@ -67,7 +67,7 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
-  test("simhashPairs wide (20-table block-triple) scheme is output-identical to the banded scheme") {
+  test("simhashPairs wide (10-table block-pair) scheme is output-identical to the banded scheme") {
     val df = docs(60)
     val narrow = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
