@@ -45,6 +45,16 @@ object Dedup {
     * the 16-bit band widening removed the catastrophic case (sf10:
     * crash → 20.4 s shuffled → 16.0 s broadcast). */
   val AttachBroadcastMinDefault = 200000L
+  /** Byte ceiling for the attach broadcast. The row-count window above
+    * assumes ~1 KB vectors; row count alone would force-broadcast a
+    * 2M × 4096-dim corpus (~64 GB) straight past Spark's 8 GB hard
+    * limit and fail the job where the shuffle attach succeeds. When n
+    * is inside the row window the vector dimension is probed from one
+    * row and the estimated payload n·(8·dim+32) must ALSO clear this
+    * cap (2 GiB: comfortably under the hard limit and a sane slice of
+    * a real executor's memory). Conf:
+    * spark.graft.dedup.attachBroadcastMaxBytes. */
+  val AttachBroadcastMaxBytesDefault = 2L << 30
   /** [[simhashPairs]] switches from the 4×16-bit band scheme to the
     * 10-table block-pair scheme above this corpus size. Measured
     * (SimhashCliffProbe, 32-core local, uniform corpora with linear
@@ -690,15 +700,19 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, knownCount: Option[Long] = None): DataFrame = {
     // scheme cutover (see [[simhashTables]]): narrow 4×16 bands until
-    // the 2^16 key space starts to saturate, the 20-table wide scheme
+    // the 2^16 key space starts to saturate, the 10 pair-table wide scheme
     // beyond. conf-overridable so tests force either plan and a
     // deployment can tune without threading a parameter.
     val wideMin = df.sparkSession.conf
       .getOption("spark.graft.dedup.simhashWideMin")
       .map(_.toLong).getOrElse(Dedup.SimhashWideMinDefault)
-    val n = knownCount.getOrElse(df.count())
     val sigs = simhashSigs(df, idCol, textCol)
       .persist() // simhash64 is a 64-counter pass — don't compute it twice
+    // When the caller doesn't know n, count the PERSISTED sigs frame:
+    // the one pass both materializes the cache the join consumes twice
+    // and yields the count — counting `df` here would re-execute the
+    // full input plan once purely to pick the physical scheme.
+    val n = knownCount.getOrElse(sigs.count())
     // eager result + release, same contract as [[minhashLshPairs]]
     try simhashPairsFromSigs(sigs, maxHamming, wide = n > wideMin)
       .localCheckpoint(true)
@@ -973,9 +987,23 @@ object Dedup {
       val attachMin = df.sparkSession.conf
         .getOption("spark.graft.dedup.attachBroadcastMin")
         .map(_.toLong).getOrElse(Dedup.AttachBroadcastMinDefault)
+      val attachMaxBytes = df.sparkSession.conf
+        .getOption("spark.graft.dedup.attachBroadcastMaxBytes")
+        .map(_.toLong).getOrElse(Dedup.AttachBroadcastMaxBytesDefault)
+      // byte gate (see [[AttachBroadcastMaxBytesDefault]]): probe the
+      // vector dimension from ONE row — a LocalLimit-1 action against
+      // the just-persisted sigs, so it costs one partition's worth of
+      // signature work that the join reuses from cache — only when n
+      // already landed in the row window, i.e. only when the answer
+      // can change the plan
+      val broadcastAttach = n > attachMin && n <= attachMax && {
+        val dim = s.select(size(col("v"))).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        n * (8L * dim + 32L) <= attachMaxBytes
+      }
       // eager result + release, same contract as [[minhashLshPairs]]
       try embeddingLshPairsFromSigs(s, threshold,
-        broadcastAttach = n > attachMin && n <= attachMax).localCheckpoint(true)
+        broadcastAttach = broadcastAttach).localCheckpoint(true)
       finally { s.unpersist(); () }
     }
   }
@@ -1560,12 +1588,23 @@ object Dedup {
     * index never re-shuffles (its range layout is on the join key).
     */
   def removeSpansAgainstIndex(newDf: DataFrame, idCol: String,
-      textCol: String, k: Int, indexPath: String): DataFrame = {
+      textCol: String, k: Int, indexPath: String,
+      excludeBatch: Option[String] = None): DataFrame = {
     // the probe must hash under the INDEX's bases — read its seed
     // from the format marker (and fail fast on a v1/drifted index)
     val seed = validateIndexMarker(newDf, indexPath, "removal", k, w = 0)
     val spark = newDf.sparkSession
-    val idx = spark.read.parquet(s"$indexPath/allwins").select(col("win"))
+    // excludeBatch: a replaying streaming epoch must not probe the
+    // window partition ITS OWN previous (crashed-before-commit)
+    // execution appended — the index has no per-window ownership, so
+    // without this the replayed text matches its own published windows
+    // and the batch=<id> overwrite lands an over-excised (empty)
+    // rewrite instead of reproducing the original. Partition pruning
+    // makes the filter free: `batch` is the discovered partition
+    // column of the allwins layout.
+    val idxAll = spark.read.parquet(s"$indexPath/allwins")
+    val idx = excludeBatch.fold(idxAll)(b =>
+      idxAll.where(col("batch").cast("string") =!= b)).select(col("win"))
     val covered = positionedWindows(newDf, idCol, textCol, k, seed)
       .join(idx, Seq("win"), "left_semi")
       .groupBy(col(idCol))

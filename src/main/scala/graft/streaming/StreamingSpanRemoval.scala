@@ -61,9 +61,16 @@ object StreamingSpanRemoval {
           //    subtrees are deduplicated by exchange reuse — measured
           //    at sf0.1, a persist here is a pure materialization
           //    barrier on rewritten text and costs ~15% wall time
+          // excludeBatch = this epoch's own partition: on crash-replay
+          // the previous execution of THIS batchId already appended its
+          // windows under allwins/batch=<id>; probing them would excise
+          // the replayed text against itself (see
+          // [[Dedup.removeSpansAgainstIndex]]) and break the
+          // replay-idempotence contract this sink's layout exists for
           val vsIndex =
             if (hasIndex)
-              Dedup.removeSpansAgainstIndex(b, idCol, textCol, k, indexPath)
+              Dedup.removeSpansAgainstIndex(b, idCol, textCol, k, indexPath,
+                excludeBatch = Some(batchId.toString))
                 .select(col(idCol), col("clean_text"))
             else b.select(col(idCol), col(textCol).as("clean_text"))
           // 2. batch-internal first-occurrence rewrite on the survivor text
