@@ -108,12 +108,24 @@ object TestTables {
     */
   private def ensureEventsBloomTable(spark: SparkSession, sfDir: String,
       fields: Seq[String]): String = {
-    val path = s"${graft.GraftTmp.dir}/graft_bloom_events_${new java.io.File(sfDir).getName}_" +
+    // v2 layout: cluster each day's files by user_id (range partition
+    // on (date, user_id) before the partitioned write) and scale the
+    // file census with the corpus. A selective entity token then
+    // concentrates in ~1 file per day, so the Bloom file-skip RATIO
+    // improves as files multiply instead of collapsing — PruningProbe
+    // r16 measured the unclustered layout scanning 27/30 files at the
+    // 10x replica (user tokens spread across every file; skip held at
+    // sf5 only by replica-locality luck). Ingest-time clustering on
+    // the lookup entity is the 100 TB design: the sealed-index
+    // analogue of the reference's per-fraction token dict selectivity.
+    val path = s"${graft.GraftTmp.dir}/graft_bloom_events_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "events")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        eventsDocs(spark, sfDir).df
+        val df = eventsDocs(spark, sfDir).df
           .withColumn("date", to_date(timestamp_millis(col("mid"))))
+        val nFiles = math.max(32L, df.count() / 31250L).toInt
+        df.repartitionByRange(nFiles, col("date"), col("user_id"))
           .write.mode("overwrite").partitionBy("date").parquet(path)
       }
       val missing = fields.filterNot(f =>
@@ -255,21 +267,85 @@ object TestTables {
     * analogue for the corpus table (see [[eventsDocsBloom]]).
     */
   def documentsDocsBloom(spark: SparkSession, sfDir: String, query: String): DocsTable = {
+    val (path, mapping) = ensureDocumentsBloomTable(spark, sfDir)
+    val df = graft.index.TokenBloomIndex.prunedRead(spark, path, query, mapping)
+    DocsTable(df, mapping)
+  }
+
+  private def ensureDocumentsBloomTable(spark: SparkSession,
+      sfDir: String): (String, SeqMapping) = {
     val base = documentsDocs(spark, sfDir)
-    val path = s"${graft.GraftTmp.dir}/graft_bloom_docs_${new java.io.File(sfDir).getName}_" +
+    // v2 layout: cluster by (src_path, doc_id) and scale the file
+    // census with the corpus. Common-word text tokens live in every
+    // file at any scale — what makes a conjunctive phrase query
+    // file-prunable is its SELECTIVE conjunct (the source path), and
+    // only if the layout clusters it: the old fixed-8-file doc_id
+    // layout scanned 8/8 at every sf (PruningProbe r16). With source
+    // clustering the src_path sidecar narrows to the ~1/20 of files
+    // holding that source and the intersection with the text sidecar
+    // inherits the selectivity, a ratio that HOLDS as files multiply.
+    val path = s"${graft.GraftTmp.dir}/graft_bloom_docs_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "documents")
     TestTables.synchronized {
       if (!new java.io.File(s"$path/_bloom/field=text/_SUCCESS").exists()) {
-        // doc_id-ranged files so per-file token sets differ and the
-        // sidecar has something to discriminate
-        base.df.repartitionByRange(8, col("doc_id"))
+        val nFiles = math.max(8L, base.df.count() / 25000L).toInt
+        base.df.repartitionByRange(nFiles, col("src_path"), col("doc_id"))
           .write.mode("overwrite").parquet(path)
         graft.index.TokenBloomIndex.build(spark, path, base.mapping,
           Seq("text", "src_path", "lang"))
       }
     }
-    val df = graft.index.TokenBloomIndex.prunedRead(spark, path, query, base.mapping)
-    DocsTable(df, base.mapping)
+    (path, base.mapping)
+  }
+
+  /** The bloom-copy events table WITHOUT file pruning — the probe's
+    * control leg: same files, same engine; the only difference from
+    * [[eventsDocsBloom]] is the sidecar file-list narrowing
+    * (tools.PruningProbe). */
+  def eventsDocsBloomUnpruned(spark: SparkSession, sfDir: String): DocsTable = {
+    val path = ensureEventsBloomTable(spark, sfDir, Seq("user_id", "event_type"))
+    eventsTableOver(spark.read.parquet(path))
+  }
+
+  /** [[documentsDocsBloom]] without the file pruning (control leg). */
+  def documentsDocsBloomUnpruned(spark: SparkSession, sfDir: String): DocsTable = {
+    val (path, mapping) = ensureDocumentsBloomTable(spark, sfDir)
+    DocsTable(spark.read.parquet(path), mapping)
+  }
+
+  /** Scanned-vs-total data-file counts for the three file-skipping
+    * gate rows, over the SAME fixtures and probe values those rows
+    * run on (seq_search_keyword_bloom, seq_text_bloom,
+    * events_zorder_lookup). This is the pruning-effectiveness claim
+    * behind the full-text-at-scale story (reference analogue:
+    * fraction pruning, seq-db fracmanager/searcher.go:89-101):
+    * the row-count evidence is only meaningful if the file-skip ratio
+    * HOLDS as the corpus (and its file census) grows — probed by
+    * tools.PruningProbe at sf0.1/sf1/sf5.
+    * Returns (row, scannedFiles, totalFiles).
+    */
+  def pruningStats(spark: SparkSession, sfDir: String): Seq[(String, Int, Int)] = {
+    import graft.index.{TokenBloomIndex, ZoneMapIndex}
+    val evPath = ensureEventsBloomTable(spark, sfDir, Seq("user_id", "event_type"))
+    val evAll = spark.read.parquet(evPath).inputFiles.length
+    val evScan = TokenBloomIndex.candidateFiles(spark, evPath,
+      TokenBloomIndex.requiredTokens("user_id:42 and event_type:error", eventsMapping))
+      .fold(evAll)(_.size)
+    val (docPath, docMapping) = ensureDocumentsBloomTable(spark, sfDir)
+    val docAll = spark.read.parquet(docPath).inputFiles.length
+    val docScan = TokenBloomIndex.candidateFiles(spark, docPath,
+      TokenBloomIndex.requiredTokens("text:'key order' and src_path:/src7", docMapping))
+      .fold(docAll)(_.size)
+    val zPath = eventsZOrderedPath(spark, sfDir)
+    val zAll = spark.read.parquet(zPath).inputFiles.length
+    // same (entity, time window) probe as the events_zorder_lookup row
+    val zScan = ZoneMapIndex.candidateFiles(spark, zPath, Map(
+      "user_id" -> (Some(42L), Some(42L)),
+      "mid"     -> (Some(1704067200000L), Some(1705276800000L))))
+      .fold(zAll)(_.size)
+    Seq(("seq_search_keyword_bloom", evScan, evAll),
+        ("seq_text_bloom", docScan, docAll),
+        ("events_zorder_lookup", zScan, zAll))
   }
 
   /** documents → docs: no natural event time, so mid = doc_id (stable,
@@ -301,15 +377,20 @@ object TestTables {
     * copies.
     */
   def eventsZOrderedPath(spark: SparkSession, sfDir: String): String = {
-    val path = s"${graft.GraftTmp.dir}/graft_zorder_events_${new java.io.File(sfDir).getName}_" +
+    val path = s"${graft.GraftTmp.dir}/graft_zorder_events_v2_${new java.io.File(sfDir).getName}_" +
       sourceFingerprint(sfDir, "events")
     TestTables.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         // explicit file count: the test SFs are small enough that AQE
-        // would coalesce to one file and leave nothing to prune
+        // would coalesce to one file and leave nothing to prune. v2:
+        // the census scales with the corpus (same rate as the Bloom
+        // copy) so the scale probes exercise a realistic file
+        // multiplication, not 50x-fatter files behind a fixed count.
+        val df = eventsDocs(spark, sfDir).df
         graft.ingest.ZOrder.writeClustered(
-          eventsDocs(spark, sfDir).df, "user_id", "mid", path,
-          numFiles = Some(32))
+          df, "user_id", "mid", path,
+          numFiles = Some(math.max(32L, df.count() / 31250L).toInt))
+      }
     }
     path
   }
