@@ -169,30 +169,25 @@ object TextAnalysis {
     * any ANSI engine reproduces them bit for bit.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Tokenize into the projection FIRST, build bigrams from the bound
-    // attribute: a transform-lambda over the raw tokenizer expression
-    // re-evaluates it per element (captured children are not CSE'd
-    // inside interpreted HOFs) — O(tokens²) per doc
-    val tokAttr = col("__toks")
-    // bigrams WITH multiplicity (TextPrep.bigramShingles dedups; the
-    // duplicate fraction needs the raw sequence)
-    val bigrams = filter(
-      transform(
-        sequence(lit(1), greatest(size(tokAttr) - 1, lit(1))),
-        i => concat(try_element_at(tokAttr, i), lit(" "), try_element_at(tokAttr, i + 1))),
-      x => x.isNotNull)
-    df.withColumn("__toks", TextPrep.tokens(col(textCol)))
-      .withColumn("__bi", bigrams)
-      .withColumn("n_words", size(col("__toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
-      .withColumn("top_word_n",
-        coalesce(
-          array_max(transform(array_distinct(col("__toks")),
-            w => size(filter(col("__toks"), t => t === w)))),
-          lit(0)).cast("long"))
-      .withColumn("n_bigrams", size(col("__bi")).cast("long"))
-      .withColumn("dup_bigram_n",
-        (size(col("__bi")) - size(array_distinct(col("__bi")))).cast("long"))
+    // all five integer counts come from ONE O(tokens) codegen kernel
+    // pass ([[graft.functions.RepetitionStatsExpr]]): the declarative
+    // form this replaces ran O(distinct × tokens) interpreted HOF
+    // lambdas per document (array_max(transform(array_distinct,
+    // w -> size(filter(toks, _ === w)))) for the top word alone) plus
+    // two more distinct passes for the duplicate counts. Counts are
+    // exact, so the fractions below are the same IEEE divisions of
+    // the same integers — bit-identical to the old plan and to the
+    // DuckDB oracle's independent derivation.
+    val st = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.RepetitionStatsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          TextPrep.tokens(col(textCol)))))
+    df.withColumn("__st", st)
+      .withColumn("n_words", col("__st.n_words"))
+      .withColumn("n_distinct", col("__st.n_distinct"))
+      .withColumn("top_word_n", col("__st.top_word_n"))
+      .withColumn("n_bigrams", col("__st.n_bigrams"))
+      .withColumn("dup_bigram_n", col("__st.dup_bigram_n"))
       .withColumn("dup_word_frac",
         (col("n_words") - col("n_distinct")).cast("double")
           / greatest(col("n_words"), lit(1L)).cast("double"))

@@ -114,28 +114,46 @@ object StreamingGate {
     val inPath = new org.apache.hadoop.fs.Path(s"$dir/in")
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(inPath): Unit
-    val slices: Seq[DataFrame] =
-      if (nSlices <= 1) Seq(df)
-      else {
-        // deliberate bounded global window over the gate corpus; the
-        // constant partition key keeps it explicit (see the
-        // EliminateWindowPartitions note in Bench/Verify builders)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy(col(orderCol))
-        val b = df.withColumn("__b", ntile(nSlices).over(w))
-        (1 to nSlices).map(i => b.where(col("__b") === i).drop("__b"))
-      }
-    (slices ++ extraSlices).zipWithIndex.foreach { case (s, i) =>
-      val stage = s"$dir/stage_$i"
-      s.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    // adopt a staged part file as slice i: strictly increasing FIXED
+    // mtimes pin replay order (the file source orders by modification
+    // time) and keep reruns identical
+    def adopt(part: org.apache.hadoop.fs.Path, i: Int): Unit = {
       val dst = new org.apache.hadoop.fs.Path(inPath, f"slice-$i%03d.parquet")
       fs.rename(part, dst): Unit
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-      // strictly increasing FIXED mtimes pin replay order (the file
-      // source orders by modification time) and keep reruns identical
       fs.setTimes(dst, 1700000000000L + i * 10000L, -1L)
+    }
+    def partFile(d: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+      fs.listStatus(d).map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/stage")
+    if (nSlices <= 1) {
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      adopt(partFile(stage), 0)
+    } else {
+      // deliberate bounded global window over the gate corpus; the
+      // constant partition key keeps it explicit (see the
+      // EliminateWindowPartitions note in Bench/Verify builders).
+      // ONE partitionBy("__b") write stages every slice in a single
+      // job — per-slice filtered writes used to re-execute the corpus
+      // scan AND the single-task window sort once per slice (slice
+      // membership, which is all replay semantics depend on, is
+      // unchanged; __b is a partition directory, so the staged files
+      // carry exactly df's schema). Batch content is a SET — intra-
+      // file row order is not part of any gate relation.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col(orderCol))
+      df.withColumn("__b", ntile(nSlices).over(w))
+        .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
+      (1 to nSlices).foreach { i =>
+        adopt(partFile(new org.apache.hadoop.fs.Path(stage, s"__b=$i")), i - 1)
+      }
+    }
+    fs.delete(stage, true): Unit
+    val base = math.max(nSlices, 1)
+    extraSlices.zipWithIndex.foreach { case (s, j) =>
+      val extraStage = new org.apache.hadoop.fs.Path(s"$dir/stage_x$j")
+      s.coalesce(1).write.mode("overwrite").parquet(extraStage.toString)
+      adopt(partFile(extraStage), base + j)
+      fs.delete(extraStage, true): Unit
     }
     spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/in")

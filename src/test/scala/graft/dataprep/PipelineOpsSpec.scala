@@ -148,6 +148,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) == (3L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("repetitionStats kernel matches a plain-Scala reference on varied shapes") {
+    // exercises the r16 one-pass kernel (RepetitionStatsExpr) against
+    // an independent recomputation: repeats, unicode tokens, single
+    // token, all-same, punctuation-only (tokenizes to nothing)
+    val texts = Seq(
+      "the the the", "a", "", "?!.,", "ünïcode ünïcode tokens",
+      "a b a b a b a", "x1 x2 x3 x1 x2 x3", "solo dup dup solo solo",
+      "w " * 500 + "z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextAnalysis.repetitionStats(df, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = "[^\\p{L}\\p{N}_*]+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+      val bi = toks.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val expect = (toks.size.toLong, toks.distinct.size.toLong,
+        (if (toks.isEmpty) 0 else toks.groupBy(identity).values.map(_.size).max).toLong,
+        bi.size.toLong, (bi.size - bi.distinct.size).toLong)
+      assert(got(i.toLong) == expect, s"doc $i '$t'")
+    }
+  }
+
   // ---- CCNet perplexity buckets ----
 
   test("perplexityBuckets: equal-frequency split, predictable docs first") {

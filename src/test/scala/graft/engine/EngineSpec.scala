@@ -290,9 +290,20 @@ class EngineSpec extends SparkSpec {
     val chunkMs = 7L * 86400000 // 5 weekly chunks over Jan 2024
     val s1 = new ChunkedAsyncSearcher(spark, dir)
     s1.startAsync("j2", eng, "event_type:error", T0, T31, chunkMs)
-    s1.shutdown() // kill: the pool dies wherever the chunk loop happens to be
-    // normalize the racy kill point to a guaranteed-mid-flight state
-    // (what a slower kill leaves): completion mark gone, >=1 chunk missing
+    // SIMULATED kill: let the run finish, then excise state back to the
+    // guaranteed mid-flight shape a crash leaves (completion mark gone,
+    // >=1 chunk + marker missing). An in-JVM thread interrupt is NOT a
+    // faithful crash: shutdownNow() kills the submitter thread but its
+    // in-flight local-mode Spark write job survives and later commits a
+    // second part file into a chunk dir the resumed searcher already
+    // rewrote — fetchPartial then overcounts (observed: 56 rows / 28
+    // distinct in one chunk). A real crash kills the whole process and
+    // leaves no such orphan writer, which is exactly the state this
+    // excision constructs.
+    val cdl = System.currentTimeMillis() + 60000
+    while (!s1.isComplete("j2") && System.currentTimeMillis() < cdl) Thread.sleep(50)
+    assert(s1.isComplete("j2"))
+    s1.shutdown()
     val idDir = new java.io.File(s"$dir/j2")
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/j2/.complete"))
     Option(idDir.listFiles()).toSeq.flatten
