@@ -737,14 +737,17 @@ object Similarity {
     val pts = e6Points(df, idCol, vecCol)
     pts.persist()
     try {
-      val dim = pts.select(size(col("v"))).head.getInt(0)
+      // the seed collect doubles as the dimension probe (r16: a
+      // separate head() job used to run first — one fewer action per
+      // training call, and the seeds job is what warms the cache)
+      val seeds = pts.orderBy(col("id").asc).limit(kSub).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).map(_._2).toIndexedSeq
+      require(seeds.nonEmpty, "empty corpus")
+      val dim = seeds.head.length
       require(dim % m == 0, s"dim $dim must be divisible by m=$m")
       val sub = dim / m
-      var books: IndexedSeq[IndexedSeq[Seq[Long]]] = {
-        val seeds = pts.orderBy(col("id").asc).limit(kSub).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).map(_._2).toIndexedSeq
+      var books: IndexedSeq[IndexedSeq[Seq[Long]]] =
         IndexedSeq.tabulate(m)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
-      }
       for (_ <- 2 to iters) {
         val a = withPqCodes(pts, books, sub)
         val rows = a.select(col("codes"), posexplode(col("v")))
