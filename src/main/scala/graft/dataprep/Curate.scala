@@ -56,6 +56,12 @@ object Curate {
         col("pred_lang").isin(cfg.keepLangs: _*))
       .drop("n_tokens", "n_distinct", "n_punct", "n_digit", "n_stop",
         "text_len", "s_en", "s_de", "s_es", "s_fr", "s_zh")
+      // stage 3 consumes the gated frame TWICE (dedup-key agg side +
+      // join side) and the two exchanges never canonicalize equal, so
+      // unpersisted the quality+langid scoring pass runs twice over
+      // the corpus; pin it so the second consumption is a cache read
+      // (released right after the survivor set materializes)
+      .persist()
 
     // 3: exact dedup — keep the min-id representative per content hash
     val keepExact = gated
@@ -72,6 +78,9 @@ object Curate {
     val pairs = Dedup.minhashLshPairs(survivors, idCol, textCol,
       cfg.numHashes, cfg.bands, cfg.thresholdNum, cfg.thresholdDen)
       .select("id_a", "id_b")
+    // minhashLshPairs is eager (localCheckpoint inside), so survivors
+    // is materialized here and the gated pin has served its purpose
+    gated.unpersist()
     // decontamination reads its input THREE times (bench shingles,
     // corpus shingles, the outer anti-join base) and the final split
     // once more — persist the near-deduped survivors so each traversal
@@ -141,10 +150,16 @@ object Curate {
     */
   def pipelineV2(df: DataFrame, idCol: String, textCol: String,
       benchPred: Column, cfg: V2Config = V2Config()): DataFrame = {
-    // 1. Gopher gate, fused into the scan
+    // 1. Gopher gate, fused into the scan. The span rewrite consumes
+    // this frame TWICE (the min-owner agg side and the positioned-
+    // occurrence probe side are separate subtrees whose exchanges never
+    // canonicalize equal — the r16 single-extraction attempt proved
+    // reuse doesn't fire), so unpersisted the Gopher-rule pass runs
+    // twice over the corpus; pin it for the rewrite and release below.
     val gated = TextAnalysis.withGopherRules(df, textCol, cfg.minStops)
       .where(col("keep"))
       .select(col(idCol), col(textCol))
+      .persist()
     // 2. corpus-wide span rewrite; fully-excised docs drop out. The
     // rewrite is read by the dedup-key agg, the dedup join, and the
     // final audit join — persist it so those are cache reads. The
@@ -189,6 +204,7 @@ object Curate {
       // are RDD-owned — the ContextCleaner frees them once the
       // returned frame is unreferenced, no caller contract needed.
       .localCheckpoint(true)
+    gated.unpersist()
     rewritten.unpersist()
     deduped.unpersist()
     out

@@ -1605,8 +1605,27 @@ object Dedup {
     val idxAll = spark.read.parquet(s"$indexPath/allwins")
     val idx = excludeBatch.fold(idxAll)(b =>
       idxAll.where(col("batch").cast("string") =!= b)).select(col("win"))
-    val covered = positionedWindows(newDf, idCol, textCol, k, seed)
-      .join(idx, Seq("win"), "left_semi")
+    val batchWins = positionedWindows(newDf, idCol, textCol, k, seed)
+    // Probe shape: the batch is small relative to the index (a
+    // micro-batch vs the whole published history), but a LEFT SEMI
+    // join can only broadcast its RIGHT side — the index — so the
+    // semi form shuffles BOTH sides, an O(history) exchange per
+    // batch. Inverting to an inner join with the BATCH side broadcast
+    // leaves the index scan-only (no shuffle, no sort, any number of
+    // batches); duplicate index windows (append layout) only repeat
+    // (id, start) matches, which the collect_set below collapses, so
+    // the covered-starts relation is identical. Byte-gated like the
+    // dedup attach broadcast: positioned windows are O(batch chars),
+    // estimated from one cheap length scan (chars - k + 1 per doc);
+    // an oversized batch falls back to the semi-join.
+    val estRow = newDf.where(length(col(textCol)) >= k)
+      .agg(sum(length(col(textCol)) - (k - 1))).head()
+    val estWins = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    // ~60 B/row in the built relation => 4M windows ~ 240 MB
+    val probe =
+      if (estWins <= 4000000L) idx.join(broadcast(batchWins), Seq("win"))
+      else batchWins.join(idx, Seq("win"), "left_semi")
+    val covered = probe
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
     exciseCovered(newDf, idCol, textCol, k, covered)

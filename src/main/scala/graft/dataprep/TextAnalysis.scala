@@ -157,11 +157,12 @@ object TextAnalysis {
     * dominated by repeated words/n-grams are low-quality training data
     * (boilerplate, keyword stuffing, generation loops).
     *
-    * Scale design: everything here is a per-row array expression — no
+    * Scale design: everything here is a per-row expression — no
     * explode, no shuffle, the whole operator stays inside one narrow
-    * codegen stage over the scan. The per-row top-word count is
-    * O(distinct × tokens) but documents are bounded (quality filters
-    * run on already length-capped docs), which beats an
+    * codegen stage over the scan. All five integer counts come from a
+    * single O(tokens) pass per document
+    * ([[graft.functions.RepetitionStatsExpr]], exact hash-table
+    * counting inside whole-stage codegen), which beats an
     * explode→groupBy→join-back (two shuffles of corpus-sized
     * intermediates) at any scale.
     *

@@ -122,12 +122,35 @@ object StreamingGate {
       fs.rename(part, dst): Unit
       fs.setTimes(dst, 1700000000000L + i * 10000L, -1L)
     }
-    def partFile(d: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
-      fs.listStatus(d).map(_.getPath).filter(_.getName.startsWith("part-")).head
+    def partFile(d: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+      val parts = fs.listStatus(d).map(_.getPath).filter(_.getName.startsWith("part-"))
+      // a slice IS one file by construction (single-task window / an
+      // explicit coalesce(1)); a plan or maxRecordsPerFile change that
+      // split it would silently drop rows from the batch
+      require(parts.length == 1,
+        s"expected exactly 1 part file in $d, got ${parts.length}")
+      parts.head
+    }
     val stage = new org.apache.hadoop.fs.Path(s"$dir/stage")
     if (nSlices <= 1) {
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       adopt(partFile(stage), 0)
+    } else if (sys.env.get("SPARK_GRAFT_GATE_STAGING").contains("perslice")) {
+      // TEMPORARY A/B arm (r17): the r15 per-slice staging, kept
+      // behind an env flag so the r16 one-pass rewrite can be paired
+      // against it under the driver protocol on this box (VERDICT r16
+      // next-round #1). Same slice membership and mtimes by
+      // construction. Never set by the driver.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col(orderCol))
+      val b = df.withColumn("__b", ntile(nSlices).over(w))
+      (1 to nSlices).foreach { i =>
+        val st = new org.apache.hadoop.fs.Path(s"$dir/stage_ps$i")
+        b.where(col("__b") === i).drop("__b")
+          .coalesce(1).write.mode("overwrite").parquet(st.toString)
+        adopt(partFile(st), i - 1)
+        fs.delete(st, true): Unit
+      }
     } else {
       // deliberate bounded global window over the gate corpus; the
       // constant partition key keeps it explicit (see the
@@ -144,7 +167,18 @@ object StreamingGate {
       df.withColumn("__b", ntile(nSlices).over(w))
         .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
       (1 to nSlices).foreach { i =>
-        adopt(partFile(new org.apache.hadoop.fs.Path(stage, s"__b=$i")), i - 1)
+        val d = new org.apache.hadoop.fs.Path(stage, s"__b=$i")
+        if (fs.exists(d)) adopt(partFile(d), i - 1)
+        else {
+          // fewer rows than slices: ntile left bucket i empty and the
+          // partitioned write created no directory — stage an empty
+          // single-file slice so the stream still replays nSlices
+          // batches (the old per-slice path wrote an empty file here)
+          val empty = new org.apache.hadoop.fs.Path(s"$dir/stage_empty$i")
+          df.limit(0).coalesce(1).write.mode("overwrite").parquet(empty.toString)
+          adopt(partFile(empty), i - 1)
+          fs.delete(empty, true): Unit
+        }
       }
     }
     fs.delete(stage, true): Unit
@@ -296,19 +330,22 @@ object StreamingGate {
             .where(col("user_id").isNotNull)
             .select(col("user_id").cast("long").as("user_id"),
               col("mid").cast("long").as("mid"))
-          val mx = base.agg(max(col("mid")).as("__mx"))
+          // mirrors the gate row's collected-max sentinel (one scan)
+          val mxRow = base.agg(max(col("mid")).as("__mx")).head()
+          val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
           val sentinel = base.select(col("user_id")).distinct()
-            .crossJoin(broadcast(mx))
-            .select(col("user_id"), (col("__mx") + gapMs + 1000L).as("mid"))
+            .select(col("user_id"), lit(mxv + gapMs + 1000L).as("mid"))
           orderedFileStream(base, "mid", 3, dir, extraSlices = Seq(sentinel))
         case "seq_stream_livecount" =>
           val dayMs = 86400000L
           val base = TestTables.eventsDocs(spark, sfDir).df
             .select(col("mid").cast("long").as("mid"),
               col("event_type").cast("string").as("event_type"))
-          val mx = base.agg(max(col("mid")).as("__mx"))
-          def sentinel(offset: Long) = mx.select(
-            (col("__mx") + offset).as("mid"),
+          // mirrors the gate row's collected-max sentinel (one scan)
+          val mxRow = base.agg(max(col("mid")).as("__mx")).head()
+          val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+          def sentinel(offset: Long) = base.sparkSession.range(1).select(
+            lit(mxv + offset).as("mid"),
             lit("__sentinel").as("event_type"))
           orderedFileStream(base, "mid", 3, dir,
             extraSlices = Seq(sentinel(10 * dayMs), sentinel(20 * dayMs)))
@@ -441,10 +478,13 @@ object StreamingGate {
         .where(col("user_id").isNotNull)
         .select(col("user_id").cast("long").as("user_id"),
           col("mid").cast("long").as("mid"))
-      val mx = base.agg(max(col("mid")).as("__mx"))
+      // collect the corpus max ONCE: the old plan re-derived it as an
+      // agg subtree inside the sentinel write AND the final filter —
+      // two extra corpus scans per call for the same literal value
+      val mxRow = base.agg(max(col("mid")).as("__mx")).head()
+      val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       val sentinel = base.select(col("user_id")).distinct()
-        .crossJoin(broadcast(mx))
-        .select(col("user_id"), (col("__mx") + gapMs + 1000L).as("mid"))
+        .select(col("user_id"), lit(mxv + gapMs + 1000L).as("mid"))
       val dir = freshDir(spark, "sessionize", sfDir)
       val stream = orderedFileStream(base, "mid", 3, dir,
         extraSlices = Seq(sentinel))
@@ -452,8 +492,7 @@ object StreamingGate {
         graft.streaming.StreamingSessionize.fromDocs(stream, "user_id", gapMs).toDF(),
         s"$dir/out", s"$dir/ckpt")
       spark.read.parquet(s"$dir/out")
-        .crossJoin(broadcast(mx))
-        .where(col("start_ms") <= col("__mx"))
+        .where(col("start_ms") <= mxv)
         .select(col("user").as("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"))
         .orderBy(col("user_id"), col("start_ms"))
@@ -471,9 +510,13 @@ object StreamingGate {
       val base = TestTables.eventsDocs(spark, sfDir).df
         .select(col("mid").cast("long").as("mid"),
           col("event_type").cast("string").as("event_type"))
-      val mx = base.agg(max(col("mid")).as("__mx"))
-      def sentinel(offset: Long) = mx.select(
-        (col("__mx") + offset).as("mid"),
+      // collect the corpus max ONCE (one scan) — each sentinel write
+      // used to re-execute the max-agg subtree, a corpus scan per
+      // sentinel for the same literal value
+      val mxRow = base.agg(max(col("mid")).as("__mx")).head()
+      val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      def sentinel(offset: Long) = base.sparkSession.range(1).select(
+        lit(mxv + offset).as("mid"),
         lit("__sentinel").as("event_type"))
       val dir = freshDir(spark, "livecount", sfDir)
       val stream = orderedFileStream(base, "mid", 3, dir,

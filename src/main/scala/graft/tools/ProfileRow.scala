@@ -32,6 +32,9 @@ object ProfileRow {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     @volatile var collect = false
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // numeric durations collected alongside the formatted lines: the
+    // summary must not re-parse its own locale-formatted output
+    val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
@@ -41,8 +44,12 @@ object ProfileRow {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(starts.remove(e.jobId)).foreach { case (t0, d) =>
-          if (collect) lines.add(
-            f"[job ${e.jobId}%4d] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $d")
+          if (collect) {
+            val ms = (System.nanoTime() - t0) / 1e6
+            durs.add(Double.box(ms))
+            lines.add(String.format(java.util.Locale.ROOT,
+              "[job %4d] %8.1f ms  %s", Int.box(e.jobId), Double.box(ms), d))
+          }
         }
       }
     })
@@ -54,6 +61,7 @@ object ProfileRow {
       def run(label: String, doCollect: Boolean): Unit = {
         collect = doCollect
         lines.clear()
+        durs.clear()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count(): Unit
@@ -62,11 +70,16 @@ object ProfileRow {
         Thread.sleep(500)
         if (doCollect) {
           lines.forEach(l => println(l))
-          val sumMs = lines.toArray(Array.empty[String])
-            .map(_.split("\\]")(1).trim.split(" ")(0).toDouble).sum
-          println(f"  jobs total ${sumMs / 1000}%.3f s (gaps = ${tot - sumMs / 1000}%.3f s driver/machinery)")
+          val sumMs = durs.toArray(Array.empty[java.lang.Double])
+            .map(_.doubleValue).sum
+          // per-job walls overlap when jobs run concurrently, so the
+          // gaps figure is approximate (can go negative under overlap)
+          println(String.format(java.util.Locale.ROOT,
+            "  jobs total %.3f s (gaps ~= %.3f s driver/machinery; approximate under concurrent jobs)",
+            Double.box(sumMs / 1000), Double.box(tot - sumMs / 1000)))
         }
-        println(f"$name $label TOTAL $tot%.3f s")
+        println(String.format(java.util.Locale.ROOT,
+          "%s %s TOTAL %.3f s", name, label, Double.box(tot)))
       }
       run("warm", doCollect = false)
       run("measure", doCollect = true)
