@@ -1622,12 +1622,19 @@ object Dedup {
       .agg(sum(length(col(textCol)) - (k - 1))).head()
     val estWins = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
     // ~60 B/row in the built relation => 4M windows ~ 240 MB
+    val smallBatch = estWins <= 4000000L
     val probe =
-      if (estWins <= 4000000L) idx.join(broadcast(batchWins), Seq("win"))
+      if (smallBatch) idx.join(broadcast(batchWins), Seq("win"))
       else batchWins.join(idx, Seq("win"), "left_semi")
     val covered = probe
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("start"))).as("starts"))
-    exciseCovered(newDf, idCol, textCol, k, covered)
+    // the inner-join shape above inflates the planner's size estimate
+    // for `covered` (join-output cardinality guess), which flips the
+    // excise join-back to sort-merge; covered is really <= one row per
+    // batch doc with O(batch chars) total payload, so under the same
+    // gate it broadcasts
+    exciseCovered(newDf, idCol, textCol, k,
+      if (smallBatch) broadcast(covered) else covered)
   }
 }

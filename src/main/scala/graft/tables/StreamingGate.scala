@@ -135,22 +135,6 @@ object StreamingGate {
     if (nSlices <= 1) {
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       adopt(partFile(stage), 0)
-    } else if (sys.env.get("SPARK_GRAFT_GATE_STAGING").contains("perslice")) {
-      // TEMPORARY A/B arm (r17): the r15 per-slice staging, kept
-      // behind an env flag so the r16 one-pass rewrite can be paired
-      // against it under the driver protocol on this box (VERDICT r16
-      // next-round #1). Same slice membership and mtimes by
-      // construction. Never set by the driver.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0)).orderBy(col(orderCol))
-      val b = df.withColumn("__b", ntile(nSlices).over(w))
-      (1 to nSlices).foreach { i =>
-        val st = new org.apache.hadoop.fs.Path(s"$dir/stage_ps$i")
-        b.where(col("__b") === i).drop("__b")
-          .coalesce(1).write.mode("overwrite").parquet(st.toString)
-        adopt(partFile(st), i - 1)
-        fs.delete(st, true): Unit
-      }
     } else {
       // deliberate bounded global window over the gate corpus; the
       // constant partition key keeps it explicit (see the
